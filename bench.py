@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_for_dumdums_spark.catalog import QUERIES, load_all
+from etl_for_dumdums_spark.session import get_spark
+
+# Headline set: one representative per operator family (kept in sync with
+# the catalog as families land). Each must exist in QUERIES.
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_weekly_event_stats",
+    "agg_conditional_distinct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    load_all()
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM + parquet footers once so timings measure the queries
+    QUERIES[names[0]](spark, sf_dir).count()
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in names:
+        # best-of-2: first run pays one-off costs (footer cache, codegen),
+        # second measures the steady-state plan
+        timings[name] = round(min(run_once(name), run_once(name)), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

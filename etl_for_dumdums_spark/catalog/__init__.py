@@ -1,0 +1,113 @@
+"""Query catalog: the SURVEY.md §2 operator inventory as named queries.
+
+Each entry is a callable ``(spark, sf_dir) -> DataFrame`` registered together
+with an equivalent ANSI-SQL string that DuckDB can execute over the same
+parquet tables (the driver's correctness oracle). Registration happens at
+import time via the ``@register`` decorator.
+
+Determinism rules shared by both sides:
+  * every computed column is aliased identically in Spark and SQL;
+  * floating-point aggregates are rounded (ROUND_DP) so summation order
+    cannot flip the value hash;
+  * no current_timestamp()/now() — cutoffs are fixed literals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# float rounding applied on BOTH the Spark and DuckDB side before comparison
+ROUND_DP = 4
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register(name: str, sql: Optional[str] = None):
+    """Register a catalog query; ``sql`` is the DuckDB oracle (None → rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+class Tables:
+    """Lazy accessor for the testdata parquet tables of one scale factor."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}")
+        if name not in self._cache:
+            path = f"{self._dir}/{name}.parquet"
+            df = self._spark.read.parquet(path)
+            for col in _nanos_timestamp_cols(path):
+                # nanos→micros truncation via integer division (values exceed
+                # double's 53-bit mantissa, so no float math here); matches
+                # DuckDB's truncating nanos→micros read.
+                df = df.withColumn(
+                    col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))")
+                )
+            self._cache[name] = df
+        return self._cache[name]
+
+
+_NANOS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    if path not in _NANOS_CACHE:
+        import pyarrow.parquet as pq
+        import pyarrow.types as patypes
+
+        schema = pq.read_schema(path)
+        _NANOS_CACHE[path] = tuple(
+            f.name
+            for f in schema
+            if patypes.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    return _NANOS_CACHE[path]
+
+
+def load_all() -> None:
+    """Import every catalog module so all queries register."""
+    from . import (  # noqa: F401
+        aggregations,
+        dedup,
+        filters,
+        joins,
+        reshape,
+        scalars,
+        setops,
+        similarity,
+        stats,
+        textops,
+        windows,
+    )

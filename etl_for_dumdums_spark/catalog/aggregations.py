@@ -1,0 +1,285 @@
+"""Aggregation operators (SURVEY.md §2.5 A1-A14).
+
+Each query mirrors an aggregation shape from the reference's dbt marts /
+pandas layer, re-expressed over the testdata star schema. All are single
+shuffle groupBy → partial (map-side) aggregation first, so they scale
+linearly with input; group keys are low-cardinality so the reduce side is
+tiny at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import count_distinct_if, safe_divide, week_start
+from . import ROUND_DP as DP
+from . import Tables, register
+
+R = lambda c: F.round(c, DP)  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# A1/A5 spine — the flagship pricing-summary query (TPC-H Q1 shape; the
+# reference's fct_hn_weekly_stats.sql:8-12 / fct_sales_monthly.sql:19-28 use
+# the same scan→filter→groupBy→multi-agg→sort spine).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), {DP})                                  AS sum_qty,
+           round(sum(l_extendedprice), {DP})                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), {DP})          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {DP}) AS sum_charge,
+           round(avg(l_quantity), {DP})                                  AS avg_qty,
+           round(avg(l_extendedprice), {DP})                             AS avg_price,
+           round(avg(l_discount), {DP})                                  AS avg_disc,
+           count(*)                                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            R(F.sum("l_quantity")).alias("sum_qty"),
+            R(F.sum("l_extendedprice")).alias("sum_base_price"),
+            R(F.sum(disc_price)).alias("sum_disc_price"),
+            R(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            R(F.avg("l_quantity")).alias("avg_qty"),
+            R(F.avg("l_extendedprice")).alias("avg_price"),
+            R(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A5 + Monday-week truncation — fct_hn_weekly_stats shape
+# (reference dbt/models/marts/hacker_news/fct_hn_weekly_stats.sql:5-14).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_weekly_event_stats",
+    sql=f"""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
+           count(*)                    AS n_events,
+           count(DISTINCT user_id)     AS n_users,
+           round(sum(value), {DP})     AS sum_value,
+           round(avg(value), {DP})     AS avg_value,
+           round(max(value), {DP})     AS max_value,
+           round(min(value), {DP})     AS min_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_weekly_event_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(week_start(F.col("ts")).alias("event_week"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            R(F.sum("value")).alias("sum_value"),
+            R(F.avg("value")).alias("avg_value"),
+            R(F.max("value")).alias("max_value"),
+            R(F.min("value")).alias("min_value"),
+        )
+        .orderBy("event_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A7 — conditional counts + ratio-of-aggregates
+# (reference fct_pull_requests.sql:22-23, fct_hn_keyword_sentiment.sql:29-31).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_conditional_counts",
+    sql=f"""
+    SELECT o_orderpriority,
+           count(*)                                        AS n_orders,
+           count_if(o_orderstatus = 'O')                   AS n_open,
+           count_if(o_orderstatus = 'F')                   AS n_finished,
+           round(100.0 * count_if(o_orderstatus = 'O') / count(*), {DP}) AS pct_open,
+           round(sum(o_totalprice) / nullif(count_if(o_orderstatus = 'F'), 0), {DP}) AS price_per_finished
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_conditional_counts(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    n_open = F.count_if(F.col("o_orderstatus") == "O")
+    n_fin = F.count_if(F.col("o_orderstatus") == "F")
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            n_open.alias("n_open"),
+            n_fin.alias("n_finished"),
+            R(F.lit(100.0) * n_open / F.count("*")).alias("pct_open"),
+            R(safe_divide(F.sum("o_totalprice"), F.nullif(n_fin, F.lit(0)))).alias(
+                "price_per_finished"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A4 — distinct and conditional-distinct counts
+# (reference fct_fda_events_by_gender.sql:33,45-46; data.py:334).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_conditional_distinct",
+    sql="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CASE WHEN value > 50 THEN user_id END) AS n_high_value_users,
+           count(DISTINCT CASE WHEN props LIKE '%"k"%' THEN user_id END) AS n_prop_users
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_conditional_distinct(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            count_distinct_if(F.col("value") > 50, F.col("user_id")).alias("n_high_value_users"),
+            count_distinct_if(F.col("props").like('%"k"%'), F.col("user_id")).alias("n_prop_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A10 — stddev and weighted average
+# (reference fct_hn_keyword_sentiment.sql:25; pages/5_HN_Sentiment.py:51-61).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_stddev_weighted",
+    sql=f"""
+    SELECT l_returnflag,
+           round(stddev(l_quantity), {DP})       AS qty_stddev,
+           round(stddev_pop(l_quantity), {DP})   AS qty_stddev_pop,
+           round(sum(l_discount * l_quantity) / nullif(sum(l_quantity), 0), {DP}) AS weighted_avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stddev_weighted(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            R(F.stddev_samp("l_quantity")).alias("qty_stddev"),
+            R(F.stddev_pop("l_quantity")).alias("qty_stddev_pop"),
+            R(
+                safe_divide(
+                    F.sum(F.col("l_discount") * F.col("l_quantity")),
+                    F.nullif(F.sum("l_quantity"), F.lit(0)),
+                )
+            ).alias("weighted_avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — conditional max as pivot-style extraction
+# (reference fct_oura_daily.sql:28-31: max(case when sleep_type=... then ...)).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_conditional_max_pivot",
+    sql=f"""
+    SELECT user_id,
+           round(max(CASE WHEN event_type = 'click'    THEN value END), {DP}) AS max_click_value,
+           round(max(CASE WHEN event_type = 'purchase' THEN value END), {DP}) AS max_purchase_value,
+           round(avg(CASE WHEN event_type = 'view'     THEN value END), {DP}) AS avg_view_value
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_conditional_max_pivot(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    e = F.col("event_type")
+    v = F.col("value")
+    return (
+        t.events.groupBy("user_id")
+        .agg(
+            R(F.max(F.when(e == "click", v))).alias("max_click_value"),
+            R(F.max(F.when(e == "purchase", v))).alias("max_purchase_value"),
+            R(F.avg(F.when(e == "view", v))).alias("avg_view_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — row-wise "avg of non-null scores" then aggregated
+# (reference fct_oura_daily.sql:126-135 combined wellness score).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_rowwise_presence_score",
+    sql=f"""
+    WITH scored AS (
+      SELECT l_returnflag,
+             (coalesce(l_quantity, 0) + coalesce(nullif(l_discount, 0) * 100, 0)
+              + coalesce(nullif(l_tax, 0) * 100, 0))
+             / nullif((CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN nullif(l_discount, 0) IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN nullif(l_tax, 0) IS NOT NULL THEN 1 ELSE 0 END), 0) AS combined
+      FROM lineitem)
+    SELECT l_returnflag, round(avg(combined), {DP}) AS avg_combined_score, count(*) AS n
+    FROM scored GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_rowwise_presence_score(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    qty = F.col("l_quantity")
+    disc = F.nullif(F.col("l_discount"), F.lit(0.0)) * 100
+    tax = F.nullif(F.col("l_tax"), F.lit(0.0)) * 100
+    total = F.coalesce(qty, F.lit(0.0)) + F.coalesce(disc, F.lit(0.0)) + F.coalesce(tax, F.lit(0.0))
+    present = sum(F.when(c.isNotNull(), 1).otherwise(0) for c in (qty, disc, tax))
+    combined = total / F.nullif(present, F.lit(0))
+    return (
+        t.lineitem.select("l_returnflag", combined.alias("combined"))
+        .groupBy("l_returnflag")
+        .agg(R(F.avg("combined")).alias("avg_combined_score"), F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 — global summary stats (no grouping)
+# (reference Summary.py:44-193, pages/4_Hacker_News.py:80-83).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_global_summary",
+    sql=f"""
+    SELECT count(*)                         AS n_rows,
+           count(DISTINCT l_orderkey)       AS n_orders,
+           count(DISTINCT l_partkey)        AS n_parts,
+           round(sum(l_extendedprice), {DP}) AS total_price,
+           round(avg(l_quantity), {DP})     AS mean_qty,
+           round(max(l_extendedprice), {DP}) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global_summary(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        R(F.sum("l_extendedprice")).alias("total_price"),
+        R(F.avg("l_quantity")).alias("mean_qty"),
+        R(F.max("l_extendedprice")).alias("max_price"),
+    )

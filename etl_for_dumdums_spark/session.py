@@ -1,0 +1,39 @@
+"""SparkSession factory.
+
+Tuned for the test environment (local[N], single JVM) while keeping every
+setting cluster-safe: AQE handles runtime re-planning (join strategy, skew,
+partition coalescing) at any scale; UTC session timezone pins timestamp
+semantics for oracle comparison; Arrow is enabled for the pandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "etl_for_dumdums_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ~cores shuffle partitions locally; AQE coalesces further at runtime.
+        # On a real cluster this would be set ~2-3x total cores.
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # test parquet carries INT64 TIMESTAMP(NANOS) columns, which Spark
+        # cannot map to TimestampType; read them as raw nanos longs and let
+        # the Tables accessor cast (truncating to micros, matching DuckDB).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
