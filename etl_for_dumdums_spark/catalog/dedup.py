@@ -1,1 +1,302 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for training-data pipelines (beyond-reference).
+
+Five dedup families over the ``documents`` table, each with a DuckDB oracle.
+All hashing is md5-based so both engines compute bit-identical values:
+a MinHash permutation is "min over tokens of md5(seed || token)" — the
+lexicographic min of a uniform hash is a valid MinHash, and md5 hex strings
+compare identically everywhere.
+
+Scale design (100 TB):
+  * exact/fingerprint: single hash-shuffle on the digest; skew-free (digests
+    are uniform).
+  * MinHash+LSH: tokenize → 8 signatures (one aggregation) → 4 band keys →
+    self-join per band bucket. Only bucket-mates join, so cost is
+    sum(bucket²) not n²; hot buckets (boilerplate docs) would be capped or
+    salted in production.
+  * SimHash: one aggregation per doc (16 bit-counters) then a bucket join —
+    64-bit + multi-probe at scale, 16-bit here to exercise collisions at
+    test SF.
+  * n-gram Jaccard: inverted index join on shingles; posting lists of
+    common shingles explode quadratically, so production would drop
+    high-document-frequency shingles first (same as stopword removal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+R = lambda c: F.round(c, DP)  # noqa: E731
+
+_TOKENIZE_SQL = "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+
+
+def _tokens(df):
+    """(doc_id, token) pairs, distinct tokens per doc."""
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the raw text digest.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    sql="""
+    WITH grouped AS (
+      SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text))
+    SELECT count(*)                          AS n_distinct_texts,
+           sum(n_copies)                     AS n_docs,
+           sum(n_copies) - count(*)          AS n_dropped,
+           count_if(n_copies > 1)            AS n_dup_groups,
+           max(n_copies)                     AS max_group_size
+    FROM grouped
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    grouped = t.documents.groupBy(F.md5("text").alias("digest")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id")
+    )
+    return grouped.agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.sum("n_copies").alias("n_docs"),
+        (F.sum("n_copies") - F.count("*")).alias("n_dropped"),
+        F.count_if(F.col("n_copies") > 1).alias("n_dup_groups"),
+        F.max("n_copies").alias("max_group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint dedup: canonical form = sorted distinct token set. Catches
+# reordered/shuffled near-duplicates that exact hashing misses.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_fingerprint",
+    sql=f"""
+    WITH fp AS (
+      SELECT source, md5(array_to_string(list_sort({_TOKENIZE_SQL}), ' ')) AS fingerprint
+      FROM documents),
+    grouped AS (
+      SELECT source, fingerprint, count(*) AS n FROM fp GROUP BY 1, 2)
+    SELECT source,
+           count(*)                AS n_fingerprints,
+           sum(n)                  AS n_docs,
+           count_if(n > 1)         AS n_dup_groups,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_docs_in_dup_groups
+    FROM grouped GROUP BY source ORDER BY source
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))),
+            )
+        ).alias("fingerprint"),
+    )
+    grouped = fp.groupBy("source", "fingerprint").agg(F.count("*").alias("n"))
+    return (
+        grouped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum("n").alias("n_docs"),
+            F.count_if(F.col("n") > 1).alias("n_dup_groups"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_docs_in_dup_groups"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: 8 md5-permutations, 4 bands × 2 rows. Bucket-mates are the
+# candidate pairs — the scalable shape of near-dup detection.
+# ---------------------------------------------------------------------------
+_N_SIG = 8
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}|' || w)) AS s{i}" for i in range(_N_SIG))}
+      FROM tok GROUP BY doc_id),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, md5(s{a} || s{b}) AS key FROM sig" for bi, (a, b) in enumerate(_BANDS))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT (SELECT count(*) FROM cand) AS n_candidate_pairs,
+           (SELECT count(DISTINCT d) FROM (SELECT da AS d FROM cand UNION SELECT db FROM cand))
+             AS n_docs_flagged,
+           (SELECT count(*) FROM documents) AS n_docs
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    tok = _tokens(t.documents)
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"s{i}")
+            for i in range(_N_SIG)
+        ]
+    )
+    bands = None
+    for bi, (a, b) in enumerate(_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.md5(F.concat(F.col(f"s{a}"), F.col(f"s{b}"))).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    flagged = cand.select(F.col("da").alias("d")).union(cand.select("db")).distinct()
+    return (
+        cand.agg(F.count("*").alias("n_candidate_pairs"))
+        .crossJoin(flagged.agg(F.count("*").alias("n_docs_flagged")))
+        .crossJoin(t.documents.agg(F.count("*").alias("n_docs")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit here; 64-bit at scale): per-token md5 → bit votes → sign.
+# Bucket collisions approximate Hamming-near duplicates.
+# ---------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    hexv = "strpos('0123456789abcdef', substr(md5(w), {c}, 1)) - 1"
+    bits = []
+    for bit in range(16):
+        c, j = bit // 4 + 1, bit % 4
+        v = hexv.format(c=c)
+        bits.append(f"sum(CASE WHEN (({v}) // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{bit}")
+    val = " + ".join(f"(CASE WHEN b{bit} > 0 THEN {2**bit} ELSE 0 END)" for bit in range(16))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents),
+    votes AS (
+      SELECT doc_id, {', '.join(bits)} FROM tok GROUP BY doc_id),
+    hashed AS (SELECT doc_id, {val} AS simhash FROM votes),
+    buckets AS (SELECT simhash, count(*) AS n FROM hashed GROUP BY simhash)
+    SELECT count(*)                  AS n_buckets,
+           count_if(n > 1)           AS n_collision_buckets,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_docs_in_collisions,
+           max(n)                    AS max_bucket
+    FROM buckets
+    """
+
+
+@register("dedup_simhash", sql=_simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    tok = _tokens(t.documents)
+    hexv = "locate(substr(md5(w), {c}, 1), '0123456789abcdef') - 1"
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(({hexv.format(c=bit // 4 + 1)}) div {2 ** (bit % 4)}) % 2 = 1"), 1
+                ).otherwise(-1)
+            ).alias(f"b{bit}")
+            for bit in range(16)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"b{bit}") > 0, F.lit(2**bit)).otherwise(F.lit(0)) for bit in range(16)
+    )
+    buckets = votes.select(simhash.alias("simhash")).groupBy("simhash").agg(
+        F.count("*").alias("n")
+    )
+    return buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.count_if(F.col("n") > 1).alias("n_collision_buckets"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_docs_in_collisions"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-3-gram Jaccard histogram via shingle inverted index.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    sql="""
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(a) - 1),
+                                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+      FROM arr WHERE len(a) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT round(common * 1.0 / (sa.sz + sb.sz - common), 1) AS jaccard_bin,
+           count(*) AS n_pairs
+    FROM pairs
+    JOIN sizes sa ON pairs.da = sa.doc_id
+    JOIN sizes sb ON pairs.db = sb.doc_id
+    GROUP BY 1 ORDER BY jaccard_bin DESC
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    arr = t.documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
+    ).filter(F.size("a") >= 3)
+    sh = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))")
+        ).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select(
+            F.round(
+                F.col("common") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")), 1
+            ).alias("jaccard_bin")
+        )
+        .groupBy("jaccard_bin")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("jaccard_bin").desc())
+    )

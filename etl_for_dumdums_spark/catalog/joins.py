@@ -1,1 +1,355 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators (SURVEY.md §2.4 J1-J13 + semi/anti semantics).
+
+Join-strategy notes for scale:
+  * dimension tables (region/nation/supplier, inline lookups, pattern
+    tables) are explicitly ``broadcast()`` — no shuffle of the fact side;
+  * fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+    handles skew splitting;
+  * the cross join is bounded: |patterns| is constant, so it's a broadcast
+    nested loop with linear cost in the fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+R = lambda c: F.round(c, DP)  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-hop left equi-join fact enrichment (orders→customer→nation→
+# region), all dims broadcast (reference fct_issues.sql:68-72).
+# ---------------------------------------------------------------------------
+@register(
+    "join_enrich_left",
+    sql=f"""
+    SELECT r.r_name AS region_name,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), {DP}) AS total_revenue,
+           count(DISTINCT c.c_custkey) AS n_customers
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY region_name
+    """,
+)
+def join_enrich_left(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(
+            F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey, "left"
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            R(F.sum("o_totalprice")).alias("total_revenue"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — self-join on an adjacency (line n ⋈ line n+1 of the same order;
+# reference fct_issues.sql:71 parent/child self-join).
+# ---------------------------------------------------------------------------
+@register(
+    "join_self_adjacent",
+    sql=f"""
+    SELECT cur.l_returnflag,
+           count(*) AS n_pairs,
+           round(avg(nxt.l_quantity - cur.l_quantity), {DP}) AS avg_qty_step
+    FROM lineitem cur
+    JOIN lineitem nxt
+      ON cur.l_orderkey = nxt.l_orderkey AND nxt.l_linenumber = cur.l_linenumber + 1
+    GROUP BY cur.l_returnflag ORDER BY cur.l_returnflag
+    """,
+)
+def join_self_adjacent(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    cur = t.lineitem.alias("cur")
+    nxt = t.lineitem.alias("nxt")
+    return (
+        cur.join(
+            nxt,
+            (F.col("cur.l_orderkey") == F.col("nxt.l_orderkey"))
+            & (F.col("nxt.l_linenumber") == F.col("cur.l_linenumber") + 1),
+        )
+        .groupBy(F.col("cur.l_returnflag").alias("l_returnflag"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            R(F.avg(F.col("nxt.l_quantity") - F.col("cur.l_quantity"))).alias("avg_qty_step"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — aggregate-then-left-join (PR review_stats pattern;
+# reference fct_pull_requests.sql:18-36,94-97).
+# ---------------------------------------------------------------------------
+@register(
+    "join_agg_then_left",
+    sql=f"""
+    WITH line_stats AS (
+      SELECT l_orderkey, count(*) AS n_lines, round(sum(l_quantity), {DP}) AS total_qty
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o.o_orderstatus,
+           count(*) AS n_orders,
+           sum(coalesce(ls.n_lines, 0)) AS total_lines,
+           round(sum(coalesce(ls.total_qty, 0)), {DP}) AS total_qty,
+           count_if(ls.l_orderkey IS NULL) AS n_lineless_orders
+    FROM orders o
+    LEFT JOIN line_stats ls ON o.o_orderkey = ls.l_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def join_agg_then_left(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    line_stats = t.lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), R(F.sum("l_quantity")).alias("total_qty")
+    )
+    return (
+        t.orders.join(line_stats, t.orders.o_orderkey == line_stats.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.coalesce(F.col("n_lines"), F.lit(0))).alias("total_lines"),
+            R(F.sum(F.coalesce(F.col("total_qty"), F.lit(0.0)))).alias("total_qty"),
+            F.count_if(F.col("l_orderkey").isNull()).alias("n_lineless_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/J5 — full outer join entity resolution across two aggregated sides
+# (reference dim_users.sql:41-42, fct_reviewer_activity.sql:51-54).
+# ---------------------------------------------------------------------------
+@register(
+    "join_full_outer",
+    sql="""
+    WITH cust AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                  FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                  FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers,
+           CASE WHEN c.nationkey IS NULL THEN 'supplier_only'
+                WHEN s.nationkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    cust = t.customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_customers")
+    )
+    supp = t.supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    c, s = cust.alias("c"), supp.alias("s")
+    return (
+        c.join(s, F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+            F.when(F.col("c.nationkey").isNull(), "supplier_only")
+            .when(F.col("s.nationkey").isNull(), "customer_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — cross join of a tiny pattern table against facts + rlike
+# (reference fct_hn_keyword_trends.sql:67: stories × keyword regexes).
+# The pattern side is broadcast; cost is linear in documents.
+# ---------------------------------------------------------------------------
+@register(
+    "join_cross_pattern",
+    sql="""
+    WITH keywords(keyword, pattern) AS (
+      VALUES ('spark',  '\\bspark\\b'),
+             ('stream', '\\bstream\\b'),
+             ('merge',  '\\bmerge\\b'),
+             ('vector', '\\bvector\\b')),
+    matches AS (
+      SELECT k.keyword, d.doc_id, d.lang
+      FROM documents d CROSS JOIN keywords k
+      WHERE regexp_matches(lower(d.text), k.pattern))
+    SELECT keyword, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+    FROM matches GROUP BY keyword ORDER BY keyword
+    """,
+)
+def join_cross_pattern(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    kw = spark.createDataFrame(
+        [
+            ("spark", r"\bspark\b"),
+            ("stream", r"\bstream\b"),
+            ("merge", r"\bmerge\b"),
+            ("vector", r"\bvector\b"),
+        ],
+        ["keyword", "pattern"],
+    )
+    return (
+        t.documents.crossJoin(F.broadcast(kw))
+        .filter(F.expr("lower(text) rlike pattern"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("n_docs"), F.count_distinct("lang").alias("n_langs"))
+        .orderBy("keyword")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — join to an inline literal lookup table (broadcast)
+# (reference fct_fda_recalls_by_state.sql:18-75,154-155).
+# ---------------------------------------------------------------------------
+@register(
+    "join_inline_lookup",
+    sql=f"""
+    WITH region_meta(r_regionkey, hemisphere, weight) AS (
+      VALUES (0, 'south', 1.0), (1, 'north', 2.0), (2, 'north', 1.5),
+             (3, 'north', 1.2), (4, 'south', 0.8))
+    SELECT m.hemisphere,
+           count(*) AS n_nations,
+           round(sum(m.weight), {DP}) AS total_weight
+    FROM nation n
+    LEFT JOIN region_meta m ON n.n_regionkey = m.r_regionkey
+    GROUP BY m.hemisphere ORDER BY m.hemisphere
+    """,
+)
+def join_inline_lookup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    meta = spark.createDataFrame(
+        [(0, "south", 1.0), (1, "north", 2.0), (2, "north", 1.5), (3, "north", 1.2), (4, "south", 0.8)],
+        ["r_regionkey", "hemisphere", "weight"],
+    )
+    return (
+        t.nation.join(F.broadcast(meta), t.nation.n_regionkey == meta.r_regionkey, "left")
+        .groupBy("hemisphere")
+        .agg(F.count("*").alias("n_nations"), R(F.sum("weight")).alias("total_weight"))
+        .orderBy("hemisphere")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — argmax retrieval via value-equality join back to the fact
+# (reference fct_sector_performance.sql:68-73).
+# ---------------------------------------------------------------------------
+@register(
+    "join_argmax_value",
+    sql="""
+    WITH seg_max AS (
+      SELECT c_mktsegment, max(c_acctbal) AS best_bal
+      FROM customer GROUP BY c_mktsegment)
+    SELECT m.c_mktsegment, round(m.best_bal, 2) AS best_bal, c.c_name AS best_customer
+    FROM seg_max m
+    JOIN customer c ON c.c_mktsegment = m.c_mktsegment AND c.c_acctbal = m.best_bal
+    ORDER BY m.c_mktsegment, best_customer
+    """,
+)
+def join_argmax_value(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    seg_max = t.customer.groupBy("c_mktsegment").agg(F.max("c_acctbal").alias("best_bal"))
+    c = t.customer.alias("c")
+    m = seg_max.alias("m")
+    return (
+        m.join(
+            c,
+            (F.col("c.c_mktsegment") == F.col("m.c_mktsegment"))
+            & (F.col("c.c_acctbal") == F.col("m.best_bal")),
+        )
+        .select(
+            F.col("m.c_mktsegment").alias("c_mktsegment"),
+            F.round(F.col("m.best_bal"), 2).alias("best_bal"),
+            F.col("c.c_name").alias("best_customer"),
+        )
+        .orderBy("c_mktsegment", "best_customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J11 — lateral explode of a derived array (correlated UNNEST)
+# (reference fct_fda_events_by_reaction.sql:18-28).
+# ---------------------------------------------------------------------------
+@register(
+    "join_explode_words",
+    sql=f"""
+    SELECT word, count(*) AS n_parts, round(avg(p_retailprice), {DP}) AS avg_price
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word, p_retailprice FROM part)
+    GROUP BY word ORDER BY word
+    """,
+)
+def join_explode_words(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            F.explode(F.split(F.col("p_name"), " ")).alias("word"), "p_retailprice"
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n_parts"), R(F.avg("p_retailprice")).alias("avg_price"))
+        .orderBy("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/J6 — semi + anti join semantics composed via full outer of both counts
+# (reference stg_fda__recalls.sql:14-23 IN-subquery;
+#  fct_reviewer_activity.sql:117-120 exclusion filter).
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi_anti",
+    sql="""
+    WITH active AS (
+      SELECT c.c_nationkey, count(*) AS n_with_orders
+      FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY 1),
+    inactive AS (
+      SELECT c.c_nationkey, count(*) AS n_without_orders
+      FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY 1)
+    SELECT coalesce(a.c_nationkey, i.c_nationkey) AS nationkey,
+           coalesce(a.n_with_orders, 0)    AS n_with_orders,
+           coalesce(i.n_without_orders, 0) AS n_without_orders
+    FROM active a FULL OUTER JOIN inactive i ON a.c_nationkey = i.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    okeys = t.orders.select("o_custkey")
+    active = (
+        t.customer.join(okeys, t.customer.c_custkey == okeys.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+        .alias("a")
+    )
+    inactive = (
+        t.customer.join(okeys, t.customer.c_custkey == okeys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+        .alias("i")
+    )
+    return (
+        active.join(inactive, F.col("a.c_nationkey") == F.col("i.c_nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.c_nationkey"), F.col("i.c_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_with_orders"), F.lit(0)).alias("n_with_orders"),
+            F.coalesce(F.col("n_without_orders"), F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("nationkey")
+    )

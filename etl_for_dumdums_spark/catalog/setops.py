@@ -1,1 +1,104 @@
-"""Placeholder — populated in a later milestone."""
+"""Set operations (SURVEY.md §2.8 U1-U3).
+
+The reference builds rollup rows by hand with UNION ALL and date spines
+with UNION DISTINCT; both are reproduced, plus the grouping-sets redesign
+(ROLLUP) the survey recommends — all shuffle-once shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+R = lambda c: F.round(c, DP)  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# U1 — hand-built rollup rows via UNION ALL
+# (reference fct_fda_recalls_by_topic.sql:72-108: per-topic rows ∪ 'Any' rows).
+# ---------------------------------------------------------------------------
+@register(
+    "setop_union_all_rollup",
+    sql=f"""
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           round(sum(o_totalprice), {DP}) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL (Any)' AS priority, count(*) AS n_orders,
+           round(sum(o_totalprice), {DP}) AS revenue
+    FROM orders
+    ORDER BY priority
+    """,
+)
+def setop_union_all_rollup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    per = t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"), R(F.sum("o_totalprice")).alias("revenue")
+    )
+    total = t.orders.agg(
+        F.count("*").alias("n_orders"), R(F.sum("o_totalprice")).alias("revenue")
+    ).select(F.lit("ALL (Any)").alias("priority"), "n_orders", "revenue")
+    return per.unionByName(total).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# U2 — UNION DISTINCT date spine across sources
+# (reference fct_oura_daily.sql:38-46: all_days from 4 tables).
+# ---------------------------------------------------------------------------
+@register(
+    "setop_union_distinct_spine",
+    sql="""
+    WITH spine AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week FROM orders
+      UNION
+      SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week FROM lineitem)
+    SELECT count(*) AS n_weeks, min(week) AS first_week, max(week) AS last_week
+    FROM spine
+    """,
+)
+def setop_union_distinct_spine(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    a = t.orders.select(F.date_trunc("week", "o_orderdate").cast("date").alias("week"))
+    b = t.lineitem.select(F.date_trunc("week", "l_shipdate").cast("date").alias("week"))
+    return (
+        a.union(b)
+        .distinct()
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.min("week").alias("first_week"),
+            F.max("week").alias("last_week"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets redesign of U1 — native ROLLUP (the survey's recommended
+# re-expression; one shuffle instead of two scans).
+# ---------------------------------------------------------------------------
+@register(
+    "setop_native_rollup",
+    sql=f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), {DP}) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def setop_native_rollup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), R(F.sum("o_totalprice")).alias("revenue"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )

@@ -63,8 +63,14 @@ def month_start(col: Column) -> Column:
 
 
 def ts_diff_hours(end: Column, start: Column) -> Column:
-    """Whole hours between two timestamps, truncated toward zero."""
-    return ((end.cast("long") - start.cast("long")) / 3600).cast("long")
+    """Whole hours between two timestamps, truncated toward zero.
+
+    Casts through TIMESTAMP first: parquet NTZ timestamps (TIMESTAMP_NTZ)
+    don't cast to BIGINT directly; with the session pinned to UTC the
+    NTZ→TZ cast is the identity.
+    """
+    secs = end.cast("timestamp").cast("long") - start.cast("timestamp").cast("long")
+    return (secs / 3600).cast("long")
 
 
 def rounded(col: Column, dp: int) -> Column:

@@ -26,7 +26,10 @@ def get_spark(app_name: str = "etl_for_dumdums_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NOTE: oversized local heaps (48g+) cost seconds of first-query GC
+        # setup on this box; 16g is ample for local SFs. Cluster deployments
+        # size executors separately — this knob is local-mode only.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # test parquet carries INT64 TIMESTAMP(NANOS) columns, which Spark
