@@ -1,1 +1,208 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the embeddings table (beyond-reference).
+
+Brute-force cosine top-k is the correctness baseline; the sign-bucketed
+variant is the scale path (search only within an LSH bucket).
+
+Exact-arithmetic trick for oracle parity: embeddings are quantized to
+integers (round(x*1000)) so dot products and squared norms are exact BIGINT
+math in both engines — no float-summation-order divergence; only the final
+cosine does one double sqrt/division, which is IEEE-deterministic.
+
+Scale design (100 TB):
+  * top-k: broadcast the (small) query set, map-side partial top-k per
+    partition, single reduce — never a full n×m shuffle;
+  * bucketed: bucket id = sign bits of the leading dimensions (a fixed
+    random-hyperplane LSH in production); candidate pairs only join within
+    a bucket, trading recall for sum(bucket²) cost;
+  * at 100 TB the embedding column would be stored as a fixed-size binary
+    and the dot product vectorized via a Pandas UDF over Arrow batches —
+    here the data fits the built-in higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+# integer quantization: exact cross-engine arithmetic (see module docstring)
+_IVEC_SQL = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+_IVEC_SPARK = "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+_NORM_SQL = "list_sum(list_transform({v}, x -> x * x))"
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+_NORM_SPARK = "aggregate(transform({v}, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+
+def _ivecs(t):
+    return t.embeddings.select(
+        "vec_id", "label", F.expr(_IVEC_SPARK).alias("v"), F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k for a fixed query set (vec_id < 10).
+# ---------------------------------------------------------------------------
+_TOPK = 5
+
+
+@register(
+    "sim_topk_cosine",
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, label, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM iv WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round({_DOT_SQL.format(a='q.v', b='c.v')} / sqrt(q.nrm * 1.0 * c.nrm), {DP}) AS cosine
+      FROM q JOIN iv c ON c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, neighbor_label, cosine
+    FROM ranked WHERE rank <= {_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_topk_cosine(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = _ivecs(t)
+    q = iv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(iv, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(
+                F.expr(_DOT_SPARK.format(a="qv", b="v"))
+                / F.sqrt(F.col("qnrm") * 1.0 * F.col("nrm")),
+                DP,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise similarity threshold within sign-LSH buckets (the scale path).
+# Bucket = sign pattern of the first 8 dimensions.
+# ---------------------------------------------------------------------------
+_SIGN_BITS = 8
+
+
+def _bucket_sql(v: str) -> str:
+    return " + ".join(f"(CASE WHEN {v}[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(_SIGN_BITS))
+
+
+def _bucket_spark(v: str) -> str:
+    return " + ".join(f"(CASE WHEN element_at({v}, {i + 1}) >= 0 THEN {2**i} ELSE 0 END)" for i in range(_SIGN_BITS))
+
+
+@register(
+    "sim_lsh_bucketed",
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
+             {_bucket_sql(_IVEC_SQL)} AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.bucket,
+             round({_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm), {DP}) AS cosine
+      FROM iv a JOIN iv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT bucket, count(*) AS n_pairs,
+           count_if(cosine >= 0.2) AS n_similar,
+           round(max(cosine), {DP}) AS max_cosine
+    FROM pairs GROUP BY bucket
+    HAVING count(*) >= 5
+    ORDER BY bucket
+    """,
+)
+def sim_lsh_bucketed(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = t.embeddings.select(
+        "vec_id",
+        F.expr(_IVEC_SPARK).alias("v"),
+        F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
+        F.expr(_bucket_spark(_IVEC_SPARK)).alias("bucket"),
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.bucket").alias("bucket"),
+        F.round(
+            F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+            / F.sqrt(F.col("a.nrm") * 1.0 * F.col("b.nrm")),
+            DP,
+        ).alias("cosine"),
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_if(F.col("cosine") >= 0.2).alias("n_similar"),
+            F.round(F.max("cosine"), DP).alias("max_cosine"),
+        )
+        .filter(F.col("n_pairs") >= 5)
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup stats per label pair (dedup flavor of ANN).
+# ---------------------------------------------------------------------------
+@register(
+    "sim_label_cohesion",
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, label, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
+      FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             round({_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm), {DP}) AS cosine
+      FROM iv a JOIN iv b ON a.vec_id < b.vec_id)
+    SELECT label_a, label_b, count(*) AS n_pairs,
+           round(avg(cosine), {DP}) AS avg_cosine,
+           round(max(cosine), {DP}) AS max_cosine
+    FROM pairs GROUP BY label_a, label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def sim_label_cohesion(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = _ivecs(t).filter(F.col("vec_id") < 200)
+    a = iv.alias("a")
+    b = iv.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.round(
+            F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+            / F.sqrt(F.col("a.nrm") * 1.0 * F.col("b.nrm")),
+            DP,
+        ).alias("cosine"),
+    )
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("cosine"), DP).alias("avg_cosine"),
+            F.round(F.max("cosine"), DP).alias("max_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

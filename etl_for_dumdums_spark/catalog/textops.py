@@ -1,1 +1,216 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis operators for training-data pipelines (beyond-reference).
+
+Language-ID (stopword/marker heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all as native
+column expressions (single scan, no UDFs), so they run at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+R = lambda c: F.round(c, DP)  # noqa: E731
+
+# marker word lists for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+
+def _hits_sql(lang: str) -> str:
+    pat = "\\b(" + "|".join(_LANG_MARKERS[lang]) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+def _hits_spark(lang: str):
+    # Column-form regexp_extract_all: the pattern never passes through the
+    # SQL parser, so backslashes stay literal (expr('\b') would be backspace)
+    pat = r"\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex token estimate.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    sql=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_ws_tokens,
+           round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), {DP}) AS avg_ws_tokens,
+           sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS total_bpe_ish_tokens,
+           round(avg(n_chars * 1.0), {DP}) AS avg_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    )
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws_tokens).alias("total_ws_tokens"),
+            R(F.avg(ws_tokens)).alias("avg_ws_tokens"),
+            F.sum(bpe_ish).alias("total_bpe_ish_tokens"),
+            R(F.avg(F.col("n_chars") * 1.0)).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length, stopword ratio, type-token ratio, mean word len
+# → bucket (the length/punct/stopword-ratio heuristics of data pipelines).
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_score",
+    sql=f"""
+    WITH scored AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_types,
+             {_hits_sql('en')} AS stop_hits,
+             n_chars
+      FROM documents),
+    rated AS (
+      SELECT source, n_tokens, n_types, stop_hits, n_chars,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN stop_hits * 100 < n_tokens THEN 'no_stopwords'      -- ratio < 0.01, integer form
+                  WHEN n_types * 10 < n_tokens * 3 THEN 'repetitive'       -- ratio < 0.3, integer form
+                  ELSE 'ok' END AS quality_bucket
+      FROM scored)
+    SELECT source, quality_bucket, count(*) AS n_docs,
+           round(sum(n_types) * 1.0 / nullif(sum(n_tokens), 0), {DP}) AS corpus_ttr,
+           round(sum(stop_hits) * 1.0 / nullif(sum(n_tokens), 0), {DP}) AS corpus_stop_ratio,
+           round(sum(n_chars) * 1.0 / nullif(sum(n_tokens), 0), {DP}) AS corpus_word_len
+    FROM rated GROUP BY source, quality_bucket
+    ORDER BY source, quality_bucket
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_types = F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    stop_hits = _hits_spark("en")
+    scored = t.documents.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        stop_hits.alias("stop_hits"),
+        "n_chars",
+    )
+    # bucket thresholds in integer form: exact, no float boundary flips
+    rated = scored.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "stop_hits",
+        "n_chars",
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("stop_hits") * 100 < F.col("n_tokens"), "no_stopwords")
+        .when(F.col("n_types") * 10 < F.col("n_tokens") * 3, "repetitive")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+    # corpus-level ratios: integer sums (exact in any order) ÷ once at the end
+    nt = F.nullif(F.sum("n_tokens"), F.lit(0))
+    return (
+        rated.groupBy("source", "quality_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            R(F.sum("n_types") * 1.0 / nt).alias("corpus_ttr"),
+            R(F.sum("stop_hits") * 1.0 / nt).alias("corpus_stop_ratio"),
+            R(F.sum("n_chars") * 1.0 / nt).alias("corpus_word_len"),
+        )
+        .orderBy("source", "quality_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: argmax of marker-word hit counts vs the labeled
+# lang → confusion counts (deterministic tie-break by language code).
+# ---------------------------------------------------------------------------
+@register(
+    "text_langid_confusion",
+    sql=f"""
+    WITH hits AS (
+      SELECT lang AS actual_lang,
+             {', '.join(f'{_hits_sql(lg)} AS h_{lg}' for lg in _LANG_MARKERS)}
+      FROM documents),
+    pred AS (
+      SELECT actual_lang,
+             CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+                  WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+                  WHEN h_fr > h_en AND h_fr >= h_es THEN 'fr'
+                  WHEN h_es > h_en THEN 'es'
+                  ELSE 'en' END AS predicted_lang
+      FROM hits)
+    SELECT actual_lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    hits = t.documents.select(
+        F.col("lang").alias("actual_lang"),
+        *[_hits_spark(lg).alias(f"h_{lg}") for lg in _LANG_MARKERS],
+    )
+    h = {lg: F.col(f"h_{lg}") for lg in _LANG_MARKERS}
+    pred = hits.select(
+        "actual_lang",
+        F.when(
+            (h["en"] == 0) & (h["de"] == 0) & (h["fr"] == 0) & (h["es"] == 0), "unknown"
+        )
+        .when((h["de"] > h["en"]) & (h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when((h["fr"] > h["en"]) & (h["fr"] >= h["es"]), "fr")
+        .when(h["es"] > h["en"], "es")
+        .otherwise("en")
+        .alias("predicted_lang"),
+    )
+    return (
+        pred.groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: digest of the normalized text (lower, collapse
+# whitespace) — the id for downstream exact dedup / lineage.
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    sql="""
+    WITH fp AS (
+      SELECT lang, substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12)
+               AS fingerprint
+      FROM documents)
+    SELECT lang, count(*) AS n_docs, count(DISTINCT fingerprint) AS n_distinct_fps
+    FROM fp GROUP BY lang ORDER BY lang
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select(
+        "lang",
+        F.substring(
+            F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")), 1, 12
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.count_distinct("fingerprint").alias("n_distinct_fps"))
+        .orderBy("lang")
+    )

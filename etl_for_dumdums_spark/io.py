@@ -1,0 +1,114 @@
+"""Table IO: reads, layered writes, and MERGE upsert with schema evolution.
+
+Reproduces the reference's warehouse semantics (lib/bigquery.py:83-224) on
+plain Spark + Parquet:
+
+  * ``load_table``   — WRITE_TRUNCATE / WRITE_APPEND / WRITE_EMPTY
+    (lib/bigquery.py:83-125)
+  * ``merge_table``  — keyed MERGE upsert: WHEN MATCHED UPDATE all columns,
+    WHEN NOT MATCHED INSERT (lib/bigquery.py:128-224). Without Delta on the
+    classpath this is the join rewrite the survey recommends:
+    ``target.anti_join(source, pk) ∪ source`` written atomically
+    (write to a temp dir, then swap), preserving BigQuery MERGE's
+    all-or-nothing visibility.
+  * schema evolution — new columns in the incoming schema are appended to
+    the target with NULLs (lib/bigquery.py:175-183).
+
+At scale the anti-join shuffles on the primary key once; with a Delta/
+Iceberg sink the same API maps to a native MERGE INTO (import-gated).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # Delta is not on the classpath in this environment; gate it.
+    from delta.tables import DeltaTable  # type: ignore
+
+    _HAS_DELTA = True
+except ImportError:
+    _HAS_DELTA = False
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_table(
+    df: DataFrame, path: str, write_disposition: str = "WRITE_TRUNCATE"
+) -> None:
+    """Full-load semantics of the reference's load_table."""
+    if write_disposition == "WRITE_TRUNCATE":
+        mode = "overwrite"
+    elif write_disposition == "WRITE_APPEND":
+        mode = "append"
+    elif write_disposition == "WRITE_EMPTY":
+        mode = "error"
+    else:
+        raise ValueError(f"unknown write_disposition {write_disposition!r}")
+    df.write.mode(mode).parquet(path)
+
+
+def _evolve(target: DataFrame, source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Align schemas: add source-only columns to target (NULL) and
+    target-only columns to source (NULL) — BigQuery-style additive evolution."""
+    tcols = {f.name: f.dataType for f in target.schema.fields}
+    scols = {f.name: f.dataType for f in source.schema.fields}
+    for name, dtype in scols.items():
+        if name not in tcols:
+            target = target.withColumn(name, F.lit(None).cast(dtype))
+    for name, dtype in tcols.items():
+        if name not in scols:
+            source = source.withColumn(name, F.lit(None).cast(dtype))
+    # stable column order: target order, then new columns sorted
+    order = [f.name for f in target.schema.fields]
+    return target.select(order), source.select(order)
+
+
+def merge_table(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    primary_key: str,
+) -> None:
+    """Keyed upsert: rows in `source` replace same-key rows in the target;
+    unmatched rows are inserted. Falls back to a plain load when the target
+    doesn't exist (mirrors lib/bigquery.py:150-162).
+
+    `source` must be unique on `primary_key` (last-write-wins dedup is the
+    caller's staging concern, as in the reference's W1 dedup models).
+    """
+    target_path = Path(path)
+    if not target_path.exists():
+        load_table(source, path, "WRITE_TRUNCATE")
+        return
+
+    target = spark.read.parquet(path)
+    if _HAS_DELTA:  # pragma: no cover - not available in this environment
+        DeltaTable.forPath(spark, path).alias("t").merge(
+            source.alias("s"), f"t.{primary_key} = s.{primary_key}"
+        ).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        return
+
+    target, source = _evolve(target, source)
+    kept = target.join(source.select(primary_key), on=primary_key, how="left_anti")
+    merged = kept.unionByName(source)
+
+    # atomic swap: materialize to a sibling temp dir, then replace. The
+    # read must be fully materialized before the old dir is touched.
+    tmp = str(target_path.parent / f".{target_path.name}.tmp-{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(tmp)
+    backup = str(target_path) + ".bak"
+    shutil.move(str(target_path), backup)
+    try:
+        shutil.move(tmp, str(target_path))
+        shutil.rmtree(backup)
+    except Exception:
+        if not target_path.exists():
+            shutil.move(backup, str(target_path))
+        raise

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The container has no image/audio codecs, so the decode kernels are STUBS —
+``decode_image`` raises NotImplementedError unless a deterministic fake is
+requested — but everything Spark-side is real and tested: schemas, Arrow
+batch shapes, mapInPandas signatures, and partition-size control.
+
+Scale notes: binary payloads dominate partition size, so ``repartition`` by
+target bytes before the UDF (maxPartitionBytes alone under-splits mixed
+rows); metadata-only transforms must project the binary column away first
+so Parquet never materializes it (column pruning works per-column).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode an image payload to a feature vector.
+
+    STUB: real decoding needs PIL/opencv (not in this container). With
+    ``fake=True`` returns a deterministic 8-dim feature derived from the
+    payload digest — stable across runs and engines, so pipelines and tests
+    exercise the full Spark path with realistic shapes.
+    """
+    if not fake:
+        raise NotImplementedError("image codecs unavailable in this environment")
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches.
+
+    One pandas batch per Arrow chunk; the UDF touches payload bytes only —
+    no row-at-a-time Python. Swap ``decode_image`` for a real kernel (or an
+    ONNX session initialized once per partition) in production.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else None
+                    ),
+                    "digest": pdf["payload"].map(
+                        lambda p: hashlib.sha256(p).hexdigest()[:16] if p is not None else None
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda p: decode_image(p, fake=fake_decode) if p is not None else None
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_metadata_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — projects the binary column away so the
+    parquet scan never reads payload bytes (verify via ReadSchema)."""
+    return (
+        media.select("kind", "width", "height", "duration_ms")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.avg("width").alias("avg_width"),
+            F.avg("height").alias("avg_height"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+        )
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (the decode itself is the stubbed kernel). Demonstrates the
+    explode-then-decode shape that keeps frame extraction distributed."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))),
+        )
+        .select("media_id", "frame_ts_ms", "payload")
+    )

@@ -1,0 +1,70 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no true streaming engine — its "streams" are scheduled
+incremental batch syncs with lookback windows + MERGE upsert (SURVEY.md
+§2.13). This module exposes both halves of that mapping:
+
+  * ``incremental_batch_sync`` — Trigger.AvailableNow-style incremental
+    batch (the faithful equivalent of the reference's cron syncs);
+  * ``windowed_event_stream`` — a real Structured Streaming query with
+    watermarking + tumbling windows (the `posted_week` aggregation as a
+    stream), for engines that want live ingestion.
+
+Tests drive these with the memory sink + processAllAvailable().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    window: str = "1 week",
+    watermark: str = "3 days",
+    query_name: str = "events_windowed",
+) -> StreamingQuery:
+    """Tumbling-window count/sum over a parquet-backed stream.
+
+    Watermark bounds state for late data — the streaming twin of the
+    reference's trailing-lookback re-sync (CLAUDE.md:66-68): rows later
+    than the watermark are dropped instead of re-merged.
+    """
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def incremental_batch_sync(
+    spark: SparkSession,
+    source_df: DataFrame,
+    target_path: str,
+    primary_key: str,
+    lookback_filter=None,
+) -> None:
+    """The reference's actual 'streaming': re-read a trailing window and
+    MERGE by key (idempotent; duplicate arrivals collapse on the pk)."""
+    from ..io import merge_table
+
+    df = source_df.filter(lookback_filter) if lookback_filter is not None else source_df
+    merge_table(spark, df, target_path, primary_key)

@@ -1,0 +1,51 @@
+"""Catalog smoke tests at sf0.001 (the full oracle gate is
+tools/check_oracle.py at sf0.01; these just assert registration and that
+representative queries execute and return sane shapes quickly)."""
+
+import pytest
+
+from etl_for_dumdums_spark.catalog import ORACLE, QUERIES, load_all
+
+from .conftest import SF_SMOKE
+
+load_all()
+
+EXPECTED_FAMILIES = [
+    "agg_pricing_summary",
+    "filter_in_subquery",
+    "win_rolling_frames",
+    "join_full_outer",
+    "setop_native_rollup",
+    "reshape_pivot",
+    "stats_anova_f",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality_score",
+    "scalar_array_ops",
+]
+
+
+def test_catalog_registered():
+    assert len(QUERIES) >= 50
+    for name in EXPECTED_FAMILIES:
+        assert name in QUERIES, name
+    # every oracle has a query
+    assert set(ORACLE) <= set(QUERIES)
+    # the overwhelming majority of queries carry an oracle
+    assert len(ORACLE) >= len(QUERIES) - 5
+
+
+@pytest.mark.parametrize("name", ["agg_pricing_summary", "join_enrich_left", "win_top_n_per_group"])
+def test_representative_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) >= 2
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,96 @@
+import pytest
+from pyspark.sql import functions as F
+
+from etl_for_dumdums_spark.operators.enrich import (
+    MAX_CHARS,
+    categorize,
+    score_sentiment,
+    stub_scorer,
+)
+from etl_for_dumdums_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    media_metadata_stats,
+    sample_frames,
+    MEDIA_SCHEMA,
+)
+
+
+def test_stub_scorer_deterministic_and_bounded():
+    a = stub_scorer(["hello world", "spark"])
+    b = stub_scorer(["hello world", "spark"])
+    assert a == b
+    assert all(-1.0 <= s <= 1.0 for s in a)
+
+
+def test_categorize_thresholds():
+    assert categorize(0.3) == "positive"
+    assert categorize(-0.3) == "negative"
+    assert categorize(0.25) == "neutral"  # boundary is exclusive
+    assert categorize(-0.25) == "neutral"
+
+
+def test_score_sentiment_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 2000), (2, "short"), (3, None), (4, "a reasonably long comment text")],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in score_sentiment(df).collect()}
+    # short (<10 chars) and null → neutral 0.0
+    assert rows[2]["sentiment_score"] == 0.0 and rows[2]["sentiment_label"] == "NEUTRAL"
+    assert rows[3]["sentiment_score"] == 0.0
+    # long text scored on the truncated prefix
+    expected = stub_scorer(["x" * MAX_CHARS])[0]
+    assert rows[1]["sentiment_score"] == pytest.approx(expected)
+    assert rows[4]["sentiment_category"] in ("positive", "negative", "neutral")
+
+
+def test_score_sentiment_error_path(spark):
+    def broken(texts):
+        raise RuntimeError("api down")
+
+    df = spark.createDataFrame([(1, "some long enough text here")], ["id", "text"])
+    row = score_sentiment(df, scorer=broken).collect()[0]
+    assert row["sentiment_label"] == "ERROR"
+    assert row["sentiment_score"] == 0.0
+    assert row["sentiment_category"] == "neutral"
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", b"imgbytes-1", "image/png", 64, 48, None),
+        (2, "image", b"imgbytes-2", "image/png", 32, 32, None),
+        (3, "video", b"vidbytes", "video/mp4", 640, 480, 3500),
+        (4, "audio", None, "audio/wav", None, None, 2000),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_image_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
+    feat = decode_image(b"x", fake=True)
+    assert len(feat) == 8 and feat == decode_image(b"x", fake=True)
+
+
+def test_extract_features_shapes(spark):
+    out = extract_features(_media_df(spark)).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["payload_bytes"] == len(b"imgbytes-1")
+    assert len(by_id[1]["feature"]) == 8
+    assert by_id[4]["feature"] is None and by_id[4]["digest"] is None
+    # deterministic digest
+    assert by_id[2]["digest"] == extract_features(_media_df(spark)).collect()[1]["digest"]
+
+
+def test_media_metadata_stats_prunes_payload(spark):
+    df = media_metadata_stats(_media_df(spark))
+    rows = {r["kind"]: r for r in df.collect()}
+    assert rows["image"]["n_assets"] == 2
+    assert rows["video"]["total_duration_ms"] == 3500
+    assert "payload" not in df.columns
+
+
+def test_sample_frames_explodes_timestamps(spark):
+    frames = sample_frames(_media_df(spark), every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]

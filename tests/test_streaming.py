@@ -1,0 +1,44 @@
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_for_dumdums_spark.streaming import incremental_batch_sync, windowed_event_stream
+
+from .conftest import SF_SMOKE
+
+
+def test_windowed_event_stream_matches_batch(spark, tmp_path):
+    # stage the smoke events as a stream source dir (converting the nanos
+    # timestamp column so the stream schema is a plain timestamp)
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+    stream_dir = str(tmp_path / "events_stream")
+    src.write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    q = windowed_event_stream(spark, stream_dir, schema, query_name="t_stream")
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM t_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        src.groupBy(F.window("ts", "1 week").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    expected = {(str(r["win"]["start"]), r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_incremental_batch_sync_idempotent(spark, tmp_store):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    incremental_batch_sync(spark, df, tmp_store, "id")
+    incremental_batch_sync(spark, df, tmp_store, "id")  # overlapping window
+    assert spark.read.parquet(tmp_store).count() == 2
