@@ -24,6 +24,19 @@ HEADLINE = [
     "agg_pricing_summary",
     "agg_weekly_event_stats",
     "agg_conditional_distinct",
+    "filter_multi_dim",
+    "scalar_json_extract",
+    "win_rolling_frames",
+    "win_top_n_per_group",
+    "join_enrich_left",
+    "join_agg_then_left",
+    "join_cross_pattern",
+    "setop_native_rollup",
+    "reshape_pivot",
+    "stats_autocorr",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality_score",
 ]
 
 

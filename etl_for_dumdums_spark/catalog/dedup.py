@@ -122,6 +122,11 @@ def dedup_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _N_SIG = 8
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+# hot-bucket cap: buckets larger than this are boilerplate-like collisions
+# (near-identical token sets); joining them is O(bucket²) for no dedup value
+# beyond what any 2 representatives give. Production MinHash pipelines cap
+# or sample these; we cap identically in both engines.
+_MAX_BUCKET = 64
 
 
 @register(
@@ -135,14 +140,21 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
       FROM tok GROUP BY doc_id),
     bands AS (
       {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, md5(s{a} || s{b}) AS key FROM sig" for bi, (a, b) in enumerate(_BANDS))}),
+    small_bands AS (
+      SELECT doc_id, band, key,
+             count(*) OVER (PARTITION BY band, key) AS bucket_size
+      FROM bands QUALIFY bucket_size <= {_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM bands a JOIN bands b
+      FROM small_bands a JOIN small_bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
     SELECT (SELECT count(*) FROM cand) AS n_candidate_pairs,
            (SELECT count(DISTINCT d) FROM (SELECT da AS d FROM cand UNION SELECT db FROM cand))
              AS n_docs_flagged,
-           (SELECT count(*) FROM documents) AS n_docs
+           (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM (SELECT band, key FROM bands
+                                  GROUP BY band, key HAVING count(*) > {_MAX_BUCKET}))
+             AS n_hot_buckets_skipped
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -154,16 +166,28 @@ def dedup_minhash_lsh(spark, sf_dir):
             for i in range(_N_SIG)
         ]
     )
-    bands = None
-    for bi, (a, b) in enumerate(_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.md5(F.concat(F.col(f"s{a}"), F.col(f"s{b}"))).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    left = bands.alias("a")
-    right = bands.alias("b")
+    # one pass: explode an array of (band, key) structs instead of 4 unioned
+    # re-reads of the signature aggregation
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat(F.col(f"s{a}"), F.col(f"s{b}"))).alias("key"),
+            )
+            for bi, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # hot-bucket cap (see _MAX_BUCKET note): size each bucket once, join the
+    # size back, and only pair up docs inside small buckets
+    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_size"))
+    small = bands.join(
+        sizes.filter(F.col("bucket_size") <= _MAX_BUCKET), ["band", "key"], "inner"
+    ).select("doc_id", "band", "key")
+    left = small.alias("a")
+    right = small.alias("b")
     cand = (
         left.join(
             right,
@@ -175,10 +199,12 @@ def dedup_minhash_lsh(spark, sf_dir):
         .distinct()
     )
     flagged = cand.select(F.col("da").alias("d")).union(cand.select("db")).distinct()
+    hot = sizes.filter(F.col("bucket_size") > _MAX_BUCKET)
     return (
         cand.agg(F.count("*").alias("n_candidate_pairs"))
         .crossJoin(flagged.agg(F.count("*").alias("n_docs_flagged")))
         .crossJoin(t.documents.agg(F.count("*").alias("n_docs")))
+        .crossJoin(hot.agg(F.count("*").alias("n_hot_buckets_skipped")))
     )
 
 

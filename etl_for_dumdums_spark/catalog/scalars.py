@@ -124,6 +124,38 @@ def scalar_date_ops(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# JSON extraction from a string column (the events.props payload). The
+# reference flattens JSON in Python pre-load; engine-side extraction is the
+# Spark-native path (get_json_object stays in codegen).
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_json_extract",
+    sql=f"""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), {DP}) AS avg_k,
+           count_if(json_extract_string(props, '$.k') IS NULL) AS n_missing_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_json_extract(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            R(F.avg(k)).alias("avg_k"),
+            F.count_if(k.isNull()).alias("n_missing_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Math/conditional: round/abs/least/greatest/coalesce/nullif/safe_divide +
 # multi-branch CASE scoring (reference fct_oura_daily.sql:96-123,
 # fct_stock_prices.sql:26, fct_reviewer_activity.sql:98-101).

@@ -235,6 +235,84 @@ def win_centered_peak(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A13 — group total broadcast back to rows (pandas .transform('sum')) →
+# share-of-group via an unordered partition window
+# (reference pages/9_FDA_Food_Events.py:346).
+# ---------------------------------------------------------------------------
+@register(
+    "win_group_share",
+    sql=f"""
+    WITH shared AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             sum(c_acctbal) OVER (PARTITION BY c_mktsegment) AS segment_total
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(max(c_acctbal / segment_total) * 100, {DP}) AS max_share_pct,
+           round(min(segment_total), {DP}) AS segment_total
+    FROM shared GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def win_group_share(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment")
+    shared = t.customer.filter(F.col("c_acctbal") > 0).select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.sum("c_acctbal").over(w).alias("segment_total"),
+    )
+    return (
+        shared.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            R(F.max(F.col("c_acctbal") / F.col("segment_total")) * 100).alias("max_share_pct"),
+            R(F.min("segment_total")).alias("segment_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — best-record pick with a CASE expression in the ORDER BY
+# (reference stg_fda__food_events.sql:18-29: prefer 'Suspect' product rows).
+# ---------------------------------------------------------------------------
+@register(
+    "win_best_record_case_order",
+    sql="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CASE WHEN event_type = 'purchase' THEN 0
+                             WHEN event_type = 'signup'   THEN 1
+                             ELSE 2 END,
+                        ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT event_type AS best_event_type, count(*) AS n_users
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def win_best_record_case_order(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    preference = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(2)
+    )
+    w = W.partitionBy("user_id").orderBy(
+        preference, F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("best_event_type"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("best_event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # R5/R6 — first/last per group + normalize-to-baseline (index = 100)
 # (reference pages/10_Stock_Prices.py:176-189,266-279).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the scale-critical properties the engine
+relies on (pushdown, pruning, broadcast) hold in the optimized plans."""
+
+from pyspark.sql import functions as F
+
+from etl_for_dumdums_spark.catalog import QUERIES, load_all
+
+from .conftest import SF_SMOKE
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        F.col("o_orderkey") <= 1000
+    ).select("o_orderkey", "o_totalprice")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey,1000)" in plan
+
+
+def test_column_pruning_reads_only_projected(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(QUERIES["join_enrich_left"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no shuffle join for dims
+
+
+def test_semi_join_plan(spark):
+    plan = _plan(QUERIES["filter_in_subquery"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_flagship_has_mapside_combine_and_codegen(spark):
+    df = QUERIES["agg_pricing_summary"](spark, SF_SMOKE)
+    pre = _plan(df)
+    # partial aggregation before the shuffle — the property that keeps the
+    # reduce side tiny at any scale
+    assert "partial_sum" in pre
+    assert "PushedFilters" in pre
+    df.collect()  # finalize the adaptive plan
+    # '*(n)' prefixes mark WholeStageCodegen spans in the simple plan string
+    assert "*(" in _plan(df)
