@@ -99,6 +99,7 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 def load_all() -> None:
     """Import every catalog module so all queries register."""
     from . import (  # noqa: F401
+        advanced,
         aggregations,
         dedup,
         filters,

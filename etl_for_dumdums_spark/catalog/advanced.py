@@ -1,0 +1,192 @@
+"""Advanced composite operators: sessionization, as-of join, exact
+percentiles, and the Python-enrichment operator surfaced as a query.
+
+Sessionization and as-of are the two classic operators Spark lacks as
+primitives (pyspark guide §Common OLAP patterns); both are implemented the
+scalable way — a single ordered window per key, never a range self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+R = lambda c: F.round(c, DP)  # noqa: E731
+
+_GAP_S = 1800  # 30-minute session gap
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap>30min starts a new session (lag + running sum — one
+# shuffle on user_id, state bounded per user).
+# ---------------------------------------------------------------------------
+@register(
+    "win_sessionize",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second', lag(ts) OVER w, ts) > {_GAP_S}
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM ordered),
+    per_session AS (
+      SELECT user_id, session_idx, count(*) AS n_events
+      FROM sessions GROUP BY user_id, session_idx)
+    SELECT count(DISTINCT user_id)              AS n_users,
+           count(*)                             AS n_sessions,
+           round(avg(n_events), {DP})           AS avg_events_per_session,
+           max(n_events)                        AS max_session_events
+    FROM per_session
+    """,
+)
+def win_sessionize(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("timestamp").cast("long") - prev.cast("timestamp").cast("long")
+    ordered = t.events.select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | (gap > _GAP_S), 1).otherwise(0).alias("new_session"),
+    )
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    sessions = ordered.select("user_id", F.sum("new_session").over(wsum).alias("session_idx"))
+    per_session = sessions.groupBy("user_id", "session_idx").agg(F.count("*").alias("n_events"))
+    return per_session.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_sessions"),
+        R(F.avg("n_events")).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the latest strictly-preceding view
+# of the same user — implemented as one ordered window over the interleaved
+# stream (last_value IGNORE NULLS), not a range self-join. This is the
+# scalable as-of shape: cost = sort within user partitions.
+# ---------------------------------------------------------------------------
+@register(
+    "join_asof_prior_view",
+    sql=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+      FROM events),
+    purchases AS (
+      SELECT user_id, prior_view_ts,
+             date_diff('second', prior_view_ts, ts) AS gap_s
+      FROM tagged WHERE event_type = 'purchase')
+    SELECT count(*)                                  AS n_purchases,
+           count(prior_view_ts)                      AS n_matched,
+           round(avg(gap_s), {DP})                   AS avg_gap_s,
+           max(gap_s)                                AS max_gap_s
+    FROM purchases
+    """,
+)
+def join_asof_prior_view(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    tagged = t.events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(view_ts, ignorenulls=True).over(w).alias("prior_view_ts"),
+    )
+    gap = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.col("prior_view_ts").cast("timestamp").cast("long")
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase").select(
+        "prior_view_ts", gap.alias("gap_s")
+    )
+    return purchases.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("prior_view_ts").alias("n_matched"),
+        R(F.avg("gap_s")).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (linear interpolation — Spark `percentile` ≡ DuckDB
+# quantile_cont). The approximate path at 100 TB is percentile_approx /
+# t-digest; exact is the oracle-checkable baseline.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_percentiles",
+    sql=f"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), {DP})  AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), {DP})  AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), {DP}) AS p99_price,
+           round(max(l_extendedprice), {DP})                 AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            R(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50_price"),
+            R(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+            R(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99_price"),
+            R(F.max("l_extendedprice")).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — the sentiment-enrichment operator (mapInPandas + deterministic stub)
+# surfaced as a catalog query; the stub's md5 arithmetic is replicated in
+# SQL so even the Python path is oracle-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "enrich_sentiment_stub",
+    sql=f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN length(trim(substr(text, 1, 1000))) < 10 THEN 0.0
+                  ELSE ('0x' || substr(md5(substr(text, 1, 1000)), 1, 8))::BIGINT
+                       / 4294967295.0 * 2 - 1 END AS score
+      FROM documents),
+    cat AS (
+      SELECT lang, score,
+             CASE WHEN score > 0.25 THEN 'positive'
+                  WHEN score < -0.25 THEN 'negative'
+                  ELSE 'neutral' END AS sentiment_category
+      FROM scored)
+    SELECT lang, sentiment_category, count(*) AS n_docs,
+           round(avg(score), {DP}) AS avg_score
+    FROM cat GROUP BY lang, sentiment_category
+    ORDER BY lang, sentiment_category
+    """,
+)
+def enrich_sentiment_stub(spark, sf_dir):
+    from ..operators.enrich import score_sentiment
+
+    t = Tables(spark, sf_dir)
+    scored = score_sentiment(t.documents.select("lang", "text"), text_col="text")
+    return (
+        scored.groupBy("lang", "sentiment_category")
+        .agg(F.count("*").alias("n_docs"), R(F.avg("sentiment_score")).alias("avg_score"))
+        .orderBy("lang", "sentiment_category")
+    )

@@ -35,11 +35,13 @@ SENTIMENT_FIELDS = [
 
 def stub_scorer(texts: list[str]) -> list[float]:
     """Deterministic fake model: signed score in [-1, 1] from the text
-    digest. Stable across runs/engines — the test double for the real API."""
+    digest. Stable across runs/engines — the test double for the real API.
+    No rounding: the raw double is reproducible exactly in SQL as
+    ('0x' || substr(md5(text), 1, 8))::bigint / 4294967295.0 * 2 - 1."""
     out = []
     for text in texts:
         h = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "big")
-        out.append(round((h / 0xFFFFFFFF) * 2 - 1, 6))
+        out.append((h / 0xFFFFFFFF) * 2 - 1)
     return out
 
 
