@@ -74,6 +74,39 @@ def setop_union_distinct_spine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.7 — global top-k: multi-key sort with explicit NULL placement + limit
+# (reference pages/1_Linear_Issues.py:257-261 na_position='last';
+#  pages/10_Stock_Prices.py:225 nlargest). Top-k is a partial per-partition
+# TakeOrdered — no full sort at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "sort_topk_nulls_last",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           nullif(round(c_acctbal, 2), 0.0) AS balance
+    FROM customer
+    ORDER BY balance DESC NULLS LAST, c_mktsegment ASC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def sort_topk_nulls_last(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.nullif(F.round("c_acctbal", 2), F.lit(0.0)).alias("balance"),
+        )
+        .orderBy(
+            F.col("balance").desc_nulls_last(),
+            F.col("c_mktsegment").asc(),
+            F.col("c_custkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouping-sets redesign of U1 — native ROLLUP (the survey's recommended
 # re-expression; one shuffle instead of two scans).
 # ---------------------------------------------------------------------------

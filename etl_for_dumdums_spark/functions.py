@@ -75,3 +75,9 @@ def ts_diff_hours(end: Column, start: Column) -> Column:
 
 def rounded(col: Column, dp: int) -> Column:
     return F.round(col, dp)
+
+
+def scrub_nan(col: Column) -> Column:
+    """NaN → NULL for float columns (reference sources/stocks.py:149-169
+    clean_float/clean_int ingestion scrubbing)."""
+    return F.when(F.isnan(col), F.lit(None)).otherwise(col)

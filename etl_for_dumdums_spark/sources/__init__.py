@@ -99,6 +99,36 @@ class PaginatedRestSource(Source):
         return rows
 
 
+def throttled_detail_fetch(
+    keys: DataFrame,
+    fetch_fn,
+    out_schema,
+    key_col: str = "id",
+    delay_seconds: float = 0.0,
+):
+    """Per-key detail fetch with client-side rate limiting (S11: the
+    reference fetches per-PR details with a 50 ms delay,
+    sources/github.py:269-315). Distributed via mapInPandas: each partition
+    walks its keys serially with the delay, partitions run in parallel —
+    the Spark-native replacement for the reference's thread pool. fetch_fn
+    must be picklable (module-level or functools.partial).
+    """
+    import pandas as pd
+
+    def run(batches):
+        import time as _time
+
+        for pdf in batches:
+            rows = []
+            for key in pdf[key_col]:
+                rows.append(fetch_fn(key))
+                if delay_seconds:
+                    _time.sleep(delay_seconds)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return keys.mapInPandas(run, schema=out_schema)
+
+
 class ParquetSource(Source):
     """Warehouse-to-warehouse scan (reference sources/hacker_news.py:61-94):
     read a parquet table with pushdown filter + derived columns."""
