@@ -196,19 +196,27 @@ def join_full_outer(spark, sf_dir):
 )
 def join_cross_pattern(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    kw = spark.createDataFrame(
-        [
-            ("spark", r"\bspark\b"),
-            ("stream", r"\bstream\b"),
-            ("merge", r"\bmerge\b"),
-            ("vector", r"\bvector\b"),
-        ],
-        ["keyword", "pattern"],
+    # The pattern table is plan-time-known (an inline literal table in the
+    # reference), so expand it into literal rlike predicates: each regex
+    # compiles once and stays inside codegen, instead of a column-typed
+    # pattern that recompiles per row. Same cross-join semantics, one scan.
+    keywords = [
+        ("spark", r"\bspark\b"),
+        ("stream", r"\bstream\b"),
+        ("merge", r"\bmerge\b"),
+        ("vector", r"\bvector\b"),
+    ]
+    low = F.lower(F.col("text"))
+    matches = F.array(
+        *[
+            F.struct(F.lit(kw).alias("keyword"), low.rlike(pat).alias("matched"))
+            for kw, pat in keywords
+        ]
     )
     return (
-        t.documents.crossJoin(F.broadcast(kw))
-        .filter(F.expr("lower(text) rlike pattern"))
-        .groupBy("keyword")
+        t.documents.select("lang", F.explode(matches).alias("m"))
+        .filter(F.col("m.matched"))
+        .groupBy(F.col("m.keyword").alias("keyword"))
         .agg(F.count("*").alias("n_docs"), F.count_distinct("lang").alias("n_langs"))
         .orderBy("keyword")
     )
