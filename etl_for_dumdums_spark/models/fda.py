@@ -1,0 +1,179 @@
+"""FDA food models re-expressed: the reference's regex-categorization chain.
+
+  * ``stg_food_events`` — per-report dedup preferring the Suspect product
+    row (CASE in the window ORDER BY — stg_fda__food_events.sql:17-29),
+    gender normalization (fct_fda_events_by_gender.sql:21-27) and
+    coalesce(date_started, date_created) (sql:78).
+  * ``int_food_event_reactions`` — the array idiom: one regex flag per
+    symptom category, collected with array+filter, defaulting to ['Other']
+    (int_fda__food_event_reactions.sql:35-158).
+  * ``fct_events_by_reaction`` — explode + conditional distinct counts
+    (fct_fda_events_by_reaction.sql:18-40).
+  * ``int_recall_topics`` / ``fct_recalls_by_topic`` — topic regexes +
+    the hand-built UNION ALL rollup rows (int_fda__recall_topics.sql:28-77,
+    fct_fda_recalls_by_topic.sql:72-108).
+
+All regex matching is unanchored rlike on lowered text; the patterns use
+only the alternation/word subset that is identical in Java and RE2
+(SURVEY.md §7.4 dialect note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# symptom-category regexes (subset of the 36 in
+# int_fda__food_event_reactions.sql:35-79, same shapes)
+REACTION_CATEGORIES = [
+    ("Gastrointestinal", r"diarrh|vomit|nausea|stomach"),
+    ("Allergic", r"rash|hives|itch|anaphyla|swelling"),
+    ("Cardiac", r"heart|palpitat|chest pain"),
+    ("Neurological", r"headache|dizz|seizure|tremor"),
+    ("Respiratory", r"cough|breath|asthma|wheez"),
+    ("Fatigue", r"fatigue|tired|weak|letharg"),
+    ("Fever", r"fever|chills"),
+    ("Pain", r"pain|ache|cramp"),
+]
+
+# recall-topic regexes (subset of int_fda__recall_topics.sql:28-47)
+RECALL_TOPICS = [
+    ("listeria", r"listeria"),
+    ("salmonella", r"salmonella"),
+    ("e_coli", r"e\. ?coli|escherichia"),
+    ("undeclared_milk", r"undeclared milk|contains milk"),
+    ("undeclared_peanut", r"undeclared peanut|contains peanut"),
+    ("foreign_material", r"foreign material|metal|plastic|glass"),
+    ("mislabeling", r"mislabel|incorrect label|wrong label"),
+    ("temperature_abuse", r"temperature abuse|under-?process"),
+]
+PATHOGEN_TOPICS = ["listeria", "salmonella", "e_coli"]
+ALLERGEN_TOPICS = ["undeclared_milk", "undeclared_peanut"]
+
+
+def stg_food_events(raw: DataFrame) -> DataFrame:
+    """One row per report_number, preferring products_role='Suspect', then
+    latest date_created; normalized gender; coalesced start date."""
+    pref = F.when(F.col("products_role") == "Suspect", 0).otherwise(1)
+    w = W.partitionBy("report_number").orderBy(
+        pref, F.col("date_created").desc(), F.col("products_brand_name").asc_nulls_last()
+    )
+    gender = F.upper(F.trim(F.col("consumer_gender")))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn(
+            "gender",
+            F.when(gender.isin("F", "FEMALE"), "Female")
+            .when(gender.isin("M", "MALE"), "Male")
+            .otherwise("Unknown"),
+        )
+        .withColumn("event_date", F.coalesce(F.col("date_started"), F.col("date_created")))
+        .withColumn("event_year", F.year("event_date"))
+    )
+
+
+def _category_array(col, categories):
+    """array(select cat where regex matches) with filter-nulls + ['Other']
+    default — the reference's array construction idiom."""
+    low = F.lower(F.coalesce(col, F.lit("")))
+    flags = F.array_compact(
+        F.array(*[F.when(low.rlike(pat), F.lit(name)) for name, pat in categories])
+    )
+    return F.when(F.size(flags) == 0, F.array(F.lit("Other"))).otherwise(flags)
+
+
+def int_food_event_reactions(stg: DataFrame) -> DataFrame:
+    return stg.filter(F.col("reactions").isNotNull()).select(
+        "report_number",
+        "gender",
+        "outcomes",
+        "event_year",
+        _category_array(F.col("reactions"), REACTION_CATEGORIES).alias("reaction_categories"),
+    )
+
+
+def fct_events_by_reaction(int_reactions: DataFrame) -> DataFrame:
+    """Explode + per-category conditional distinct counts."""
+    exploded = int_reactions.select(
+        "report_number",
+        "outcomes",
+        "event_year",
+        F.explode("reaction_categories").alias("category"),
+    )
+    hosp = F.lower(F.coalesce(F.col("outcomes"), F.lit(""))).rlike("hospitalization")
+    return (
+        exploded.groupBy("category")
+        .agg(
+            F.count_distinct("report_number").alias("n_reports"),
+            F.count_distinct(F.when(hosp, F.col("report_number"))).alias("n_hospitalized"),
+            F.min("event_year").alias("first_year"),
+            F.max("event_year").alias("last_year"),
+        )
+        .orderBy("category")
+    )
+
+
+def fct_events_by_gender(stg: DataFrame) -> DataFrame:
+    """Gender split with pct-of-total and hospitalization ratios
+    (fct_fda_events_by_gender.sql:33-71)."""
+    hosp = F.lower(F.coalesce(F.col("outcomes"), F.lit(""))).rlike("hospitalization")
+    per = stg.groupBy("gender").agg(
+        F.count_distinct("report_number").alias("n_reports"),
+        F.count_distinct(F.when(hosp, F.col("report_number"))).alias("n_hospitalized"),
+    )
+    wtot = W.partitionBy()
+    return per.select(
+        "gender",
+        "n_reports",
+        "n_hospitalized",
+        F.round(F.col("n_reports") * 100.0 / F.sum("n_reports").over(wtot), 4).alias(
+            "pct_of_reports"
+        ),
+        F.round(F.col("n_hospitalized") * 100.0 / F.col("n_reports"), 4).alias("pct_hospitalized"),
+    ).orderBy("gender")
+
+
+def int_recall_topics(raw_recalls: DataFrame) -> DataFrame:
+    """US-only, non-'nan' recalls with their topic arrays
+    (stg_fda__recalls.sql:56-62 filters + int_fda__recall_topics.sql)."""
+    return raw_recalls.filter(
+        (F.col("country") == "United States") & (F.col("recall_number") != "nan")
+    ).select(
+        "recall_number",
+        "classification",
+        _category_array(F.col("reason_for_recall"), RECALL_TOPICS).alias("topics"),
+    )
+
+
+def fct_recalls_by_topic(int_topics: DataFrame) -> DataFrame:
+    """Per-topic counts ∪ 'Pathogen (Any)' ∪ 'Allergen (Any)' rollup rows —
+    the hand-built UNION ALL rollup (fct_fda_recalls_by_topic.sql:72-108)."""
+    exploded = int_topics.select(
+        "recall_number", "classification", F.explode("topics").alias("topic")
+    )
+    per_topic = exploded.groupBy("topic").agg(
+        F.count_distinct("recall_number").alias("n_recalls"),
+        F.count_distinct(
+            F.when(F.col("classification") == "Class I", F.col("recall_number"))
+        ).alias("n_class_i"),
+    )
+
+    def rollup_row(label, topics):
+        return (
+            exploded.filter(F.col("topic").isin(topics))
+            .agg(
+                F.count_distinct("recall_number").alias("n_recalls"),
+                F.count_distinct(
+                    F.when(F.col("classification") == "Class I", F.col("recall_number"))
+                ).alias("n_class_i"),
+            )
+            .select(F.lit(label).alias("topic"), "n_recalls", "n_class_i")
+        )
+
+    return (
+        per_topic.unionByName(rollup_row("Pathogen (Any)", PATHOGEN_TOPICS))
+        .unionByName(rollup_row("Allergen (Any)", ALLERGEN_TOPICS))
+        .orderBy("topic")
+    )

@@ -130,3 +130,97 @@ def gen_hn_comments(n: int = 300, seed: int = 13) -> list[dict]:
             dup["text"] = base["text"] + " edited"
             rows.append(dup)
     return rows
+
+
+_REACTION_STRINGS = [
+    "DIARRHOEA, VOMITING, NAUSEA",
+    "RASH",
+    "HIVES, ITCHING",
+    "HEADACHE, DIZZINESS",
+    "CHEST PAIN, PALPITATIONS",
+    "COUGH, DIFFICULTY BREATHING",
+    "FATIGUE, WEAKNESS",
+    "FEVER, CHILLS",
+    "ABDOMINAL PAIN, CRAMPS",
+    "MALAISE",          # -> Other... (no category term)
+    "OVARIAN CANCER",   # -> Other
+    None,
+]
+
+_OUTCOMES = ["Hospitalization", "Visited Emergency Room", "Death", "Other Outcome", None]
+_GENDERS = ["F", "Female", "M", "Male", "", None, "Unknown"]
+_INDUSTRIES = ["Bakery Prod/Dough/Mix/Icing", "Vit/Min/Prot/Unconv Diet(Human/Animal)", "Soft Drink/Water"]
+
+
+def gen_fda_events(n: int = 250, seed: int = 17) -> list[dict]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        report = f"R{2000 + i}"
+        created = dt.date(2018 + rng.randint(0, 5), rng.randint(1, 12), rng.randint(1, 28))
+        base = {
+            "report_number": report,
+            "reactions": rng.choice(_REACTION_STRINGS),
+            "outcomes": rng.choice(_OUTCOMES),
+            "products_brand_name": f"Brand{rng.randint(1, 40)}",
+            "products_industry_code": str(rng.randint(1, 60)),
+            "products_role": "Suspect",
+            "products_industry_name": rng.choice(_INDUSTRIES),
+            "date_created": created,
+            "date_started": None if rng.random() < 0.3 else created - dt.timedelta(days=rng.randint(0, 60)),
+            "consumer_gender": rng.choice(_GENDERS),
+            "consumer_age": round(rng.uniform(1, 90), 1),
+            "consumer_age_unit": "year(s)",
+        }
+        rows.append(base)
+        if rng.random() < 0.3:  # multi-product duplicate (Suspect-preferred dedup path)
+            dup = dict(base)
+            dup["products_role"] = "Concomitant"
+            dup["products_brand_name"] = f"Brand{rng.randint(41, 80)}"
+            rows.append(dup)
+    return rows
+
+
+_RECALL_REASONS = [
+    "Product may be contaminated with Listeria monocytogenes",
+    "Possible Salmonella contamination",
+    "Presence of E. coli O157:H7",
+    "Undeclared milk allergen",
+    "Product contains peanut not listed on label",
+    "Potential foreign material (metal fragments)",
+    "Mislabeled: incorrect label applied",
+    "Temperature abuse during storage",
+    "Product past expiration",  # -> Other
+]
+
+_STATES_US = ["CA", "NY", "TX", "IA", "WA"]
+
+
+def gen_fda_recalls(n: int = 200, seed: int = 19) -> list[dict]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        is_nan = rng.random() < 0.05
+        rows.append(
+            {
+                "recall_number": "nan" if is_nan else f"F-{3000 + i}",
+                "event_id": 90000 + i,
+                "classification": rng.choice(["Class I", "Class II", "Class III"]),
+                "status": rng.choice(["Ongoing", "Terminated", "Completed"]),
+                "voluntary_mandated": "Voluntary: Firm initiated",
+                "recalling_firm": f"Firm {rng.randint(1, 50)}",
+                "city": "Des Moines",
+                "state": rng.choice(_STATES_US + ["ON", "XX"]),
+                "country": rng.choice(["United States"] * 4 + ["Canada"]),
+                "postal_code": "50309",
+                "reason_for_recall": rng.choice(_RECALL_REASONS),
+                "product_description": "Ready-to-eat product",
+                "product_quantity": "1000 cases",
+                "distribution_pattern": "Nationwide",
+                "recall_initiation_date": dt.date(2019 + rng.randint(0, 4), rng.randint(1, 12), rng.randint(1, 28)),
+                "center_classification_date": None,
+                "report_date": None,
+                "termination_date": None,
+            }
+        )
+    return rows
