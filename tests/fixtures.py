@@ -224,3 +224,130 @@ def gen_fda_recalls(n: int = 200, seed: int = 19) -> list[dict]:
             }
         )
     return rows
+
+
+def gen_linear_github(seed: int = 23):
+    """Linear users/issues/cycles + GitHub users/PRs/reviews/comments with
+    overlapping emails (case-varied), parent issues, self-reviews, and PRs
+    without reviews."""
+    rng = random.Random(seed)
+    linear_users = [
+        {"id": f"lu{i}", "email": None if i % 7 == 0 else f"User{i}@Example.com",
+         "display_name": f"L User {i}" if i % 3 else None, "name": f"luser{i}", "active": True}
+        for i in range(20)
+    ]
+    github_users = [
+        {"id": f"gu{i}", "email": None if i % 5 == 0 else f"user{i}@example.com",
+         "login": f"gh{i}", "name": f"G User {i}", "avatar_url": "https://x"}
+        for i in range(8, 28)  # overlap ids 8..19 with linear
+    ]
+    cycles = [
+        {"id": f"cy{i}", "number": i, "name": f"Cycle {i}",
+         "starts_at": dt.datetime(2024, 1, 1) + dt.timedelta(days=14 * i),
+         "ends_at": dt.datetime(2024, 1, 15) + dt.timedelta(days=14 * i),
+         "team_name": "ENG"}
+        for i in range(6)
+    ]
+    issues = []
+    for i in range(120):
+        parent = f"li{rng.randint(0, 39)}" if i >= 40 and rng.random() < 0.25 else None
+        issues.append(
+            {"id": f"li{i}", "identifier": f"ENG-{i}", "title": f"Issue {i}",
+             "state": rng.choice(["Backlog", "In Progress", "Done"]),
+             "assignee_id": None if rng.random() < 0.2 else f"lu{rng.randint(0, 19)}",
+             "priority": rng.randint(0, 4), "estimate": rng.choice([None, 1.0, 2.0, 3.0, 5.0]),
+             "created_at": dt.datetime(2024, 1, 1) + dt.timedelta(hours=rng.randint(0, 2000)),
+             "updated_at": dt.datetime(2024, 4, 1), "project_name": "Core",
+             "labels": ["SDLC:NewStuff"] if rng.random() < 0.5 else [],
+             "cycle_id": None if rng.random() < 0.3 else f"cy{rng.randint(0, 5)}",
+             "parent_id": parent, "parent_identifier": None}
+        )
+    prs = [
+        {"id": f"pr{i}", "number": i, "repo": rng.choice(["app", "infra"]),
+         "title": f"PR {i}", "state": rng.choice(["open", "closed"]),
+         "merged": rng.random() < 0.6, "draft": rng.random() < 0.1,
+         "author_id": f"gu{rng.randint(8, 27)}",
+         "created_at": dt.datetime(2024, 2, 1) + dt.timedelta(hours=rng.randint(0, 1000)),
+         "updated_at": dt.datetime(2024, 4, 1), "merged_at": None, "closed_at": None,
+         "ready_for_review_at": None if rng.random() < 0.4
+             else dt.datetime(2024, 2, 1) + dt.timedelta(hours=rng.randint(0, 1000)),
+         "additions": rng.randint(0, 500), "deletions": rng.randint(0, 300),
+         "changed_files": rng.randint(1, 30)}
+        for i in range(60)
+    ]
+    reviews = []
+    comments = []
+    for i in range(150):
+        pr = prs[rng.randint(0, 59)]
+        author = pr["author_id"] if rng.random() < 0.1 else f"gu{rng.randint(8, 27)}"  # some self
+        reviews.append(
+            {"id": f"rv{i}", "pull_request_id": pr["id"], "repo": pr["repo"],
+             "author_id": author,
+             "state": rng.choice(["APPROVED", "CHANGES_REQUESTED", "COMMENTED"]),
+             "submitted_at": pr["created_at"] + dt.timedelta(hours=rng.randint(1, 200)),
+             "body": "lgtm"}
+        )
+    for i in range(200):
+        pr = prs[rng.randint(0, 59)]
+        comments.append(
+            {"id": f"cm{i}", "pull_request_id": pr["id"], "repo": pr["repo"],
+             "author_id": f"gu{rng.randint(8, 27)}",
+             "created_at": pr["created_at"] + dt.timedelta(hours=rng.randint(1, 300)),
+             "updated_at": None, "path": None, "body": "comment"}
+        )
+    return linear_users, github_users, cycles, issues, prs, reviews, comments
+
+
+def gen_oura(seed: int = 29):
+    rng = random.Random(seed)
+    start = dt.date(2024, 1, 1)
+    sleep, readiness, activity, sessions = [], [], [], []
+    for i in range(120):
+        day = start + dt.timedelta(days=i)
+        if rng.random() < 0.9:
+            sleep.append({"id": f"sl{i}", "day": day, "score": rng.randint(40, 100),
+                          **{f"contributor_{c}": rng.randint(40, 100) for c in
+                             ("deep_sleep", "efficiency", "latency", "rem_sleep",
+                              "restfulness", "timing", "total_sleep")}})
+        if rng.random() < 0.85:
+            readiness.append({"id": f"rd{i}", "day": day, "score": rng.randint(40, 100),
+                              "temperature_deviation": round(rng.uniform(-1.5, 1.5), 2),
+                              **{f"contributor_{c}": rng.randint(40, 100) for c in
+                                 ("activity_balance", "body_temperature", "hrv_balance",
+                                  "previous_day_activity", "previous_night", "recovery_index",
+                                  "resting_heart_rate", "sleep_balance")}})
+        n_act = rng.choice([0, 1, 1, 2])  # duplicate-day rows for dedup path
+        for j in range(n_act):
+            activity.append({"id": f"ac{i}_{j}", "day": day, "score": rng.randint(40, 100),
+                             "active_calories": rng.randint(100, 900),
+                             "total_calories": rng.randint(1800, 3200),
+                             "steps": rng.randint(1000, 20000),
+                             "equivalent_walking_distance": rng.randint(1000, 15000),
+                             "high_activity_time": rng.randint(0, 3600),
+                             "medium_activity_time": rng.randint(0, 7200),
+                             "low_activity_time": rng.randint(0, 20000),
+                             "sedentary_time": rng.randint(10000, 40000),
+                             "resting_time": rng.randint(20000, 40000),
+                             **{f"contributor_{c}": rng.randint(40, 100) for c in
+                                ("meet_daily_targets", "move_every_hour", "recovery_time",
+                                 "stay_active", "training_frequency", "training_volume")}})
+        for j, stype in enumerate(["long_sleep"] + (["nap"] if rng.random() < 0.3 else [])):
+            if rng.random() < 0.95:
+                sessions.append({"id": f"ss{i}_{j}", "day": day,
+                                 "bedtime_start": dt.datetime.combine(day, dt.time(23, 0)),
+                                 "bedtime_end": dt.datetime.combine(day + dt.timedelta(days=1), dt.time(7, 0)),
+                                 "sleep_type": stype,
+                                 "total_sleep_duration_seconds": rng.randint(1800, 30000),
+                                 "time_in_bed_seconds": rng.randint(20000, 34000),
+                                 "awake_time_seconds": rng.randint(600, 4000),
+                                 "light_sleep_duration_seconds": rng.randint(8000, 18000),
+                                 "deep_sleep_duration_seconds": rng.randint(2000, 8000),
+                                 "rem_sleep_duration_seconds": rng.randint(2000, 8000),
+                                 "latency_seconds": rng.randint(60, 1800),
+                                 "efficiency": rng.randint(60, 99),
+                                 "average_heart_rate": float(rng.randint(48, 70)),
+                                 "lowest_heart_rate": rng.randint(40, 60),
+                                 "average_hrv": rng.randint(20, 90),
+                                 "restless_periods": rng.randint(0, 40),
+                                 "average_breath": float(rng.randint(12, 18))})
+    return sleep, readiness, activity, sessions
