@@ -54,6 +54,15 @@ def load_table(
     df.write.mode(mode).parquet(path)
 
 
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite") -> None:
+    """Write a table hive-partitioned by derived period columns (the
+    reference derives posted_week/sale_month at ingest for exactly this —
+    SURVEY §4 'partition-friendly columns'). Readers filtering on the
+    partition column get directory-level pruning (PartitionFilters in the
+    scan, zero data read for pruned partitions)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def _evolve(target: DataFrame, source: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Align schemas: add source-only columns to target (NULL) and
     target-only columns to source (NULL) — BigQuery-style additive evolution."""

@@ -351,3 +351,59 @@ def gen_oura(seed: int = 29):
                                  "restless_periods": rng.randint(0, 40),
                                  "average_breath": float(rng.randint(12, 18))})
     return sleep, readiness, activity, sessions
+
+
+def gen_trends(n_days: int = 200, seed: int = 31) -> list[dict]:
+    """Contiguous daily interest series per keyword (lag-7/30 + centered
+    peak support)."""
+    rng = random.Random(seed)
+    rows = []
+    start = dt.date(2024, 1, 1)
+    for kw in ["python", "rust", "duckdb"]:
+        level = rng.randint(20, 60)
+        for i in range(n_days):
+            level = max(0, min(100, level + rng.randint(-8, 8)))
+            day = start + dt.timedelta(days=i)
+            rows.append(
+                {"id": f"{kw}_{day.isoformat()}_US", "keyword": kw, "date": day,
+                 "interest": level, "is_partial": False, "geo": "US",
+                 "fetched_at": dt.datetime(2024, 8, 1, 5, 0, 0)}
+            )
+    return rows
+
+
+_COUNTIES = ["POLK", "LINN", "SCOTT", None]
+_CATEGORIES = ["WHISKEY", "VODKA", "RUM", "TEQUILA"]
+_VENDORS = ["Acme Spirits", "Prairie Distribution", "Hawkeye Beverages"]
+_ITEMS = ["Old Oak 750ml", "Crystal Clear 1L", "Island Gold 750ml", "Agave Sun 375ml"]
+
+
+def gen_iowa_sales(n: int = 600, seed: int = 37) -> list[dict]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        day = dt.date(2023, 1, 1) + dt.timedelta(days=rng.randint(0, 540))
+        bottles = rng.randint(1, 48)
+        cost = round(rng.uniform(4, 30), 2)
+        rows.append(
+            {"invoice_and_item_number": f"INV-{100000 + i}",
+             "date": day,
+             "store_number": str(rng.randint(2000, 2020)),
+             "store_name": "Store", "address": "123 Main", "city": "Des Moines",
+             "zip_code": "50309", "county": rng.choice(_COUNTIES),
+             "category": str(rng.randint(101, 104)),
+             "category_name": rng.choice(_CATEGORIES),
+             "vendor_number": str(rng.randint(10, 12)),
+             "vendor_name": rng.choice(_VENDORS),
+             "item_number": str(rng.randint(500, 503)),
+             "item_description": rng.choice(_ITEMS),
+             "pack": 12, "bottle_volume_ml": 750, "bottles_sold": bottles,
+             "state_bottle_cost": cost,
+             "state_bottle_retail": round(cost * 1.5, 2),
+             "sale_dollars": round(cost * 1.5 * bottles, 2),
+             "volume_sold_liters": round(bottles * 0.75, 2),
+             "volume_sold_gallons": round(bottles * 0.198, 2),
+             "sale_month": day.replace(day=1),
+             "sale_year": day.year}
+        )
+    return rows
