@@ -62,10 +62,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         # best-of-2: first run pays one-off costs (footer cache, codegen),
-        # second measures the steady-state plan
-        timings[name] = round(min(run_once(name), run_once(name)), 3)
+        # second measures the steady-state plan. A failing query records -1
+        # instead of killing the whole bench line.
+        try:
+            timings[name] = round(min(run_once(name), run_once(name)), 3)
+        except Exception as exc:  # pragma: no cover
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
             {

@@ -197,6 +197,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
+        # three output branches read the candidate set; cache it so the
+        # band self-join (the expensive subtree) runs once, not per branch
+        .cache()
     )
     flagged = cand.select(F.col("da").alias("d")).union(cand.select("db")).distinct()
     hot = sizes.filter(F.col("bucket_size") > _MAX_BUCKET)
