@@ -164,6 +164,104 @@ def sim_lsh_bucketed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN: the first K vectors serve as fixed centroids (deterministic
+# stand-in for trained k-means); every vector is assigned to its nearest
+# centroid by exact integer squared-L2 (na + nb − 2·dot), and queries probe
+# only their own centroid's bucket. This is the inverted-file scale path:
+# search cost drops from O(n) to O(n/K) per query at some recall cost.
+# ---------------------------------------------------------------------------
+_N_CENTROIDS = 8
+_IVF_TOPK = 3
+
+
+@register(
+    "sim_ivf_topk",
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
+      FROM embeddings),
+    centroids AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM iv
+                  WHERE vec_id < {_N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, v, nrm, cid FROM (
+        SELECT iv.vec_id, iv.v, iv.nrm, c.cid,
+               row_number() OVER (PARTITION BY iv.vec_id
+                 ORDER BY iv.nrm + c.cnrm - 2 * {_DOT_SQL.format(a='iv.v', b='c.cv')}, c.cid)
+                 AS rnk
+        FROM iv CROSS JOIN centroids c)
+      WHERE rnk = 1),
+    queries AS (SELECT * FROM assigned WHERE vec_id % 100 = 7),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.cid AS bucket, a.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='q.v', b='a.v')} / sqrt(q.nrm * 1.0 * a.nrm), {DP})
+               AS cosine
+      FROM queries q JOIN assigned a
+        ON a.cid = q.cid AND a.vec_id != q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, bucket, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    from pyspark.sql import Window as W2
+
+    t = Tables(spark, sf_dir)
+    iv = t.embeddings.select(
+        "vec_id",
+        F.expr(_IVEC_SPARK).alias("v"),
+        F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
+    )
+    centroids = iv.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    crossed = iv.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        (
+            F.col("nrm") + F.col("cnrm") - 2 * F.expr(_DOT_SPARK.format(a="v", b="cv"))
+        ).alias("dist"),
+    )
+    wassign = W2.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        crossed.withColumn("rnk", F.row_number().over(wassign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    queries = assigned.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cid").alias("bucket"),
+    )
+    scored = queries.join(
+        assigned,
+        (F.col("cid") == F.col("bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qv", b="v"))
+            / F.sqrt(F.col("qnrm") * 1.0 * F.col("nrm")),
+            DP,
+        ).alias("cosine"),
+    )
+    wrank = W2.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "bucket", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup stats per label pair (dedup flavor of ANN).
 # ---------------------------------------------------------------------------
 @register(
