@@ -85,12 +85,21 @@ def _category_array(col, categories):
 
 
 def int_food_event_reactions(stg: DataFrame) -> DataFrame:
+    low = F.lower(F.coalesce(F.col("reactions"), F.lit("")))
+    flags = [
+        F.coalesce(low.rlike(pat), F.lit(False)).alias(f"has_{name.lower()}")
+        for name, pat in REACTION_CATEGORIES
+    ]
+    arr = _category_array(F.col("reactions"), REACTION_CATEGORIES)
     return stg.filter(F.col("reactions").isNotNull()).select(
         "report_number",
         "gender",
         "outcomes",
         "event_year",
-        _category_array(F.col("reactions"), REACTION_CATEGORIES).alias("reaction_categories"),
+        F.date_trunc("month", F.col("event_date")).cast("date").alias("event_month_start"),
+        arr.alias("reaction_categories"),
+        F.size(arr).alias("reaction_count"),
+        *flags,
     )
 
 
@@ -133,6 +142,93 @@ def fct_events_by_gender(stg: DataFrame) -> DataFrame:
         ),
         F.round(F.col("n_hospitalized") * 100.0 / F.col("n_reports"), 4).alias("pct_hospitalized"),
     ).orderBy("gender")
+
+
+def fct_events_monthly(int_reactions: DataFrame) -> DataFrame:
+    """Monthly event counts + per-category flag counts + severity +
+    demographics (fct_fda_events_monthly.sql:14-45)."""
+    out = F.lower(F.coalesce(F.col("outcomes"), F.lit("")))
+    return (
+        int_reactions.filter(F.col("event_month_start").isNotNull())
+        .groupBy(F.col("event_month_start").alias("month"))
+        .agg(
+            F.count_distinct("report_number").alias("event_count"),
+            *[
+                F.count_if(F.col(f"has_{name.lower()}")).alias(f"{name.lower()}_count")
+                for name, _ in REACTION_CATEGORIES
+            ],
+            F.count_distinct(
+                F.when(out.rlike("hospitalization"), F.col("report_number"))
+            ).alias("hospitalization_count"),
+            F.count_distinct(F.when(out.rlike("death"), F.col("report_number"))).alias(
+                "death_count"
+            ),
+            F.count_if(F.col("gender") == "Female").alias("female_count"),
+            F.count_if(F.col("gender") == "Male").alias("male_count"),
+            F.round(F.avg("reaction_count"), 2).alias("avg_reactions_per_event"),
+        )
+        .orderBy("month")
+    )
+
+
+def fct_events_by_product(stg: DataFrame, int_reactions: DataFrame) -> DataFrame:
+    """Per industry: report counts + the industry's top reaction category
+    via rank=1 window (fct_fda_events_by_product.sql:22-42)."""
+    base = stg.select("report_number", "products_industry_name").join(
+        int_reactions.select("report_number", F.explode("reaction_categories").alias("category")),
+        "report_number",
+    )
+    totals = stg.groupBy(F.col("products_industry_name").alias("industry")).agg(
+        F.count_distinct("report_number").alias("n_reports")
+    )
+    per_cat = base.groupBy(
+        F.col("products_industry_name").alias("industry"), "category"
+    ).agg(F.count_distinct("report_number").alias("n"))
+    w = W.partitionBy("industry").orderBy(F.col("n").desc(), F.col("category"))
+    top = (
+        per_cat.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("industry", F.col("category").alias("top_reaction"), F.col("n").alias("top_reaction_reports"))
+    )
+    return totals.join(top, "industry", "left").orderBy("industry")
+
+
+# inline state lookup (subset of the 56-element literal table at
+# fct_fda_recalls_by_state.sql:18-75)
+STATE_NAMES = [
+    ("CA", "California"),
+    ("NY", "New York"),
+    ("TX", "Texas"),
+    ("IA", "Iowa"),
+    ("WA", "Washington"),
+]
+
+
+def fct_recalls_by_state(raw_recalls: DataFrame, spark) -> DataFrame:
+    """US recalls per state joined to the inline literal name table with
+    per-classification countifs (fct_fda_recalls_by_state.sql:146-155)."""
+    lookup = spark.createDataFrame(STATE_NAMES, ["state_code", "state_name"])
+    base = raw_recalls.filter(
+        (F.col("country") == "United States") & (F.col("recall_number") != "nan")
+    )
+    per_state = base.groupBy("state").agg(
+        F.count_distinct("recall_number").alias("n_recalls"),
+        F.count_if(F.col("classification") == "Class I").alias("class_i_count"),
+        F.count_if(F.col("classification") == "Class II").alias("class_ii_count"),
+        F.count_if(F.col("classification") == "Class III").alias("class_iii_count"),
+    )
+    return (
+        per_state.join(F.broadcast(lookup), per_state.state == lookup.state_code, "left")
+        .select(
+            "state",
+            F.coalesce(F.col("state_name"), F.lit("Unknown")).alias("state_name"),
+            "n_recalls",
+            "class_i_count",
+            "class_ii_count",
+            "class_iii_count",
+        )
+        .orderBy("state")
+    )
 
 
 def int_recall_topics(raw_recalls: DataFrame) -> DataFrame:

@@ -114,6 +114,20 @@ def build_full_dag(
         def fct_hn_domain_stats(spark, raw_hn_stories):
             return hacker_news.fct_hn_domain_stats(raw_hn_stories)
 
+        @reg.model("int_hn_comment_keywords", deps=["stg_hn_comments"])
+        def int_hn_comment_keywords(spark, stg_hn_comments):
+            return hacker_news.int_hn_comment_keywords(stg_hn_comments)
+
+        @reg.model(
+            "int_hn_comment_sentiment", deps=["int_hn_comment_keywords", "stg_hn_comments"]
+        )
+        def int_hn_comment_sentiment(spark, int_hn_comment_keywords, stg_hn_comments):
+            return hacker_news.int_hn_comment_sentiment(int_hn_comment_keywords, stg_hn_comments)
+
+        @reg.model("fct_hn_keyword_sentiment", deps=["int_hn_comment_sentiment"])
+        def fct_hn_keyword_sentiment(spark, int_hn_comment_sentiment):
+            return hacker_news.fct_hn_keyword_sentiment(int_hn_comment_sentiment)
+
     # ---- stocks ----
     if "stock_prices" in available:
         raw("stock_prices")
@@ -188,6 +202,20 @@ def build_full_dag(
         @reg.model("fct_events_by_gender", deps=["stg_food_events"])
         def fct_events_by_gender(spark, stg_food_events):
             return fda.fct_events_by_gender(stg_food_events)
+
+        @reg.model("fct_events_monthly", deps=["int_food_event_reactions"])
+        def fct_events_monthly(spark, int_food_event_reactions):
+            return fda.fct_events_monthly(int_food_event_reactions)
+
+        @reg.model(
+            "fct_events_by_product", deps=["stg_food_events", "int_food_event_reactions"]
+        )
+        def fct_events_by_product(spark, stg_food_events, int_food_event_reactions):
+            return fda.fct_events_by_product(stg_food_events, int_food_event_reactions)
+
+        @reg.model("fct_recalls_by_state", deps=["raw_fda_recalls"])
+        def fct_recalls_by_state(spark, raw_fda_recalls):
+            return fda.fct_recalls_by_state(raw_fda_recalls, spark)
 
         @reg.model("int_recall_topics", deps=["raw_fda_recalls"])
         def int_recall_topics(spark, raw_fda_recalls):

@@ -74,6 +74,80 @@ def fct_hn_keyword_trends(raw_stories: DataFrame) -> DataFrame:
     )
 
 
+def int_hn_comment_keywords(stg_comments: DataFrame) -> DataFrame:
+    """Keyword hits in cleaned comment text (int_hn__comment_keywords.sql:93-96
+    re-expressed with plan-time literal patterns)."""
+    low = F.lower(F.col("clean_text"))
+    matches = F.array(
+        *[
+            F.struct(F.lit(k).alias("keyword"), low.rlike(p).alias("matched"))
+            for k, p in KEYWORDS
+        ]
+    )
+    return (
+        stg_comments.select(
+            F.col("id").alias("comment_id"), "story_id", "posted_day", F.explode(matches).alias("m")
+        )
+        .filter(F.col("m.matched"))
+        .select("comment_id", "story_id", "posted_day", F.col("m.keyword").alias("keyword"))
+    )
+
+
+def int_hn_comment_sentiment(
+    int_keywords: DataFrame, stg_comments: DataFrame
+) -> DataFrame:
+    """Attach sentiment to keyword hits (int_hn__comment_sentiment.sql:19-31);
+    magnitude = |score|."""
+    scored = stg_comments.select(
+        F.col("id").alias("comment_id"),
+        "sentiment_score",
+        "sentiment_category",
+    ).filter(F.col("sentiment_score").isNotNull())
+    return int_keywords.join(scored, "comment_id").select(
+        "comment_id",
+        "story_id",
+        "posted_day",
+        "keyword",
+        "sentiment_score",
+        F.abs(F.col("sentiment_score")).alias("sentiment_magnitude"),
+        "sentiment_category",
+    )
+
+
+def fct_hn_keyword_sentiment(int_sentiment: DataFrame) -> DataFrame:
+    """Daily per-keyword sentiment aggregates + day-over-day deltas
+    (fct_hn_keyword_sentiment.sql)."""
+    cat = F.col("sentiment_category")
+    daily = (
+        int_sentiment.filter(F.col("posted_day").isNotNull())
+        .groupBy("keyword", F.col("posted_day").alias("day"))
+        .agg(
+            F.count("*").alias("comment_count"),
+            F.count_distinct("story_id").alias("story_count"),
+            F.round(F.avg("sentiment_score"), 3).alias("avg_sentiment"),
+            F.round(F.stddev_samp("sentiment_score"), 3).alias("sentiment_stddev"),
+            F.round(F.avg("sentiment_magnitude"), 3).alias("avg_magnitude"),
+            F.round(F.lit(100.0) * F.count_if(cat == "positive") / F.count("*"), 1).alias(
+                "positive_pct"
+            ),
+            F.round(F.lit(100.0) * F.count_if(cat == "negative") / F.count("*"), 1).alias(
+                "negative_pct"
+            ),
+            F.round(F.lit(100.0) * F.count_if(cat == "neutral") / F.count("*"), 1).alias(
+                "neutral_pct"
+            ),
+            F.min("sentiment_score").alias("min_sentiment"),
+            F.max("sentiment_score").alias("max_sentiment"),
+        )
+    )
+    w = W.partitionBy("keyword").orderBy("day")
+    return daily.select(
+        "*",
+        (F.col("avg_sentiment") - F.lag("avg_sentiment").over(w)).alias("sentiment_dod_change"),
+        (F.col("positive_pct") - F.lag("positive_pct").over(w)).alias("positive_pct_dod_change"),
+    ).orderBy("keyword", "day")
+
+
 def fct_hn_domain_stats(raw_stories: DataFrame, min_stories: int = 3) -> DataFrame:
     """Weekly domain stats with the ≥N noise filter (fct_hn_domain_stats.sql:5-25)."""
     return (

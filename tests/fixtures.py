@@ -76,6 +76,11 @@ _COMMENT_TEXTS = [
     "short",
     "<a href='x'>link</a> only",
     "x" * 1200,  # truncation path
+    "python is wonderful for this",
+    "I rewrote it in <b>rust</b> last week",
+    "the AI hype is exhausting",
+    "GPT-4 surprised me here",
+    "our databases kept falling over",
 ]
 
 
@@ -118,11 +123,19 @@ def gen_hn_comments(n: int = 300, seed: int = 13) -> list[dict]:
             "text": rng.choice(_COMMENT_TEXTS),
             "posted_at": posted,
             "posted_month": posted.date().replace(day=1),
-            "sentiment_score": None,
+            # exact binary fractions (k/8) → cross-engine-exact aggregates;
+            # ~25% unscored (the reference's null-sentiment rows)
+            "sentiment_score": None if rng.random() < 0.25 else rng.randint(-8, 8) / 8,
             "sentiment_label": None,
             "sentiment_category": None,
             "posted_day": posted.date(),
         }
+        s = base["sentiment_score"]
+        if s is not None:
+            base["sentiment_label"] = "POSITIVE" if s >= 0 else "NEGATIVE"
+            base["sentiment_category"] = (
+                "positive" if s > 0.25 else "negative" if s < -0.25 else "neutral"
+            )
         rows.append(base)
         if rng.random() < 0.15:  # duplicate id from a later "sync batch" (W1 dedup path)
             dup = dict(base)

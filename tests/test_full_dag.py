@@ -69,7 +69,11 @@ def test_full_dag_builds_all_marts(spark, raw_paths, tmp_path):
         "fct_top_vendors",
         "fct_events_by_reaction",
         "fct_events_by_gender",
+        "fct_events_monthly",
+        "fct_events_by_product",
+        "fct_recalls_by_state",
         "fct_recalls_by_topic",
+        "fct_hn_keyword_sentiment",
     ]
     for m in marts:
         assert m in built, f"{m} missing from DAG build"
