@@ -125,6 +125,70 @@ def join_asof_prior_view(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Tumbling-window aggregation — the batch twin of the Structured Streaming
+# surface (streaming/__init__.py uses the identical F.window agg). Daily
+# windows are epoch-aligned == calendar-aligned, so the oracle is a plain
+# date_trunc.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_tumbling_daily",
+    sql=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), {DP}) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_daily(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), R(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("win.start").cast("date").alias("window_day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing under the oracle gate: opaque binary payloads (text
+# bytes as the stand-in) with byte-length + digest metadata — the
+# metadata-path of operators/multimodal.py expressed as a query.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_binary_stats",
+    sql="""
+    SELECT lang,
+           count(*) AS n_payloads,
+           sum(octet_length(encode(text))) AS total_bytes,
+           max(octet_length(encode(text))) AS max_bytes,
+           min(sha256(text)) AS first_digest
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def mm_binary_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    payload = F.col("text").cast("binary")
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum(F.octet_length(payload)).alias("total_bytes"),
+            F.max(F.octet_length(payload)).alias("max_bytes"),
+            F.min(F.sha2(F.col("text"), 256)).alias("first_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles (linear interpolation — Spark `percentile` ≡ DuckDB
 # quantile_cont). The approximate path at 100 TB is percentile_approx /
 # t-digest; exact is the oracle-checkable baseline.

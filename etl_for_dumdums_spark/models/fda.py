@@ -23,32 +23,87 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-# symptom-category regexes (subset of the 36 in
-# int_fda__food_event_reactions.sql:35-79, same shapes)
+# the full 36 symptom patterns from int_fda__food_event_reactions.sql:35-79,
+# grouped into the reference's category roll-ups; each category's combined
+# pattern is the alternation of its member patterns (≡ OR of the is_* flags)
+REACTION_ITEMS: dict[str, list[str]] = {
+    "Gastrointestinal": [
+        r"diarrhoea|diarrhea",
+        r"\bvomiting\b",
+        r"\bnausea\b",
+        r"abdominal\s*pain|stomach\s*pain",
+        r"dyspepsia|indigestion",
+        r"abdominal\s*distension|bloating",
+        r"\bconstipation\b",
+    ],
+    "Allergic": [
+        r"hypersensitivity|allergic\s*reaction",
+        r"\bpruritus\b|itching",
+        r"\brash\b",
+        r"\burticaria\b|hives",
+        r"anaphyla|anaphylactic",
+        r"\bswelling\b|oedema|edema|angioedema",
+    ],
+    "Respiratory": [
+        r"dyspnoea|dyspnea|shortness\s*of\s*breath|breathing\s*difficult",
+        r"\bchoking\b",
+        r"\bdysphagia\b|difficulty\s*swallowing",
+        r"\basthma\b|bronchospasm",
+        r"\bcough\b|wheezing",
+    ],
+    "Cardiovascular": [
+        r"blood\s*pressure\s*(increased|elevated|high)",
+        r"heart\s*rate\s*(increased|elevated)|tachycardia",
+        r"chest\s*pain",
+        r"\bpalpitations\b",
+        r"arrhythmia|irregular\s*heart",
+    ],
+    "Neurological": [
+        r"\bheadache\b",
+        r"\bdizziness\b|vertigo",
+        r"loss\s*of\s*consciousness|syncope|faint",
+        r"\btremor\b",
+        r"paraesthesia|paresthesia|tingling|numbness",
+        r"\bseizure\b|convulsion",
+    ],
+    "Systemic": [
+        r"\bmalaise\b",
+        r"\bfatigue\b|tiredness",
+        r"\basthenia\b|weakness",
+        r"\bpyrexia\b|\bfever\b",
+        r"\bchills\b",
+        r"\bdehydration\b",
+    ],
+}
+
 REACTION_CATEGORIES = [
-    ("Gastrointestinal", r"diarrh|vomit|nausea|stomach"),
-    ("Allergic", r"rash|hives|itch|anaphyla|swelling"),
-    ("Cardiac", r"heart|palpitat|chest pain"),
-    ("Neurological", r"headache|dizz|seizure|tremor"),
-    ("Respiratory", r"cough|breath|asthma|wheez"),
-    ("Fatigue", r"fatigue|tired|weak|letharg"),
-    ("Fever", r"fever|chills"),
-    ("Pain", r"pain|ache|cramp"),
+    (cat, "|".join(pats)) for cat, pats in REACTION_ITEMS.items()
 ]
 
-# recall-topic regexes (subset of int_fda__recall_topics.sql:28-47)
+# the full 16 recall-topic regexes from int_fda__recall_topics.sql:28-47
+_UNDECLARED = r"(undeclared|unlisted|undisclosed|not\s+declar|fail.*declar|without.*list|omitted)[\w\s,]*"
 RECALL_TOPICS = [
-    ("listeria", r"listeria"),
+    ("listeria", r"listeria|l\.\s*monocytogenes"),
     ("salmonella", r"salmonella"),
-    ("e_coli", r"e\. ?coli|escherichia"),
-    ("undeclared_milk", r"undeclared milk|contains milk"),
-    ("undeclared_peanut", r"undeclared peanut|contains peanut"),
-    ("foreign_material", r"foreign material|metal|plastic|glass"),
-    ("mislabeling", r"mislabel|incorrect label|wrong label"),
-    ("temperature_abuse", r"temperature abuse|under-?process"),
+    ("e_coli", r"e\.?\s*coli|escherichia"),
+    ("other_pathogen", r"clostridium|botulism|cronobacter|hepatitis|norovirus|cyclospora"),
+    ("milk", _UNDECLARED + r"\b(milk|dairy|cream|butter|cheese|lactose)\b|\bmilk\b.*allergen|allergen.*\bmilk\b"),
+    ("eggs", _UNDECLARED + r"\beggs?\b|\beggs?\b.*allergen|allergen.*\beggs?\b"),
+    ("peanuts", _UNDECLARED + r"\bpeanuts?\b|\bpeanuts?\b.*allergen|allergen.*\bpeanuts?\b"),
+    ("tree_nuts", _UNDECLARED + r"\b(almond|walnut|cashew|pecan|pistachio|hazelnut|macadamia|tree\s*nut)|\b(almond|walnut|cashew|pecan|pistachio).*allergen"),
+    ("wheat", _UNDECLARED + r"\b(wheat|gluten)\b|\b(wheat|gluten)\b.*allergen|allergen.*\b(wheat|gluten)\b"),
+    ("soy", _UNDECLARED + r"\bsoy(bean)?\b|\bsoy\b.*allergen|allergen.*\bsoy\b"),
+    ("fish", _UNDECLARED + r"\b(fish|anchov|cod|salmon|tuna|tilapia)\b"),
+    ("shellfish", _UNDECLARED + r"\b(shellfish|shrimp|crab|lobster|crustacean|crawfish|prawn)\b"),
+    ("sesame", _UNDECLARED + r"\bsesame\b|\bsesame\b.*allergen|allergen.*\bsesame\b"),
+    ("foreign_material", r"foreign\s*(material|object|matter|body)|plastic.*(piece|fragment|found|present)|metal.*(piece|fragment|shaving)|glass.*(piece|fragment)|wood.*(particle|chip|piece)"),
+    ("labeling", r"mislabel|misbranded|incorrect.*label|label.*incorrect|fail.*label|label.*fail|does not (include|declare|list)|not properly.*label"),
+    ("temperature", r"temperature\s*(abuse|excursion)|improper.*temperature|cold chain"),
 ]
-PATHOGEN_TOPICS = ["listeria", "salmonella", "e_coli"]
-ALLERGEN_TOPICS = ["undeclared_milk", "undeclared_peanut"]
+PATHOGEN_TOPICS = ["listeria", "salmonella", "e_coli", "other_pathogen"]
+ALLERGEN_TOPICS = [
+    "milk", "eggs", "peanuts", "tree_nuts", "wheat", "soy", "fish", "shellfish", "sesame",
+]
 
 
 def stg_food_events(raw: DataFrame) -> DataFrame:

@@ -198,8 +198,14 @@ _RECALL_REASONS = [
     "Product may be contaminated with Listeria monocytogenes",
     "Possible Salmonella contamination",
     "Presence of E. coli O157:H7",
+    "Potential Clostridium botulinum growth",
     "Undeclared milk allergen",
-    "Product contains peanut not listed on label",
+    "Product contains undeclared peanuts",
+    "Undeclared egg not listed on the label",
+    "Undeclared wheat and soy ingredients",
+    "Undeclared almond pieces",
+    "Undeclared shrimp in the seasoning mix",
+    "Undeclared sesame seeds",
     "Potential foreign material (metal fragments)",
     "Mislabeled: incorrect label applied",
     "Temperature abuse during storage",
