@@ -166,7 +166,7 @@ def stream_tumbling_daily(spark, sf_dir):
     sql="""
     SELECT lang,
            count(*) AS n_payloads,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            max(octet_length(encode(text))) AS max_bytes,
            min(sha256(text)) AS first_digest
     FROM documents

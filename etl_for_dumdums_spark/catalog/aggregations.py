@@ -104,8 +104,8 @@ def agg_weekly_event_stats(spark, sf_dir):
     sql=f"""
     SELECT o_orderpriority,
            count(*)                                        AS n_orders,
-           count_if(o_orderstatus = 'O')                   AS n_open,
-           count_if(o_orderstatus = 'F')                   AS n_finished,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT)   AS n_open,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT)   AS n_finished,
            round(100.0 * count_if(o_orderstatus = 'O') / count(*), {DP}) AS pct_open,
            round(sum(o_totalprice) / nullif(count_if(o_orderstatus = 'F'), 0), {DP}) AS price_per_finished
     FROM orders

@@ -51,9 +51,9 @@ def _tokens(df):
       SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
       FROM documents GROUP BY md5(text))
     SELECT count(*)                          AS n_distinct_texts,
-           sum(n_copies)                     AS n_docs,
-           sum(n_copies) - count(*)          AS n_dropped,
-           count_if(n_copies > 1)            AS n_dup_groups,
+           CAST(sum(n_copies) AS BIGINT)              AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) - count(*)   AS n_dropped,
+           CAST(count_if(n_copies > 1) AS BIGINT)     AS n_dup_groups,
            max(n_copies)                     AS max_group_size
     FROM grouped
     """,
@@ -86,9 +86,9 @@ def dedup_exact(spark, sf_dir):
       SELECT source, fingerprint, count(*) AS n FROM fp GROUP BY 1, 2)
     SELECT source,
            count(*)                AS n_fingerprints,
-           sum(n)                  AS n_docs,
-           count_if(n > 1)         AS n_dup_groups,
-           sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_docs_in_dup_groups
+           CAST(sum(n) AS BIGINT)          AS n_docs,
+           CAST(count_if(n > 1) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_dup_groups
     FROM grouped GROUP BY source ORDER BY source
     """,
 )
@@ -231,8 +231,8 @@ def _simhash_sql() -> str:
     hashed AS (SELECT doc_id, {val} AS simhash FROM votes),
     buckets AS (SELECT simhash, count(*) AS n FROM hashed GROUP BY simhash)
     SELECT count(*)                  AS n_buckets,
-           count_if(n > 1)           AS n_collision_buckets,
-           sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_docs_in_collisions,
+           CAST(count_if(n > 1) AS BIGINT) AS n_collision_buckets,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_collisions,
            max(n)                    AS max_bucket
     FROM buckets
     """

@@ -23,7 +23,7 @@ R = lambda c: F.round(c, DP)  # noqa: E731
 @register(
     "filter_guards",
     sql="""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE text IS NOT NULL AND text != ''
       AND coalesce(n_chars > 2000, FALSE) IS NOT TRUE   -- "deleted IS NOT TRUE" idiom

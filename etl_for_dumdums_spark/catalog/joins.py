@@ -102,9 +102,9 @@ def join_self_adjacent(spark, sf_dir):
       FROM lineitem GROUP BY l_orderkey)
     SELECT o.o_orderstatus,
            count(*) AS n_orders,
-           sum(coalesce(ls.n_lines, 0)) AS total_lines,
+           CAST(sum(coalesce(ls.n_lines, 0)) AS BIGINT) AS total_lines,
            round(sum(coalesce(ls.total_qty, 0)), {DP}) AS total_qty,
-           count_if(ls.l_orderkey IS NULL) AS n_lineless_orders
+           CAST(count_if(ls.l_orderkey IS NULL) AS BIGINT) AS n_lineless_orders
     FROM orders o
     LEFT JOIN line_stats ls ON o.o_orderkey = ls.l_orderkey
     GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
@@ -234,7 +234,7 @@ def join_cross_pattern(spark, sf_dir):
              (3, 'north', 1.2), (4, 'south', 0.8))
     SELECT m.hemisphere,
            count(*) AS n_nations,
-           round(sum(m.weight), {DP}) AS total_weight
+           CAST(round(sum(m.weight), {DP}) AS DOUBLE) AS total_weight
     FROM nation n
     LEFT JOIN region_meta m ON n.n_regionkey = m.r_regionkey
     GROUP BY m.hemisphere ORDER BY m.hemisphere

@@ -133,9 +133,9 @@ def scalar_date_ops(spark, sf_dir):
     sql=f"""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), {DP}) AS avg_k,
-           count_if(json_extract_string(props, '$.k') IS NULL) AS n_missing_k
+           CAST(count_if(json_extract_string(props, '$.k') IS NULL) AS BIGINT) AS n_missing_k
     FROM events
     GROUP BY event_type ORDER BY event_type
     """,
@@ -168,7 +168,12 @@ def scalar_json_extract(spark, sf_dir):
            least(c_acctbal, 5000.0)                        AS capped_bal,
            greatest(c_acctbal, 0.0)                        AS floored_bal,
            coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_recode,
-           round(c_acctbal / nullif(c_nationkey, 0), {DP}) AS bal_per_nation,
+           -- integer-exact ratio: rescale to cents, round-half-away in BIGINT
+           -- arithmetic, divide once at the edge (half-ulp-proof cross-engine)
+           (CASE WHEN c_nationkey = 0 THEN NULL
+                 ELSE (CASE WHEN c_acctbal < 0 THEN -1 ELSE 1 END)
+                      * ((abs(CAST(round(c_acctbal * 100) AS BIGINT)) * 200 + c_nationkey)
+                         // (2 * c_nationkey)) END) / 10000.0 AS bal_per_nation,
            CASE WHEN c_acctbal >= 7500 THEN 'platinum'
                 WHEN c_acctbal >= 5000 THEN 'gold'
                 WHEN c_acctbal >= 1000 THEN 'silver'
@@ -189,7 +194,20 @@ def scalar_math_conditional(spark, sf_dir):
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
             "segment_recode"
         ),
-        R(F.try_divide(bal, F.nullif(F.col("c_nationkey"), F.lit(0)))).alias("bal_per_nation"),
+        # integer-exact twin of the oracle: cents BIGINT, half-away rounding in
+        # integer space, one division at the output edge
+        (
+            F.when(F.col("c_nationkey") == 0, F.lit(None).cast("long")).otherwise(
+                F.when(bal < 0, -1)
+                .otherwise(1)
+                .cast("long")
+                * F.expr(
+                    "(abs(CAST(round(c_acctbal * 100) AS BIGINT)) * 200 + c_nationkey)"
+                    " DIV (2 * c_nationkey)"
+                )
+            )
+            / F.lit(10000.0)
+        ).alias("bal_per_nation"),
         F.when(bal >= 7500, "platinum")
         .when(bal >= 5000, "gold")
         .when(bal >= 1000, "silver")

@@ -124,7 +124,7 @@ def _bucket_spark(v: str) -> str:
              round({_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm), {DP}) AS cosine
       FROM iv a JOIN iv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT bucket, count(*) AS n_pairs,
-           count_if(cosine >= 0.2) AS n_similar,
+           CAST(count_if(cosine >= 0.2) AS BIGINT) AS n_similar,
            round(max(cosine), {DP}) AS max_cosine
     FROM pairs GROUP BY bucket
     HAVING count(*) >= 5

@@ -43,9 +43,9 @@ def _hits_spark(lang: str):
     sql=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_ws_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
            round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), {DP}) AS avg_ws_tokens,
-           sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS total_bpe_ish_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpe_ish_tokens,
            round(avg(n_chars * 1.0), {DP}) AS avg_chars
     FROM documents
     GROUP BY lang ORDER BY lang

@@ -212,7 +212,7 @@ def win_rolling_frames(spark, sf_dir):
                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
                   THEN 1 ELSE 0 END AS is_peak
       FROM daily)
-    SELECT o_orderpriority, sum(is_peak) AS n_peaks,
+    SELECT o_orderpriority, CAST(sum(is_peak) AS BIGINT) AS n_peaks,
            round(max(CASE WHEN is_peak = 1 THEN revenue END), {DP}) AS max_peak_revenue
     FROM flagged GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,

@@ -31,7 +31,10 @@ def norm_cell(v):
             return "NULL"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # 10 significant digits: catches half-ulp rounding divergences at the
+        # catalog's 4-dp output rounding (e.g. 610.7163 vs 610.7162) while
+        # still tolerating <1-ulp noise far below the rounded precision.
+        return f"{v:.10g}"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, datetime):
@@ -61,6 +64,67 @@ def normalize(cols, rows):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return [cols[i] for i in order], out
+
+
+def _spark_type_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_type_family(dt.elementType)}>"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return dt.simpleString()
+
+
+def _arrow_type_family(at) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_integer(at):
+        return "int"
+    if pt.is_floating(at):
+        return "float"
+    if pt.is_decimal(at):
+        return f"decimal({at.precision},{at.scale})"
+    if pt.is_boolean(at):
+        return "bool"
+    if pt.is_string(at) or pt.is_large_string(at):
+        return "str"
+    if pt.is_date(at):
+        return "date"
+    if pt.is_timestamp(at):
+        return "timestamp"
+    if pt.is_list(at) or pt.is_large_list(at):
+        return f"list<{_arrow_type_family(at.value_type)}>"
+    if pt.is_binary(at) or pt.is_large_binary(at):
+        return "binary"
+    return str(at)
+
+
+def type_mismatches(sdf_schema, arrow_schema) -> list[str]:
+    """Driver-style strict type check: the driver's value hash is type-sensitive
+    (DuckDB HUGEINT/decimal128(38,0) vs Spark int64 hash-mismatches even when
+    values are equal), so flag any column whose type *family* differs."""
+    sfam = {f.name: _spark_type_family(f.dataType) for f in sdf_schema.fields}
+    dfam = {f.name: _arrow_type_family(f.type) for f in arrow_schema}
+    out = []
+    for name in sfam:
+        if name in dfam and sfam[name] != dfam[name]:
+            out.append(f"{name}: spark={sfam[name]} duckdb={dfam[name]}")
+    return out
 
 
 def main():
@@ -96,9 +160,9 @@ def main():
             n_skip += 1
             continue
         try:
-            res = con.execute(ORACLE[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atab = con.execute(ORACLE[name]).arrow()
+            dcols = atab.column_names
+            drows = [tuple(d[c] for c in dcols) for d in atab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
@@ -109,6 +173,11 @@ def main():
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"schema: spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            tmis = type_mismatches(sdf.schema, atab.schema)
+            if tmis:
+                ok = False
+                msgs.append("type-strict: " + "; ".join(tmis))
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount: spark={len(srows)} duckdb={len(drows)}")
