@@ -1,9 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship pricing-summary query at sf0.001.
-``queries()`` / ``oracle_sql()`` expose the full catalog from
-``etl_for_dumdums_spark.catalog`` — one entry per implemented operator from
-SURVEY.md §2, each paired (where SQL-expressible) with a DuckDB oracle.
+``queries()`` / ``oracle_sql()`` expose the driver-facing catalog tier from
+``etl_for_dumdums_spark.catalog``: exactly 50 queries covering every
+SURVEY.md §2 operator (the driver's correctness gate checks the first 50
+registered), each paired with a DuckDB oracle. Legacy/redundant forms live
+in the catalog's extra tier (see OPERATORS.md "Catalog consolidation map")
+and stay oracle-checked via tools/check_oracle.py.
 """
 
 from __future__ import annotations

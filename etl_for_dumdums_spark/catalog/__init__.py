@@ -23,8 +23,17 @@ from pyspark.sql import functions as F
 # float rounding applied on BOTH the Spark and DuckDB side before comparison
 ROUND_DP = 4
 
+# Driver-facing catalog: the driver's correctness gate checks the FIRST 50
+# registered queries, so QUERIES holds exactly the consolidated 50 that cover
+# every SURVEY §2 operator (see OPERATORS.md "Catalog consolidation map").
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+
+# Extra tier: legacy/redundant forms kept fully runnable and oracle-checked
+# locally (tools/check_oracle.py --extra, pytest) but not driver-registered —
+# their operators are covered by a consolidated QUERIES entry.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLE: dict[str, str] = {}
 
 TABLE_NAMES = (
     "region",
@@ -40,13 +49,15 @@ TABLE_NAMES = (
 )
 
 
-def register(name: str, sql: Optional[str] = None):
-    """Register a catalog query; ``sql`` is the DuckDB oracle (None → rows-only check)."""
+def register(name: str, sql: Optional[str] = None, extra: bool = False):
+    """Register a catalog query; ``sql`` is the DuckDB oracle (None → rows-only
+    check); ``extra=True`` keeps it out of the driver-facing 50 (see above)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        queries, oracle = (EXTRA_QUERIES, EXTRA_ORACLE) if extra else (QUERIES, ORACLE)
+        queries[name] = fn
         if sql is not None:
-            ORACLE[name] = sql
+            oracle[name] = sql
         return fn
 
     return deco
@@ -97,18 +108,21 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def load_all() -> None:
-    """Import every catalog module so all queries register."""
+    """Import every catalog module so all queries register.
+
+    Import order sets driver check order: the families that were unverified
+    in round 1 (windows, stats, text, similarity) register first."""
     from . import (  # noqa: F401
+        windows,
+        stats,
+        textops,
+        similarity,
+        dedup,
         advanced,
         aggregations,
-        dedup,
         filters,
         joins,
         reshape,
         scalars,
         setops,
-        similarity,
-        stats,
-        textops,
-        windows,
     )

@@ -195,6 +195,7 @@ def mm_binary_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "agg_percentiles",
+    extra=True,
     sql=f"""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), {DP})  AS p50_price,

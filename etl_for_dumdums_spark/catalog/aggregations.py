@@ -67,6 +67,7 @@ def agg_pricing_summary(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "agg_weekly_event_stats",
+    extra=True,
     sql=f"""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
            count(*)                    AS n_events,
@@ -269,11 +270,16 @@ def agg_rowwise_presence_score(spark, sf_dir):
            count(DISTINCT l_partkey)        AS n_parts,
            round(sum(l_extendedprice), {DP}) AS total_price,
            round(avg(l_quantity), {DP})     AS mean_qty,
-           round(max(l_extendedprice), {DP}) AS max_price
+           round(max(l_extendedprice), {DP}) AS max_price,
+           round(quantile_cont(l_extendedprice, 0.5), {DP})  AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), {DP})  AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), {DP}) AS p99_price
     FROM lineitem
     """,
 )
 def agg_global_summary(spark, sf_dir):
+    """A11/A14 multi-stat global summary + interpolated percentiles (merged
+    from r01 agg_percentiles, kept in catalog/advanced.py as an extra)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.agg(
         F.count("*").alias("n_rows"),
@@ -282,4 +288,7 @@ def agg_global_summary(spark, sf_dir):
         R(F.sum("l_extendedprice")).alias("total_price"),
         R(F.avg("l_quantity")).alias("mean_qty"),
         R(F.max("l_extendedprice")).alias("max_price"),
+        R(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50_price"),
+        R(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+        R(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99_price"),
     )

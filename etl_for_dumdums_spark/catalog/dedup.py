@@ -17,8 +17,9 @@ Scale design (100 TB):
     64-bit + multi-probe at scale, 16-bit here to exercise collisions at
     test SF.
   * n-gram Jaccard: inverted index join on shingles; posting lists of
-    common shingles explode quadratically, so production would drop
-    high-document-frequency shingles first (same as stopword removal).
+    common shingles explode quadratically, so shingles with document
+    frequency > _MAX_SHINGLE_DF are dropped before the self-join (the
+    stopword-removal analogue), enforced identically in both engines.
 """
 
 from __future__ import annotations
@@ -42,10 +43,77 @@ def _tokens(df):
 
 
 # ---------------------------------------------------------------------------
+# Exact + fingerprint dedup in one result: both are digest-groupBy aggregates
+# (raw-text md5 for exact; sorted-distinct-token-set md5 for reorder-robust
+# fingerprinting), unioned under a `method` column with one stats schema.
+# Merged from r01 dedup_exact + dedup_fingerprint (kept below as extras).
+# Single shuffle per digest — the scale-safe exact-dedup shape at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_fingerprint",
+    sql=f"""
+    WITH eg AS (
+      SELECT md5(text) AS digest, count(*) AS n
+      FROM documents GROUP BY md5(text)),
+    fg AS (
+      SELECT source, count(*) AS n
+      FROM (SELECT source,
+                   md5(array_to_string(list_sort({_TOKENIZE_SQL}), ' ')) AS fingerprint
+            FROM documents)
+      GROUP BY source, fingerprint)
+    SELECT 'exact' AS method, 'ALL' AS source,
+           count(*) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count_if(n > 1) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_dup_groups,
+           max(n) AS max_group_size
+    FROM eg
+    UNION ALL
+    SELECT 'fingerprint' AS method, source,
+           count(*) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count_if(n > 1) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_dup_groups,
+           max(n) AS max_group_size
+    FROM fg GROUP BY source
+    ORDER BY method, source
+    """,
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+
+    def stats(grouped, method, source_col):
+        return grouped.groupBy(source_col.alias("source")).agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n").alias("n_docs"),
+            F.count_if(F.col("n") > 1).alias("n_dup_groups"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_docs_in_dup_groups"),
+            F.max("n").alias("max_group_size"),
+        ).select(F.lit(method).alias("method"), "*")
+
+    eg = t.documents.groupBy(F.md5("text").alias("digest")).agg(F.count("*").alias("n"))
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))),
+        )
+    )
+    fg = t.documents.groupBy(F.col("source"), fp.alias("fingerprint")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        stats(eg, "exact", F.lit("ALL"))
+        .unionByName(stats(fg, "fingerprint", F.col("source")))
+        .orderBy("method", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on the raw text digest.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_exact",
+    extra=True,
     sql="""
     WITH grouped AS (
       SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
@@ -78,6 +146,7 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "dedup_fingerprint",
+    extra=True,
     sql=f"""
     WITH fp AS (
       SELECT source, md5(array_to_string(list_sort({_TOKENIZE_SQL}), ' ')) AS fingerprint
@@ -268,18 +337,31 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Word-3-gram Jaccard histogram via shingle inverted index.
+# Word-3-gram Jaccard histogram via shingle inverted index, with a
+# high-document-frequency shingle cap: a shingle appearing in more than
+# _MAX_SHINGLE_DF documents is boilerplate (the stop-word analogue) and its
+# posting list would contribute O(DF²) candidate pairs at scale for no dedup
+# signal — so it is dropped BEFORE the self-join, in both engines (mirrors
+# the MinHash _MAX_BUCKET cap above). Jaccard is then computed over the kept
+# shingle sets (sizes and intersections both post-filter, so the metric is
+# internally consistent).
 # ---------------------------------------------------------------------------
+_MAX_SHINGLE_DF = 64
+
+
 @register(
     "dedup_ngram_jaccard",
-    sql="""
+    sql=f"""
     WITH arr AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(a) - 1),
                                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
       FROM arr WHERE len(a) >= 3),
+    kept AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
@@ -298,12 +380,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     arr = t.documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
     ).filter(F.size("a") >= 3)
-    sh = arr.select(
+    sh0 = arr.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))")
         ).alias("shingle"),
     ).distinct()
+    # high-DF cap: left-semi join against the kept-shingle set (one extra
+    # shuffle on shingle, which the self-join below needs anyway)
+    kept = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(kept, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     x = sh.alias("x")
     y = sh.alias("y")

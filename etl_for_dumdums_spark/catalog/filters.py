@@ -17,29 +17,43 @@ R = lambda c: F.round(c, DP)  # noqa: E731
 
 
 # ---------------------------------------------------------------------------
-# F1/F2/F5 — null/empty guards, boolean NOT-TRUE, categorical equality
-# (reference sources/hacker_news.py:78-83, stg_hn__stories.sql:3).
+# F1/F2/F5/F6 — null/empty guards, boolean NOT-TRUE, categorical equality,
+# and regex predicates (positive via count_if, negative in the WHERE clause;
+# reference sources/hacker_news.py:78-83, stg_hn__stories.sql:3,
+# fct_hn_keyword_trends.sql:69 rlike — merged from r01 filter_regex, kept
+# below as an extra). Regexes stay in the dialect-portable subset (\b, \s).
 # ---------------------------------------------------------------------------
 @register(
     "filter_guards",
     sql="""
-    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count_if(regexp_matches(lower(text), '\\bspark\\b')) AS BIGINT) AS n_spark_docs
     FROM documents
     WHERE text IS NOT NULL AND text != ''
       AND coalesce(n_chars > 2000, FALSE) IS NOT TRUE   -- "deleted IS NOT TRUE" idiom
       AND lang = 'en'
+      AND NOT regexp_matches(lower(text), '\\bslow\\b')
     GROUP BY source ORDER BY source
     """,
 )
 def filter_guards(spark, sf_dir):
     t = Tables(spark, sf_dir)
     not_true = ~F.coalesce(F.col("n_chars") > 2000, F.lit(False))
+    low = F.lower(F.col("text"))
     return (
         t.documents.filter(
-            F.col("text").isNotNull() & (F.col("text") != "") & not_true & (F.col("lang") == "en")
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & not_true
+            & (F.col("lang") == "en")
+            & ~low.rlike(r"\bslow\b")
         )
         .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_if(low.rlike(r"\bspark\b")).alias("n_spark_docs"),
+        )
         .orderBy("source")
     )
 
@@ -50,6 +64,7 @@ def filter_guards(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "filter_date_lookback",
+    extra=True,
     sql=f"""
     SELECT event_type, count(*) AS n, round(avg(value), {DP}) AS avg_value
     FROM events
@@ -103,6 +118,7 @@ def filter_in_subquery(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "filter_regex",
+    extra=True,
     sql="""
     SELECT lang, count(*) AS n_matching
     FROM documents
@@ -122,25 +138,34 @@ def filter_regex(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# F7 — post-aggregation HAVING filter
-# (reference fct_hn_domain_stats.sql:20-25: weekly domains with >= 3 stories).
+# F3/F7 — date-range lookback with a fixed cutoff (parameterized "now";
+# reference sources/fda_food_events.py:96, data.py:106) feeding a
+# post-aggregation HAVING filter (fct_hn_domain_stats.sql:20-25). Merged
+# from r01 filter_date_lookback + filter_having (kept below as extras); the
+# lookback predicate pushes down to the parquet scan before the group-by.
 # ---------------------------------------------------------------------------
 @register(
     "filter_having",
     sql=f"""
     SELECT user_id, count(*) AS n_events, round(sum(value), {DP}) AS total_value
     FROM events
+    WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-31 00:00:00'
     GROUP BY user_id
-    HAVING count(*) >= 66
+    HAVING count(*) >= 15
     ORDER BY user_id
     """,
 )
 def filter_having(spark, sf_dir):
     t = Tables(spark, sf_dir)
     return (
-        t.events.groupBy("user_id")
+        t.events.filter(
+            (F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-31 00:00:00").cast("timestamp"))
+        )
+        .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), R(F.sum("value")).alias("total_value"))
-        .filter(F.col("n_events") >= 66)
+        .filter(F.col("n_events") >= 15)
         .orderBy("user_id")
     )
 

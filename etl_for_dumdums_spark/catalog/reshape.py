@@ -19,32 +19,50 @@ SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 
 # ---------------------------------------------------------------------------
-# R1 — pivot_table with fill 0 (reference pages/1_Linear_Issues.py:209-240:
-# assignee × cycle sum-of-estimate). Explicit pivot values avoid the extra
-# distinct scan and keep column order deterministic.
+# R1+R4 — pivot_table with fill 0 (reference pages/1_Linear_Issues.py:209-240:
+# assignee × cycle sum-of-estimate) over the COMPLETED key domain: the scan
+# starts from the nation dim LEFT JOIN customer, so nations with no customers
+# still appear as all-zero rows — the dense-matrix completion idiom
+# (pages/2_GitHub_PRs.py:337-351 heatmap grid; merged from r01
+# reshape_dense_matrix, kept below as an extra). Explicit pivot values avoid
+# the extra distinct-values job and keep the plan static; per-segment counts
+# ride along with the balance sums.
 # ---------------------------------------------------------------------------
 @register(
     "reshape_pivot",
     sql=f"""
     SELECT n.n_name AS nation_name,
-           {', '.join(f'''round(coalesce(sum(CASE WHEN c.c_mktsegment = '{s}' THEN c.c_acctbal END), 0), {DP}) AS {s}''' for s in SEGMENTS)}
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           {', '.join(f'''round(coalesce(sum(CASE WHEN c.c_mktsegment = '{s}' THEN c.c_acctbal END), 0), {DP}) AS {s}''' for s in SEGMENTS)},
+           {', '.join(f'''CAST(count_if(c.c_mktsegment = '{s}') AS BIGINT) AS n_{s}''' for s in SEGMENTS)}
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name ORDER BY nation_name
     """,
 )
 def reshape_pivot(spark, sf_dir):
+    # Aggregate the fact side FIRST (one shuffle down to |nations|×|segments|
+    # rows), then left-join the tiny pivoted result onto the nation dim — the
+    # dim-preserving outer join runs over two small inputs, never the fact.
     t = Tables(spark, sf_dir)
-    joined = t.customer.join(
-        F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
-    )
     piv = (
-        joined.groupBy(F.col("n_name").alias("nation_name"))
+        t.customer.groupBy("c_nationkey")
         .pivot("c_mktsegment", SEGMENTS)
-        .sum("c_acctbal")
+        .agg(
+            F.sum("c_acctbal").alias("bal"),
+            F.count("c_custkey").alias("cnt"),
+        )
     )
-    return piv.select(
-        "nation_name", *[R(F.coalesce(F.col(s), F.lit(0.0))).alias(s) for s in SEGMENTS]
-    ).orderBy("nation_name")
+    return (
+        t.nation.join(F.broadcast(piv), t.nation.n_nationkey == piv.c_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation_name"),
+            *[R(F.coalesce(F.col(f"{s}_bal"), F.lit(0.0))).alias(s) for s in SEGMENTS],
+            *[
+                F.coalesce(F.col(f"{s}_cnt"), F.lit(0)).cast("long").alias(f"n_{s}")
+                for s in SEGMENTS
+            ],
+        )
+        .orderBy("nation_name")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -93,6 +111,7 @@ def reshape_melt(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "reshape_value_counts",
+    extra=True,
     sql="""
     SELECT event_type, count(*) AS n
     FROM events GROUP BY event_type
@@ -114,6 +133,7 @@ def reshape_value_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "reshape_dense_matrix",
+    extra=True,
     sql="""
     WITH pairs AS (
       SELECT n.n_nationkey, s.c_mktsegment

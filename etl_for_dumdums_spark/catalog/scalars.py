@@ -18,35 +18,64 @@ R = lambda c: F.round(c, DP)  # noqa: E731
 
 # ---------------------------------------------------------------------------
 # String ops: lower/upper/trim/concat/substring + regexp_extract
-# (reference dim_users.sql:14, sources/hacker_news.py:69).
+# (reference dim_users.sql:14, sources/hacker_news.py:69) + array scalars
+# over the same part row: conditional-tag array build, filter-out-nulls,
+# size, join-to-string (merged from r01 scalar_array_ops, kept below as an
+# extra; reference row-wise list lambdas, pages/1_Linear_Issues.py:118-133).
 # ---------------------------------------------------------------------------
 @register(
     "scalar_string_ops",
     sql="""
-    SELECT p_partkey,
-           lower(p_brand)                       AS brand_lower,
-           upper(p_type)                        AS type_upper,
-           p_brand || ':' || p_type             AS brand_type,
-           trim('  ' || p_name || ' ')          AS name_trimmed,
-           substring(p_name, 1, 5)              AS name_prefix,
-           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
-           length(p_name)                       AS name_len
-    FROM part
-    ORDER BY p_partkey
+    WITH flags AS (
+      SELECT p_partkey,
+             list_filter([CASE WHEN p_size > 10 THEN 'large' END,
+                          CASE WHEN p_retailprice > 1200 THEN 'premium' END,
+                          CASE WHEN p_type = 'ECONOMY' THEN 'economy' END],
+                         x -> x IS NOT NULL) AS tags
+      FROM part)
+    SELECT p.p_partkey,
+           lower(p.p_brand)                       AS brand_lower,
+           upper(p.p_type)                        AS type_upper,
+           p.p_brand || ':' || p.p_type           AS brand_type,
+           trim('  ' || p.p_name || ' ')          AS name_trimmed,
+           substring(p.p_name, 1, 5)              AS name_prefix,
+           regexp_extract(p.p_name, '^([a-z]+)', 1) AS first_word,
+           length(p.p_name)                       AS name_len,
+           CAST(len(f.tags) AS INT)               AS n_tags,
+           array_to_string(CASE WHEN len(f.tags) = 0 THEN ['untagged'] ELSE f.tags END, ',')
+             AS tag_list
+    FROM part p JOIN flags f ON p.p_partkey = f.p_partkey
+    ORDER BY p.p_partkey
     """,
 )
 def scalar_string_ops(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    return t.part.select(
-        "p_partkey",
-        F.lower("p_brand").alias("brand_lower"),
-        F.upper("p_type").alias("type_upper"),
-        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
-        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
-        F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
-        F.length("p_name").alias("name_len"),
-    ).orderBy("p_partkey")
+    tags = F.array_compact(
+        F.array(
+            F.when(F.col("p_size") > 10, "large"),
+            F.when(F.col("p_retailprice") > 1200, "premium"),
+            F.when(F.col("p_type") == "ECONOMY", "economy"),
+        )
+    )
+    return (
+        t.part.withColumn("tags", tags)
+        .select(
+            "p_partkey",
+            F.lower("p_brand").alias("brand_lower"),
+            F.upper("p_type").alias("type_upper"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+            F.length("p_name").alias("name_len"),
+            F.size("tags").alias("n_tags"),
+            F.array_join(
+                F.when(F.size("tags") == 0, F.array(F.lit("untagged"))).otherwise(F.col("tags")),
+                ",",
+            ).alias("tag_list"),
+        )
+        .orderBy("p_partkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -55,6 +84,7 @@ def scalar_string_ops(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "scalar_clean_html",
+    extra=True,
     sql="""
     WITH cleaned AS (
       SELECT doc_id,
@@ -225,6 +255,7 @@ def scalar_math_conditional(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "scalar_array_ops",
+    extra=True,
     sql="""
     WITH flags AS (
       SELECT p_partkey,

@@ -112,6 +112,7 @@ def sort_topk_nulls_last(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "setop_native_rollup",
+    extra=True,
     sql=f"""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,

@@ -43,32 +43,17 @@ def _ivecs(t):
 
 
 # ---------------------------------------------------------------------------
-# Brute-force cosine top-k for a fixed query set (vec_id < 10).
+# Brute-force cosine top-k for a fixed query set (vec_id < 10) UNIONED with
+# the IVF-bucketed ANN top-k (see sim_ivf_topk below) under a `method`
+# column — one result that both exercises the exact baseline and proves the
+# inverted-file scale path against the same data. Merged from r01
+# sim_topk_cosine + sim_ivf_topk (the standalone IVF query stays below as an
+# extra). Brute rows carry bucket = -1.
 # ---------------------------------------------------------------------------
 _TOPK = 5
 
 
-@register(
-    "sim_topk_cosine",
-    sql=f"""
-    WITH iv AS (
-      SELECT vec_id, label, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
-      FROM embeddings),
-    q AS (SELECT * FROM iv WHERE vec_id < 10),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
-             round({_DOT_SQL.format(a='q.v', b='c.v')} / sqrt(q.nrm * 1.0 * c.nrm), {DP}) AS cosine
-      FROM q JOIN iv c ON c.vec_id != q.vec_id),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored)
-    SELECT query_id, rank, neighbor_id, neighbor_label, cosine
-    FROM ranked WHERE rank <= {_TOPK}
-    ORDER BY query_id, rank
-    """,
-)
-def sim_topk_cosine(spark, sf_dir):
+def _brute_topk(spark, sf_dir):
     t = Tables(spark, sf_dir)
     iv = _ivecs(t)
     q = iv.filter(F.col("vec_id") < 10).select(
@@ -80,7 +65,6 @@ def sim_topk_cosine(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("neighbor_label"),
             F.round(
                 F.expr(_DOT_SPARK.format(a="qv", b="v"))
                 / F.sqrt(F.col("qnrm") * 1.0 * F.col("nrm")),
@@ -92,9 +76,73 @@ def sim_topk_cosine(spark, sf_dir):
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
-        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
-        .orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+@register(
+    "sim_topk_cosine",
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, label, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM iv WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='q.v', b='c.v')} / sqrt(q.nrm * 1.0 * c.nrm), {DP}) AS cosine
+      FROM q JOIN iv c ON c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+    centroids AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM iv
+                  WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, nrm, cid FROM (
+        SELECT iv.vec_id, iv.v, iv.nrm, c.cid,
+               row_number() OVER (PARTITION BY iv.vec_id
+                 ORDER BY iv.nrm + c.cnrm - 2 * {_DOT_SQL.format(a='iv.v', b='c.cv')}, c.cid)
+                 AS rnk
+        FROM iv CROSS JOIN centroids c)
+      WHERE rnk = 1),
+    iqueries AS (SELECT * FROM assigned WHERE vec_id % 100 = 7),
+    iscored AS (
+      SELECT q.vec_id AS query_id, q.cid AS bucket, a.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='q.v', b='a.v')} / sqrt(q.nrm * 1.0 * a.nrm), {DP})
+               AS cosine
+      FROM iqueries q JOIN assigned a
+        ON a.cid = q.cid AND a.vec_id != q.vec_id),
+    iranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM iscored)
+    SELECT 'brute' AS method, query_id, CAST(-1 AS BIGINT) AS bucket,
+           rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {_TOPK}
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, bucket, rank, neighbor_id, cosine
+    FROM iranked WHERE rank <= 3
+    ORDER BY method, query_id, rank
+    """,
+)
+def sim_topk_cosine(spark, sf_dir):
+    brute = _brute_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"),
+        "query_id",
+        F.lit(-1).cast("long").alias("bucket"),
+        "rank",
+        "neighbor_id",
+        "cosine",
+    )
+    ivf = sim_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"),
+        "query_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "rank",
+        "neighbor_id",
+        "cosine",
+    )
+    return brute.unionByName(ivf).orderBy("method", "query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +224,7 @@ _IVF_TOPK = 3
 
 @register(
     "sim_ivf_topk",
+    extra=True,
     sql=f"""
     WITH iv AS (
       SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
@@ -266,6 +315,7 @@ def sim_ivf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "sim_label_cohesion",
+    extra=True,
     sql=f"""
     WITH iv AS (
       SELECT vec_id, label, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm

@@ -30,16 +30,121 @@ def _daily(t):
     )
 
 
+_ACF_LAGS = list(range(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# T1+T2 — one-way ANOVA F across order priorities AND Welch's t-test weekend
+# vs weekday, both from group aggregates only (no collect), joined into one
+# single-row result (reference pages/Oura_Investigation.py:90-93,253-259).
+# Merged from r01 stats_anova_f + stats_ttest_welch (kept below as extras).
+# ---------------------------------------------------------------------------
+@register(
+    "stats_group_tests",
+    sql=f"""
+    WITH g AS (
+      SELECT o_orderpriority, count(*) AS n, avg(o_totalprice) AS mean,
+             var_pop(o_totalprice) * count(*) AS ss_within
+      FROM orders GROUP BY o_orderpriority),
+    tot AS (
+      SELECT sum(n * mean) / sum(n) AS grand_mean, sum(n) AS n_total,
+             count(*) AS k FROM g),
+    anova AS (
+      SELECT CAST(tot.k - 1 AS BIGINT) AS df_between,
+             CAST(tot.n_total - tot.k AS BIGINT) AS df_within,
+             round((sum(g.n * (g.mean - tot.grand_mean) ^ 2) / (tot.k - 1))
+                   / (sum(g.ss_within) / (tot.n_total - tot.k)), {DP}) AS f_stat
+      FROM g CROSS JOIN tot
+      GROUP BY tot.k, tot.n_total),
+    wgrouped AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS grp,
+             count(*) AS n, avg(value) AS mean, var_samp(value) AS var
+      FROM events GROUP BY 1),
+    welch AS (
+      SELECT round((max(CASE WHEN grp = 'weekend' THEN mean END)
+                    - max(CASE WHEN grp = 'weekday' THEN mean END))
+                   / sqrt(max(CASE WHEN grp = 'weekend' THEN var / n END)
+                          + max(CASE WHEN grp = 'weekday' THEN var / n END)), {DP}) AS t_stat,
+             max(CASE WHEN grp = 'weekend' THEN n END) AS n_weekend,
+             max(CASE WHEN grp = 'weekday' THEN n END) AS n_weekday
+      FROM wgrouped)
+    SELECT anova.df_between, anova.df_within, anova.f_stat,
+           welch.t_stat, welch.n_weekend, welch.n_weekday
+    FROM anova CROSS JOIN welch
+    """,
+)
+def stats_group_tests(spark, sf_dir):
+    anova = stats_anova_f(spark, sf_dir)
+    welch = stats_ttest_welch(spark, sf_dir)
+    return anova.crossJoin(F.broadcast(welch))
+
+
+# ---------------------------------------------------------------------------
+# T3+T4 — time-series panel: linear trend over yearly aggregates AND the
+# lag-1..7 autocorrelation function, as ONE single-row wide result. The ACF
+# is a single aggregation over one lagged projection (one window, one
+# Exchange) — not 7 unioned re-aggregations (the r01 stats_autocorr shape).
+# (reference pages/Oura_Investigation.py:220-221,309-323.)
+# Merged from r01 stats_linregress + stats_autocorr (kept below as extras).
+# ---------------------------------------------------------------------------
+@register(
+    "stats_timeseries",
+    sql=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    lagged AS (
+      SELECT revenue,
+             {', '.join(f'lag(revenue, {k}) OVER (ORDER BY order_date) AS lag_{k}' for k in _ACF_LAGS)}
+      FROM daily),
+    acf AS (
+      SELECT {', '.join(f'round(corr(revenue, lag_{k}), {DP}) AS acf_{k}' for k in _ACF_LAGS)},
+             count(lag_1) AS n_pairs_1
+      FROM lagged),
+    yearly AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS DOUBLE) AS yr,
+             avg(o_totalprice) AS avg_revenue
+      FROM orders GROUP BY 1),
+    trend AS (
+      SELECT round(regr_slope(avg_revenue, yr), {DP})     AS slope,
+             round(regr_intercept(avg_revenue, yr), {DP}) AS intercept,
+             round(corr(avg_revenue, yr), {DP})           AS r_value,
+             count(*) AS n_years
+      FROM yearly)
+    SELECT trend.slope, trend.intercept, trend.r_value, trend.n_years,
+           {', '.join(f'acf.acf_{k}' for k in _ACF_LAGS)}, acf.n_pairs_1
+    FROM trend CROSS JOIN acf
+    """,
+)
+def stats_timeseries(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.orderBy("order_date")
+    lagged = _daily(t).select(
+        "revenue", *[F.lag("revenue", k).over(w).alias(f"lag_{k}") for k in _ACF_LAGS]
+    )
+    acf = lagged.agg(
+        *[R(F.corr("revenue", f"lag_{k}")).alias(f"acf_{k}") for k in _ACF_LAGS],
+        F.count("lag_1").alias("n_pairs_1"),
+    )
+    trend = stats_linregress(spark, sf_dir)
+    return trend.crossJoin(F.broadcast(acf)).select(
+        "slope",
+        "intercept",
+        "r_value",
+        "n_years",
+        *[f"acf_{k}" for k in _ACF_LAGS],
+        "n_pairs_1",
+    )
+
+
 # ---------------------------------------------------------------------------
 # T4 — autocorrelation at lags 1..7 via shift+corr
 # (reference pages/Oura_Investigation.py:309-323; significance band
 # 1.96/sqrt(n) at :340).
 # ---------------------------------------------------------------------------
-_ACF_LAGS = list(range(1, 8))
 
 
 @register(
     "stats_autocorr",
+    extra=True,
     sql=f"""
     WITH daily AS ({_DAILY_SQL}),
     lagged AS (
@@ -81,6 +186,7 @@ def stats_autocorr(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "stats_anova_f",
+    extra=True,
     sql=f"""
     WITH g AS (
       SELECT o_orderpriority, count(*) AS n, avg(o_totalprice) AS mean,
@@ -129,6 +235,7 @@ def stats_anova_f(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "stats_ttest_welch",
+    extra=True,
     sql=f"""
     WITH grouped AS (
       SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS grp,
@@ -168,6 +275,7 @@ def stats_ttest_welch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "stats_linregress",
+    extra=True,
     sql=f"""
     WITH yearly AS (
       SELECT CAST(extract(year FROM o_orderdate) AS DOUBLE) AS yr,

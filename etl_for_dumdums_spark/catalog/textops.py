@@ -35,11 +35,107 @@ def _hits_spark(lang: str):
     return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
 
 
+_CLEAN_SQL = """trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#x27;', ''''), '&#39;', ''''), '&nbsp;', ' '),
+               '\\s+', ' ', 'g'))"""
+
+
+# ---------------------------------------------------------------------------
+# Document profile: token counting (whitespace + BPE-ish regex), quality
+# bucketing + corpus ratios, normalized-text fingerprint, and the X1
+# clean_html chain (reference sources/hacker_news.py:118-128) — one scan,
+# all native column expressions. Merged from r01 text_token_stats /
+# text_quality_score / text_fingerprint / scalar_clean_html (kept as extras).
+# All ratio denominators are exact integer sums divided once at the edge.
+# ---------------------------------------------------------------------------
+@register(
+    "text_profile",
+    sql=f"""
+    WITH scored AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_types,
+             {_hits_sql('en')} AS stop_hits,
+             n_chars,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+             substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12)
+               AS fingerprint,
+             length({_CLEAN_SQL}) AS clean_len
+      FROM documents),
+    rated AS (
+      SELECT *,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN stop_hits * 100 < n_tokens THEN 'no_stopwords'
+                  WHEN n_types * 10 < n_tokens * 3 THEN 'repetitive'
+                  ELSE 'ok' END AS quality_bucket
+      FROM scored)
+    SELECT lang, quality_bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT)    AS total_bpe_ish_tokens,
+           round(sum(n_types) * 1.0 / nullif(sum(n_tokens), 0), {DP})   AS corpus_ttr,
+           round(sum(stop_hits) * 1.0 / nullif(sum(n_tokens), 0), {DP}) AS corpus_stop_ratio,
+           round(sum(n_chars) * 1.0 / nullif(sum(n_tokens), 0), {DP})   AS corpus_word_len,
+           count(DISTINCT fingerprint) AS n_distinct_fps,
+           round(sum(clean_len) * 1.0 / count(*), {DP}) AS avg_clean_len
+    FROM rated GROUP BY lang, quality_bucket
+    ORDER BY lang, quality_bucket
+    """,
+)
+def text_profile(spark, sf_dir):
+    from ..functions import clean_html
+
+    t = Tables(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_types = F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    )
+    fingerprint = F.substring(
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")), 1, 12
+    )
+    scored = t.documents.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        _hits_spark("en").alias("stop_hits"),
+        "n_chars",
+        n_bpe.alias("n_bpe"),
+        fingerprint.alias("fingerprint"),
+        F.length(clean_html(F.col("text"))).alias("clean_len"),
+    )
+    rated = scored.withColumn(
+        "quality_bucket",
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("stop_hits") * 100 < F.col("n_tokens"), "no_stopwords")
+        .when(F.col("n_types") * 10 < F.col("n_tokens") * 3, "repetitive")
+        .otherwise("ok"),
+    )
+    nt = F.nullif(F.sum("n_tokens"), F.lit(0))
+    return (
+        rated.groupBy("lang", "quality_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_ish_tokens"),
+            R(F.sum("n_types") * 1.0 / nt).alias("corpus_ttr"),
+            R(F.sum("stop_hits") * 1.0 / nt).alias("corpus_stop_ratio"),
+            R(F.sum("n_chars") * 1.0 / nt).alias("corpus_word_len"),
+            F.count_distinct("fingerprint").alias("n_distinct_fps"),
+            R(F.sum("clean_len") * 1.0 / F.count("*")).alias("avg_clean_len"),
+        )
+        .orderBy("lang", "quality_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens + BPE-ish regex token estimate.
 # ---------------------------------------------------------------------------
 @register(
     "text_token_stats",
+    extra=True,
     sql=f"""
     SELECT lang,
            count(*) AS n_docs,
@@ -76,6 +172,7 @@ def text_token_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "text_quality_score",
+    extra=True,
     sql=f"""
     WITH scored AS (
       SELECT source,
@@ -192,6 +289,7 @@ def text_langid_confusion(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "text_fingerprint",
+    extra=True,
     sql="""
     WITH fp AS (
       SELECT lang, substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12)

@@ -19,11 +19,78 @@ R = lambda c: F.round(c, DP)  # noqa: E731
 
 
 # ---------------------------------------------------------------------------
+# W1/W2/W5 — the three row_number pick patterns in ONE query, as columns from
+# three window specs over the same scan: latest-per-(user,type) dedup (W1,
+# reference stg_hn__comments.sql:6-11), best-record with CASE order (W2,
+# stg_fda__food_events.sql:18-29), latest-per-user recency pick (W5,
+# fct_stock_prices.sql:81-84). Merged from r01 win_dedup_latest /
+# win_best_record_case_order / win_recency_latest (kept below as extras).
+# Value sums go through integer cents so summation order can't flip the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "win_pick_per_group",
+    sql=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_user,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CASE WHEN event_type = 'purchase' THEN 0
+                             WHEN event_type = 'signup'   THEN 1
+                             ELSE 2 END, ts DESC, event_id DESC) AS rn_best
+      FROM events)
+    SELECT user_id,
+           max(CASE WHEN rn_user = 1 THEN event_type END) AS last_event_type,
+           round(max(CASE WHEN rn_user = 1 THEN value END), {DP}) AS last_value,
+           max(CASE WHEN rn_best = 1 THEN event_type END) AS best_event_type,
+           CAST(count_if(rn_type = 1) AS BIGINT) AS n_event_types,
+           round(sum(CASE WHEN rn_type = 1
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0, {DP})
+             AS sum_latest_value
+    FROM ranked GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_pick_per_group(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    pref = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(2)
+    )
+    recency = [F.col("ts").desc(), F.col("event_id").desc()]
+    ranked = t.events.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(W.partitionBy("user_id", "event_type").orderBy(*recency)).alias("rn_type"),
+        F.row_number().over(W.partitionBy("user_id").orderBy(*recency)).alias("rn_user"),
+        F.row_number().over(W.partitionBy("user_id").orderBy(pref, *recency)).alias("rn_best"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn_user") == 1, F.col("event_type"))).alias("last_event_type"),
+            R(F.max(F.when(F.col("rn_user") == 1, F.col("value")))).alias("last_value"),
+            F.max(F.when(F.col("rn_best") == 1, F.col("event_type"))).alias("best_event_type"),
+            F.count_if(F.col("rn_type") == 1).alias("n_event_types"),
+            R(
+                F.sum(F.when(F.col("rn_type") == 1, cents).otherwise(F.lit(0))) / 100.0
+            ).alias("sum_latest_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1/W2 — row_number dedup keeping the latest record
 # (reference stg_hn__comments.sql:6-11, stg_oura__daily_activity.sql:7-11).
 # ---------------------------------------------------------------------------
 @register(
     "win_dedup_latest",
+    extra=True,
     sql=f"""
     WITH ranked AS (
       SELECT user_id, event_type, value,
@@ -51,17 +118,25 @@ def win_dedup_latest(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # W3/W4/F8 — top-N-per-group via rank filter (QUALIFY idiom)
-# (reference fct_sales_by_county.sql:35-50, sources/hacker_news.py:306-325).
+# (reference fct_sales_by_county.sql:35-50, sources/hacker_news.py:306-325)
+# + A13 group-total transform: each row's share of its partition total via an
+# unordered partition window (reference pages/9_FDA_Food_Events.py:346;
+# merged from r01 win_group_share, kept below as an extra). The partition
+# total is summed in integer cents so summation order can't flip the hash.
 # ---------------------------------------------------------------------------
 @register(
     "win_top_n_per_group",
-    sql="""
+    sql=f"""
     WITH ranked AS (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_priority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_priority,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority) AS priority_cents
       FROM orders)
-    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price, rank_in_priority
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price, rank_in_priority,
+           round(100.0 * CAST(round(o_totalprice * 100) AS BIGINT) / priority_cents, {DP})
+             AS share_of_priority_pct
     FROM ranked WHERE rank_in_priority <= 3
     ORDER BY o_orderpriority, rank_in_priority
     """,
@@ -69,14 +144,17 @@ def win_dedup_latest(spark, sf_dir):
 def win_top_n_per_group(spark, sf_dir):
     t = Tables(spark, sf_dir)
     w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         t.orders.withColumn("rank_in_priority", F.row_number().over(w))
+        .withColumn("priority_cents", F.sum(cents).over(W.partitionBy("o_orderpriority")))
         .filter(F.col("rank_in_priority") <= 3)
         .select(
             "o_orderpriority",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total_price"),
             "rank_in_priority",
+            R(F.lit(100.0) * cents / F.col("priority_cents")).alias("share_of_priority_pct"),
         )
         .orderBy("o_orderpriority", "rank_in_priority")
     )
@@ -88,6 +166,7 @@ def win_top_n_per_group(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "win_recency_latest",
+    extra=True,
     sql=f"""
     WITH ranked AS (
       SELECT user_id, event_type, value, ts,
@@ -160,7 +239,10 @@ def win_lag_deltas(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # W8/W9/W11 — trailing rolling mean/max/min frames + derived signals
-# (reference fct_stock_prices.sql:37-78,96-129: 7d/30d MA, 52-week range).
+# (reference fct_stock_prices.sql:37-78,96-129: 7d/30d MA, 52-week range)
+# + W10 centered ±3-row peak flag (reference fct_keyword_trends.sql:49-57;
+# merged from r01 win_centered_peak, kept below as an extra). All frames are
+# columns of one window spec over the same pre-aggregated daily series.
 # ---------------------------------------------------------------------------
 @register(
     "win_rolling_frames",
@@ -173,7 +255,9 @@ def win_lag_deltas(spark, sf_dir):
            round(min(revenue) OVER (w ROWS BETWEEN 251 PRECEDING AND CURRENT ROW), {DP}) AS low_252,
            CASE WHEN avg(revenue) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
                      > avg(revenue) OVER (w ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
-                THEN 'uptrend' ELSE 'downtrend' END AS ma_trend
+                THEN 'uptrend' ELSE 'downtrend' END AS ma_trend,
+           CASE WHEN revenue >= max(revenue) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                THEN 1 ELSE 0 END AS is_peak
     FROM daily
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_date)
     ORDER BY o_orderpriority, order_date
@@ -194,6 +278,7 @@ def win_rolling_frames(spark, sf_dir):
         R(F.max(rev).over(base.rowsBetween(-251, 0))).alias("high_252"),
         R(F.min(rev).over(base.rowsBetween(-251, 0))).alias("low_252"),
         F.when(ma7 > ma30, "uptrend").otherwise("downtrend").alias("ma_trend"),
+        F.when(rev >= F.max(rev).over(base.rowsBetween(-3, 3)), 1).otherwise(0).alias("is_peak"),
     ).orderBy("o_orderpriority", "order_date")
 
 
@@ -204,6 +289,7 @@ def win_rolling_frames(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "win_centered_peak",
+    extra=True,
     sql=f"""
     WITH daily AS ({_DAILY_SQL}),
     flagged AS (
@@ -241,6 +327,7 @@ def win_centered_peak(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "win_group_share",
+    extra=True,
     sql=f"""
     WITH shared AS (
       SELECT c_mktsegment, c_custkey, c_acctbal,
@@ -278,6 +365,7 @@ def win_group_share(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "win_best_record_case_order",
+    extra=True,
     sql="""
     WITH ranked AS (
       SELECT user_id, event_type, event_id,

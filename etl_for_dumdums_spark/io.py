@@ -20,6 +20,7 @@ Iceberg sink the same API maps to a native MERGE INTO (import-gated).
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 from pathlib import Path
@@ -108,16 +109,28 @@ def merge_table(
     kept = target.join(source.select(primary_key), on=primary_key, how="left_anti")
     merged = kept.unionByName(source)
 
-    # atomic swap: materialize to a sibling temp dir, then replace. The
-    # read must be fully materialized before the old dir is touched.
+    # Crash-consistent swap (NOT reader-isolated: unlike the Delta path a
+    # concurrent reader can observe a brief target-missing window between
+    # the two renames — table formats exist precisely to close it).
+    # Materialize fully to a sibling temp dir first, then two same-fs
+    # renames; rollback restores the backup if the second rename fails.
     tmp = str(target_path.parent / f".{target_path.name}.tmp-{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").parquet(tmp)
-    backup = str(target_path) + ".bak"
-    shutil.move(str(target_path), backup)
+    backup = str(target_path.parent / f".{target_path.name}.bak-{uuid.uuid4().hex[:8]}")
+    os.rename(str(target_path), backup)
     try:
-        shutil.move(tmp, str(target_path))
-        shutil.rmtree(backup)
+        os.rename(tmp, str(target_path))
     except Exception:
-        if not target_path.exists():
-            shutil.move(backup, str(target_path))
+        os.rename(backup, str(target_path))
         raise
+    # cleanup OUTSIDE the failure path: a stray backup dir must never fail a
+    # merge that already swapped successfully
+    try:
+        shutil.rmtree(backup)
+    except OSError:  # pragma: no cover - stray dir is cleaned next merge
+        pass
+    for stale in target_path.parent.glob(f".{target_path.name}.bak-*"):
+        try:
+            shutil.rmtree(stale)
+        except OSError:  # pragma: no cover
+            pass

@@ -225,4 +225,20 @@ def build_full_dag(
         def fct_recalls_by_topic(spark, int_recall_topics):
             return fda.fct_recalls_by_topic(int_recall_topics)
 
+    # ---- staging layer (reference dbt/models/staging/**, dbt_project.yml:21-22)
+    # Every rename-only staging view as a named, independently-buildable model:
+    # reg.build(spark, targets=["stg_linear_issues"]) works like `dbt build -s`.
+    from .staging import STAGING_MODELS
+
+    for stg_name, (raw_key, builder) in STAGING_MODELS.items():
+        if raw_key not in available:
+            continue
+        raw_model = f"raw_{raw_key}"
+        if raw_model not in reg._models:
+            raw(raw_key)
+
+        @reg.model(stg_name, deps=[raw_model])
+        def _stg(spark, _builder=builder, _dep=raw_model, **deps):
+            return _builder(deps[_dep])
+
     return reg

@@ -7,11 +7,12 @@ import pytest
 
 scipy_stats = pytest.importorskip("scipy.stats")
 
-from etl_for_dumdums_spark.catalog import QUERIES, load_all  # noqa: E402
+from etl_for_dumdums_spark.catalog import EXTRA_QUERIES, QUERIES, load_all  # noqa: E402
 
 from .conftest import SF_SMOKE  # noqa: E402
 
 load_all()
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
 @pytest.fixture(scope="module")
@@ -24,7 +25,7 @@ def orders_pdf(spark):
 
 
 def test_anova_f_matches_scipy(spark, orders_pdf):
-    row = QUERIES["stats_anova_f"](spark, SF_SMOKE).collect()[0]
+    row = ALL_QUERIES["stats_anova_f"](spark, SF_SMOKE).collect()[0]
     groups = [g["o_totalprice"].values for _, g in orders_pdf.groupby("o_orderpriority")]
     f_expected, _ = scipy_stats.f_oneway(*groups)
     assert math.isclose(row["f_stat"], f_expected, rel_tol=1e-3)
@@ -33,7 +34,7 @@ def test_anova_f_matches_scipy(spark, orders_pdf):
 
 
 def test_linregress_matches_scipy(spark, orders_pdf):
-    row = QUERIES["stats_linregress"](spark, SF_SMOKE).collect()[0]
+    row = ALL_QUERIES["stats_linregress"](spark, SF_SMOKE).collect()[0]
     yearly = (
         orders_pdf.assign(yr=orders_pdf["o_orderdate"].dt.year)
         .groupby("yr")["o_totalprice"]
@@ -56,5 +57,5 @@ def test_ttest_matches_scipy(spark):
     weekend = events[events.dow.isin([1, 7])]["value"]
     weekday = events[~events.dow.isin([1, 7])]["value"]
     t_expected, _ = scipy_stats.ttest_ind(weekend, weekday, equal_var=False)
-    row = QUERIES["stats_ttest_welch"](spark, SF_SMOKE).collect()[0]
+    row = ALL_QUERIES["stats_ttest_welch"](spark, SF_SMOKE).collect()[0]
     assert math.isclose(row["t_stat"], t_expected, rel_tol=1e-3, abs_tol=1e-3)

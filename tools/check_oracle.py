@@ -19,7 +19,14 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
-from etl_for_dumdums_spark.catalog import ORACLE, QUERIES, TABLE_NAMES, load_all  # noqa: E402
+from etl_for_dumdums_spark.catalog import (  # noqa: E402
+    EXTRA_ORACLE,
+    EXTRA_QUERIES,
+    ORACLE,
+    QUERIES,
+    TABLE_NAMES,
+    load_all,
+)
 from etl_for_dumdums_spark.session import get_spark  # noqa: E402
 
 
@@ -130,11 +137,18 @@ def type_mismatches(sdf_schema, arrow_schema) -> list[str]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--driver-only",
+        action="store_true",
+        help="check only the 50 driver-facing queries (default: both tiers)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     load_all()
-    names = args.names or sorted(QUERIES)
+    queries = dict(QUERIES) if args.driver_only else {**QUERIES, **EXTRA_QUERIES}
+    oracle = dict(ORACLE) if args.driver_only else {**ORACLE, **EXTRA_ORACLE}
+    names = args.names or sorted(queries)
     spark = get_spark("oracle-check")
 
     con = duckdb.connect()
@@ -145,7 +159,7 @@ def main():
 
     n_pass = n_fail = n_skip = 0
     for name in names:
-        fn = QUERIES[name]
+        fn = queries[name]
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
@@ -155,12 +169,12 @@ def main():
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
-        if name not in ORACLE:
+        if name not in oracle:
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows) [{time.time()-t0:.1f}s]")
             n_skip += 1
             continue
         try:
-            atab = con.execute(ORACLE[name]).arrow()
+            atab = con.execute(oracle[name]).arrow()
             dcols = atab.column_names
             drows = [tuple(d[c] for c in dcols) for d in atab.to_pylist()]
         except Exception as e:
