@@ -75,6 +75,10 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # drop caches a query may have left behind (e.g. dedup_minhash_lsh's
+        # shared candidate set): accumulated cache + broadcast blocks were
+        # inflating LATER queries up to 20x at 10x-scale inputs
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(

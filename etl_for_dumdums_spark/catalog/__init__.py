@@ -82,10 +82,16 @@ class Tables:
             for col in _nanos_timestamp_cols(path):
                 # nanos→micros truncation via integer division (values exceed
                 # double's 53-bit mantissa, so no float math here); matches
-                # DuckDB's truncating nanos→micros read.
-                df = df.withColumn(
-                    col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))")
-                )
+                # DuckDB's truncating nanos→micros read. Only applies when the
+                # nanos column actually surfaced as a long (the driver's
+                # legacy.parquet.nanosAsLong path) — Spark reads its OWN
+                # ns-timestamp writes as proper TIMESTAMP already.
+                from pyspark.sql import types as _T
+
+                if isinstance(df.schema[col].dataType, _T.LongType):
+                    df = df.withColumn(
+                        col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))")
+                    )
             self._cache[name] = df
         return self._cache[name]
 
@@ -95,10 +101,21 @@ _NANOS_CACHE: dict[str, tuple[str, ...]] = {}
 
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     if path not in _NANOS_CACHE:
+        from pathlib import Path
+
         import pyarrow.parquet as pq
         import pyarrow.types as patypes
 
-        schema = pq.read_schema(path)
+        # driver testdata is a single parquet file; Spark-written datasets
+        # (e.g. tools/make_scale_data.py output) are directories of parts
+        schema_path = path
+        if Path(path).is_dir():
+            parts = sorted(Path(path).glob("*.parquet")) or sorted(
+                Path(path).glob("part-*")
+            )
+            if parts:
+                schema_path = str(parts[0])
+        schema = pq.read_schema(schema_path)
         _NANOS_CACHE[path] = tuple(
             f.name
             for f in schema

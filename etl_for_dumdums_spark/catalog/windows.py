@@ -119,11 +119,16 @@ def win_dedup_latest(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # W3/W4/F8 — top-N-per-group via rank filter (QUALIFY idiom)
 # (reference fct_sales_by_county.sql:35-50, sources/hacker_news.py:306-325)
-# + A13 group-total transform: each row's share of its partition total via an
-# unordered partition window (reference pages/9_FDA_Food_Events.py:346;
-# merged from r01 win_group_share, kept below as an extra). The partition
-# total is summed in integer cents so summation order can't flip the hash.
+# + A13 group-total transform: each row's share of its partition total
+# (reference pages/9_FDA_Food_Events.py:346; merged from r01 win_group_share,
+# kept below as an extra). Totals are summed in integer cents so summation
+# order can't flip the hash. The oracle SQL is the simple one-window QUALIFY
+# form; the Spark plan is the scalable salted two-stage equivalent (see the
+# function body) because the partition key has only 5 distinct values.
 # ---------------------------------------------------------------------------
+_TOPN_SALT = 16
+
+
 @register(
     "win_top_n_per_group",
     sql=f"""
@@ -142,19 +147,40 @@ def win_dedup_latest(spark, sf_dir):
     """,
 )
 def win_top_n_per_group(spark, sf_dir):
+    # Scalable top-N: o_orderpriority has only 5 values, so a single global
+    # window would sort |orders|/5 rows in one task each at scale. Instead:
+    # (1) salted local top-N — every true top-N row is in the top-N of any
+    # subset containing it, so filtering to N per (priority, salt) keeps
+    # exactly the global winners among <= N*salt survivors; (2) global rank
+    # over that tiny survivor set; (3) partition totals for the share column
+    # come from a map-side-combined aggregation (5 rows) broadcast back —
+    # never from an unbounded partition window over the fact table.
     t = Tables(spark, sf_dir)
-    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = t.orders.withColumn("cents", cents)
+    totals = orders.groupBy("o_orderpriority").agg(F.sum("cents").alias("priority_cents"))
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    local_w = W.partitionBy(
+        "o_orderpriority", F.pmod(F.col("o_orderkey"), F.lit(_TOPN_SALT))
+    ).orderBy(*order_cols)
+    survivors = (
+        orders.withColumn("local_rank", F.row_number().over(local_w))
+        .filter(F.col("local_rank") <= 3)
+        .drop("local_rank")
+    )
+    global_w = W.partitionBy("o_orderpriority").orderBy(*order_cols)
     return (
-        t.orders.withColumn("rank_in_priority", F.row_number().over(w))
-        .withColumn("priority_cents", F.sum(cents).over(W.partitionBy("o_orderpriority")))
+        survivors.withColumn("rank_in_priority", F.row_number().over(global_w))
         .filter(F.col("rank_in_priority") <= 3)
+        .join(F.broadcast(totals), "o_orderpriority")
         .select(
             "o_orderpriority",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total_price"),
             "rank_in_priority",
-            R(F.lit(100.0) * cents / F.col("priority_cents")).alias("share_of_priority_pct"),
+            R(F.lit(100.0) * F.col("cents") / F.col("priority_cents")).alias(
+                "share_of_priority_pct"
+            ),
         )
         .orderBy("o_orderpriority", "rank_in_priority")
     )

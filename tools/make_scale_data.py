@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from etl_for_dumdums_spark.catalog import TABLE_NAMES  # noqa: E402
+from etl_for_dumdums_spark.catalog import TABLE_NAMES, Tables  # noqa: E402
 from etl_for_dumdums_spark.session import get_spark  # noqa: E402
 
 # per-table integer key columns to offset per replica (key-space grows with
@@ -51,8 +51,11 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("make-scale-data")
+    tables = Tables(spark, args.src)
     for tname in TABLE_NAMES:
-        df = spark.read.parquet(f"{args.src}/{tname}.parquet")
+        # the Tables accessor normalizes INT64 TIMESTAMP(NANOS) columns to
+        # real timestamps, so the scaled dataset is directly readable
+        df = getattr(tables, tname)
         keys = _OFFSET_KEYS.get(tname, [])
         if not keys or args.factor == 1:
             df.write.mode("overwrite").parquet(f"{args.out}/{tname}.parquet")
