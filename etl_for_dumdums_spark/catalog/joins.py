@@ -26,29 +26,45 @@ R = lambda c: F.round(c, DP)  # noqa: E731
 @register(
     "join_enrich_left",
     sql=f"""
+    WITH pc AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY o_custkey)
     SELECT r.r_name AS region_name,
-           count(*) AS n_orders,
-           round(sum(o.o_totalprice), {DP}) AS total_revenue,
+           CAST(sum(pc.n_orders) AS BIGINT) AS n_orders,
+           round(CAST(sum(pc.rev_cents) AS BIGINT) / 100.0, {DP}) AS total_revenue,
            count(DISTINCT c.c_custkey) AS n_customers
-    FROM orders o
-    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    FROM pc
+    LEFT JOIN customer c ON pc.o_custkey = c.c_custkey
     LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
     LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name ORDER BY region_name
     """,
 )
 def join_enrich_left(spark, sf_dir):
+    # Aggregate-before-join: every enrichment attribute depends only on
+    # o_custkey, so orders reduce to one row per customer BEFORE any join —
+    # the fact table is never shuffled row-level against customer (which
+    # grows with SF and must not be broadcast). The customer join is a
+    # co-partitionable key join; only the true dims (nation 25, region 5)
+    # broadcast. Revenue sums in integer cents, divided once at the edge.
     t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.count("*").alias("cust_orders"), F.sum(cents).alias("rev_cents")
+    )
     return (
-        t.orders.join(
-            F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey, "left"
+        per_cust.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            per_cust.o_custkey == F.col("c_custkey"),
+            "left",
         )
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"), "left")
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            F.count("*").alias("n_orders"),
-            R(F.sum("o_totalprice")).alias("total_revenue"),
+            F.sum("cust_orders").alias("n_orders"),
+            R(F.sum("rev_cents") / 100.0).alias("total_revenue"),
             F.count_distinct("c_custkey").alias("n_customers"),
         )
         .orderBy("region_name")
