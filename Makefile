@@ -1,4 +1,12 @@
-.PHONY: test oracle oracle-smoke bench smoke
+.PHONY: test oracle oracle-smoke bench smoke scale-data bench-scale
+
+# 10x scale-up of sf0.1 (key-offset replication) + bench on it — the
+# docs/SCALING.md evidence pipeline
+scale-data:
+	python tools/make_scale_data.py --src /root/testdata/sf0.1 --out /tmp/sfscale10 --factor 10
+
+bench-scale: scale-data
+	SPARK_GRAFT_SF_DIR=/tmp/sfscale10 python bench.py 2>/dev/null
 
 test:
 	python -m pytest tests/ -q

@@ -65,6 +65,8 @@ def build_reference_dag(sf_dir: str, mart_dir: str | None = None) -> ModelRegist
 
     @reg.model("fct_orders_enriched", deps=["stg_orders", "stg_customers"])
     def fct_orders_enriched(spark, stg_orders, stg_customers):
-        return stg_orders.join(F.broadcast(stg_customers), "customer_id", "left")
+        # no broadcast hint: customers grow with SF — AQE picks broadcast at
+        # small scale, a co-partitioned shuffle join at large
+        return stg_orders.join(stg_customers, "customer_id", "left")
 
     return reg

@@ -53,3 +53,30 @@ def test_flagship_has_mapside_combine_and_codegen(spark):
     df.collect()  # finalize the adaptive plan
     # '*(n)' prefixes mark WholeStageCodegen spans in the simple plan string
     assert "*(" in _plan(df)
+
+
+def test_enrich_join_aggregates_before_customer_join(spark):
+    """join_enrich_left must reduce orders to per-customer rows BEFORE the
+    customer join (the fact table never shuffles row-level against a table
+    that grows with SF), and must read only the two customer columns it
+    needs."""
+    plan = _plan(QUERIES["join_enrich_left"](spark, SF_SMOKE))
+    agg_pos = plan.find("partial_count")
+    assert agg_pos != -1, "no map-side partial aggregate in the plan"
+    # column pruning on the customer scan
+    assert "struct<c_custkey:bigint,c_nationkey:int>" in plan
+
+
+def test_top_n_salted_two_stage(spark):
+    """win_top_n_per_group runs the salted local-rank stage (partition key
+    includes the salt expression) before the global rank — no unbounded
+    single-partition-per-priority window over the fact table."""
+    plan = _plan(QUERIES["win_top_n_per_group"](spark, SF_SMOKE))
+    assert "pmod" in plan, "salted local window stage missing"
+    # results still correct: exactly 3 per priority, ranks 1..3
+    rows = QUERIES["win_top_n_per_group"](spark, SF_SMOKE).collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(r["rank_in_priority"])
+    for p, ranks in by_p.items():
+        assert sorted(ranks) == [1, 2, 3], (p, ranks)
