@@ -64,6 +64,27 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str 
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sort-within-bucket) managed
+    table. Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle (and without a sort, if sorted): the join's
+    ClusteredDistribution is satisfied by the on-disk layout. This is the
+    pre-shuffle trade for fact⋈fact joins repeated across runs at 100 TB —
+    pay the shuffle once at write time, never at read time
+    (tests/test_partitioning.py asserts the Exchange-free join plan)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
 def _evolve(target: DataFrame, source: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Align schemas: add source-only columns to target (NULL) and
     target-only columns to source (NULL) — BigQuery-style additive evolution."""
