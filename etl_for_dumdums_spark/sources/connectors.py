@@ -297,3 +297,33 @@ class OuraTokenSource(Source):
                 row[f"contributor_{c}"] = contributors.get(c)
             rows.append(row)
         return spark.createDataFrame(rows, schema=self.schema)
+
+
+def with_retries(
+    transport: Transport,
+    max_attempts: int = 4,
+    base_delay: float = 0.5,
+    retry_on: tuple = (ConnectionError, TimeoutError),
+    sleep=None,
+) -> Transport:
+    """Wrap a transport with exponential-backoff retries — the resilience
+    layer every reference source relies on requests/the API SDK for. Only
+    transient transport errors retry; API-level errors (e.g. a GraphQL
+    ``errors`` payload) surface immediately since they are deterministic.
+    ``sleep`` is injectable for tests."""
+    import time as _time
+
+    do_sleep = sleep or _time.sleep
+
+    def wrapped(url: str, params: dict) -> TransportResponse:
+        attempt = 0
+        while True:
+            try:
+                return transport(url, params)
+            except retry_on:
+                attempt += 1
+                if attempt >= max_attempts:
+                    raise
+                do_sleep(base_delay * (2 ** (attempt - 1)))
+
+    return wrapped

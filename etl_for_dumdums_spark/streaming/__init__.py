@@ -68,3 +68,29 @@ def incremental_batch_sync(
 
     df = source_df.filter(lookback_filter) if lookback_filter is not None else source_df
     merge_table(spark, df, target_path, primary_key)
+
+
+def dedup_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    key_cols: list[str] | None = None,
+    watermark: str = "3 days",
+    query_name: str = "events_deduped",
+) -> StreamingQuery:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so dedup state is O(keys-per-watermark-window),
+    never O(all keys ever seen) — the requirement for an unbounded stream.
+    Complements streaming/stateful.py's applyInPandasWithState variant
+    (custom per-key logic) with the engine-native operator.
+    """
+    key_cols = key_cols or ["event_id"]
+    events = spark.readStream.schema(schema).parquet(path)
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

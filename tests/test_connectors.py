@@ -219,3 +219,36 @@ def test_run_sync_idempotent_per_connector(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 3
     assert got.filter("id = 'slp-3'").collect()[0]["score"] == 55
+
+
+def test_with_retries_backs_off_then_succeeds(spark):
+    from etl_for_dumdums_spark.sources.connectors import with_retries
+
+    calls = {"n": 0}
+    delays = []
+
+    def flaky(url, params):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return TransportResponse({"data": [], "next_token": None})
+
+    t = with_retries(flaky, max_attempts=4, base_delay=0.1, sleep=delays.append)
+    resp = t("u", {})
+    assert resp.json()["data"] == []
+    assert calls["n"] == 3
+    assert delays == [0.1, 0.2]  # exponential backoff
+
+
+def test_with_retries_exhausts(spark):
+    from etl_for_dumdums_spark.sources.connectors import with_retries
+
+    def dead(url, params):
+        raise TimeoutError("down")
+
+    t = with_retries(dead, max_attempts=3, base_delay=0, sleep=lambda s: None)
+    try:
+        t("u", {})
+        raise AssertionError("expected TimeoutError")
+    except TimeoutError:
+        pass

@@ -42,3 +42,26 @@ def test_incremental_batch_sync_idempotent(spark, tmp_store):
     incremental_batch_sync(spark, df, tmp_store, "id")
     incremental_batch_sync(spark, df, tmp_store, "id")  # overlapping window
     assert spark.read.parquet(tmp_store).count() == 2
+
+
+def test_dedup_event_stream_drops_duplicates(spark, tmp_path):
+    from etl_for_dumdums_spark.streaming import dedup_event_stream
+
+    src = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        .limit(500)
+    )
+    # duplicate every event (same event_id) — the at-least-once delivery shape
+    doubled = src.unionByName(src)
+    stream_dir = str(tmp_path / "dup_stream")
+    doubled.write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    q = dedup_event_stream(spark, stream_dir, schema, query_name="t_dedup")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
+    finally:
+        q.stop()
+    assert got["n"] == got["d"] == src.count()
