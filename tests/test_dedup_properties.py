@@ -1,0 +1,57 @@
+"""Property tests for the dedup canonicalization semantics.
+
+The reorder-robust fingerprint (sorted distinct token set) must be
+invariant under token permutation and duplication, while the exact digest
+must not be — the defining contract separating the two dedup families.
+Hypothesis generates the corpora; Spark evaluates every case in ONE job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_token = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+_doc = st.lists(_token, min_size=1, max_size=8)
+
+
+def _spark_fingerprints(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))),
+        )
+    )
+    return [r["fp"] for r in df.select(fp.alias("fp")).orderBy("doc_id").collect()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=6), seed=st.integers(0, 2**16))
+def test_fingerprint_invariant_under_permutation_and_duplication(spark, docs, seed):
+    rng = random.Random(seed)
+    originals = [" ".join(toks) for toks in docs]
+    # permute tokens AND duplicate a random token: same distinct-token set
+    mutated = []
+    for toks in docs:
+        m = list(toks) + [rng.choice(toks)]
+        rng.shuffle(m)
+        mutated.append(" ".join(m))
+
+    fps = _spark_fingerprints(spark, originals + mutated)
+    n = len(docs)
+    assert fps[:n] == fps[n:], "fingerprint changed under permutation/duplication"
+
+    # the canonical form matches an independent Python implementation
+    for text, fp in zip(originals, fps[:n]):
+        canon = " ".join(sorted(set(text.lower().strip().split())))
+        assert fp == hashlib.md5(canon.encode()).hexdigest()
+
+    # while the EXACT digest distinguishes any literal change
+    for o, m in zip(originals, mutated):
+        if o != m:
+            assert hashlib.md5(o.encode()).hexdigest() != hashlib.md5(m.encode()).hexdigest()
