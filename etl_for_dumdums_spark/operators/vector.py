@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _round_half_away(a):
+    """round() in Spark/DuckDB is half-AWAY-from-zero; numpy's rint/round are
+    half-even — quantization must match the engines or a .5-boundary vector
+    lands in a different integer cell than the catalog queries."""
+    import numpy as np
+
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
 _OUT_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.LongType()),
@@ -63,7 +72,7 @@ def cosine_topk_vectorized(
         raise ValueError("no query vectors found for the given ids")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array(
-        [np.round(np.asarray(r[1], dtype=np.float64) * 1000) for r in qrows],
+        [_round_half_away(np.asarray(r[1], dtype=np.float64) * 1000) for r in qrows],
         dtype=np.int64,
     )
     q_norm = (q_mat * q_mat).sum(axis=1)
@@ -75,7 +84,7 @@ def cosine_topk_vectorized(
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.rint(
+            mat = _round_half_away(
                 np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64) * 1000
             ).astype(np.int64)
             norms = (mat * mat).sum(axis=1)
