@@ -180,6 +180,11 @@ def run_schema_tests(built: dict) -> list[CheckResult]:
     for model, fn, args, kwargs in declared_tests():
         if model not in built:
             continue
+        parents = [
+            a.split(":", 1)[1] for a in args if isinstance(a, str) and a.startswith("parent:")
+        ]
+        if any(p not in built for p in parents):
+            continue  # relationship target not in this (partial) build
         resolved = [
             built[a.split(":", 1)[1]] if isinstance(a, str) and a.startswith("parent:") else a
             for a in args
