@@ -354,3 +354,69 @@ def sim_label_cohesion(spark, sf_dir):
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: the dedup flavor of ANN (brief's fifth dedup
+# family made explicit). Candidate pairs come only from sign-LSH buckets
+# (never all-pairs); pairs above the near-dup threshold form drop groups —
+# keep the lowest vec_id per group, count the rest as duplicates. Union-find
+# is approximated scalably as "drop every vector that has ANY smaller-id
+# near-dup partner" (one aggregation over the pair list) — at 100 TB this is
+# the standard single-pass dedup reduction; exact connected components would
+# be an iterative join (GraphFrames/Pregel) only needed for transitive-merge
+# semantics.
+# ---------------------------------------------------------------------------
+_NEARDUP_COS = 0.55
+
+
+@register(
+    "dedup_embedding_neardup",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
+             {_bucket_sql(_IVEC_SQL)} AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+      FROM iv a JOIN iv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm) >= {_NEARDUP_COS})
+    SELECT count(DISTINCT dup_id)                    AS n_docs_dropped,
+           count(DISTINCT keep_id)                   AS n_docs_with_dups,
+           count(*)                                  AS n_neardup_pairs,
+           (SELECT count(*) FROM iv) - count(DISTINCT dup_id) AS n_docs_kept
+    FROM pairs
+    """,
+)
+def dedup_embedding_neardup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = t.embeddings.select(
+        "vec_id",
+        F.expr(_IVEC_SPARK).alias("v"),
+        F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
+        F.expr(_bucket_spark(_IVEC_SPARK)).alias("bucket"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).filter(
+        F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+        / F.sqrt(F.col("a.nrm") * 1.0 * F.col("b.nrm"))
+        >= _NEARDUP_COS
+    ).select(F.col("a.vec_id").alias("keep_id"), F.col("b.vec_id").alias("dup_id"))
+    totals = t.embeddings.agg(F.count("*").alias("n_total"))
+    return (
+        pairs.agg(
+            F.count_distinct("dup_id").alias("n_docs_dropped"),
+            F.count_distinct("keep_id").alias("n_docs_with_dups"),
+            F.count("*").alias("n_neardup_pairs"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_docs_dropped",
+            "n_docs_with_dups",
+            "n_neardup_pairs",
+            (F.col("n_total") - F.col("n_docs_dropped")).alias("n_docs_kept"),
+        )
+    )
