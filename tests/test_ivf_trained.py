@@ -1,0 +1,47 @@
+"""Trained-centroid IVF: deterministic under a fixed seed, and recall@k
+against the exact brute-force path is high on the fixture embeddings."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_SMOKE
+
+pytest.importorskip("pyspark.ml.clustering")
+
+
+def _brute(spark, query_ids, k):
+    from etl_for_dumdums_spark.operators.vector import cosine_topk_vectorized
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    return cosine_topk_vectorized(emb, query_ids=query_ids, k=k)
+
+
+def test_ivf_trained_deterministic_and_high_recall(spark):
+    from etl_for_dumdums_spark.operators.ivf import ivf_topk, train_ivf_index
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = list(range(10))
+    k = 5
+
+    a1, c1 = train_ivf_index(emb, k=4, seed=7)
+    a2, c2 = train_ivf_index(emb, k=4, seed=7)
+    assert c1 == c2  # fixed seed → identical centroids
+    assert a1.orderBy("vec_id").collect() == a2.orderBy("vec_id").collect()
+
+    got = ivf_topk(emb, a1, query_ids=queries, k=k).collect()
+    exact = _brute(spark, queries, k).collect()
+
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    # single-probe IVF on 4 clusters of 500 vectors: most true neighbors
+    # share the query's cluster
+    assert recall >= 0.5, f"recall {recall}"
+
+    # scoring parity: every pair IVF did find carries the exact cosine
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
