@@ -59,23 +59,57 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    nprobe: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Top-k cosine neighbors per query, probing only the query's bucket.
+    """Top-k cosine neighbors per query, probing the query's own bucket
+    (``nprobe=1``) or its ``nprobe`` nearest centroid buckets (pass the
+    trained ``centroids``) — the standard recall/cost dial.
 
     Same quantized-integer scoring and tie-breaks as the exact brute-force
     path, so results differ from it only by IVF recall (missed neighbors in
-    other buckets), never by scoring noise."""
+    unprobed buckets), never by scoring noise."""
     iv = embeddings.select(
         F.col(id_col),
         F.expr(_IVEC.format(c=vec_col)).alias("v"),
         F.expr(_NORM.format(v=_IVEC.format(c=vec_col))).alias("nrm"),
     ).join(assignments, id_col)
-    queries = iv.filter(F.col(id_col).isin(query_ids)).select(
+    base_queries = iv.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
+    if nprobe > 1:
+        if centroids is None:
+            raise ValueError("nprobe > 1 requires the trained centroids")
+        # (query, probed bucket) pairs: rank centroids by exact integer L2
+        # against each query vector; tiny (|queries| x k) cross join
+        spark = embeddings.sparkSession
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], ["cbucket", "cvec"]
+        ).select(
+            "cbucket",
+            F.expr(_IVEC.format(c="cvec")).alias("cv"),
+            F.expr(_NORM.format(v=_IVEC.format(c="cvec"))).alias("cnrm"),
+        )
+        ranked = base_queries.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "qv",
+            "qnrm",
+            "cbucket",
+            (
+                F.col("qnrm") + F.col("cnrm") - 2 * F.expr(_DOT.format(a="qv", b="cv"))
+            ).alias("dist"),
+        )
+        wq = Window.partitionBy("query_id").orderBy("dist", "cbucket")
+        queries = (
+            ranked.withColumn("probe_rank", F.row_number().over(wq))
+            .filter(F.col("probe_rank") <= nprobe)
+            .select("query_id", "qv", "qnrm", F.col("cbucket").alias("qbucket"))
+        )
+    else:
+        queries = base_queries
     scored = F.broadcast(queries).join(
         iv,
         (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),

@@ -45,3 +45,24 @@ def test_ivf_trained_deterministic_and_high_recall(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cosine"] == exact_scores[key]
+
+
+def test_nprobe_increases_recall(spark):
+    from etl_for_dumdums_spark.operators.ivf import ivf_topk, train_ivf_index
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = list(range(10))
+    k = 5
+    assigned, centroids = train_ivf_index(emb, k=4, seed=7)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in _brute(spark, queries, k).collect()}
+
+    def recall(nprobe):
+        got = ivf_topk(
+            emb, assigned, query_ids=queries, k=k, nprobe=nprobe, centroids=centroids
+        ).collect()
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+        return len(pairs & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1, (r1, r4)
+    assert r4 == 1.0  # probing ALL buckets = exact brute force recall
