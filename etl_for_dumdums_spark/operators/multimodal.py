@@ -115,3 +115,58 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "payload")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_payload(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize an image payload.
+
+    STUB: real resizing needs PIL/opencv (not in this container). With
+    ``fake=True`` returns a deterministic pseudo-payload sized
+    proportionally to the target area, derived from the source digest — so
+    downstream size/batch behavior is realistic and reproducible."""
+    if not fake:
+        raise NotImplementedError("image codecs unavailable in this environment")
+    seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
+    target_len = max(16, (width * height) // 64)
+    reps = target_len // len(seed) + 1
+    return (seed * reps)[:target_len]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_resize: bool = True
+) -> DataFrame:
+    """mapInPandas resize over Arrow batches: image rows only (filter pushes
+    to the scan), payload-in/payload-out with the new dimensions attached.
+    Swap ``resize_payload`` for a real kernel in production — the Spark
+    plumbing (schema, batching, filter pushdown) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(
+                        lambda p: resize_payload(p, width, height, fake=fake_resize)
+                        if p is not None
+                        else None
+                    ),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=RESIZE_SCHEMA)
+    )

@@ -94,3 +94,19 @@ def test_media_metadata_stats_prunes_payload(spark):
 def test_sample_frames_explodes_timestamps(spark):
     frames = sample_frames(_media_df(spark), every_ms=1000).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_stub_contract(spark):
+    from etl_for_dumdums_spark.operators.multimodal import resize_images, resize_payload
+
+    with pytest.raises(NotImplementedError):
+        resize_payload(b"x", 8, 8)
+    out = resize_images(_media_df(spark), width=16, height=16).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert set(by_id) == {1, 2}  # image rows only
+    assert by_id[1]["width"] == by_id[1]["height"] == 16
+    # deterministic per (payload, target) and sized to the target area
+    again = {r["media_id"]: r for r in resize_images(_media_df(spark), 16, 16).collect()}
+    assert by_id[1]["payload"] == again[1]["payload"]
+    assert len(by_id[1]["payload"]) == max(16, (16 * 16) // 64)
+    assert by_id[1]["payload"] != by_id[2]["payload"]
