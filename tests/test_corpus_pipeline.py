@@ -1,0 +1,51 @@
+"""End-to-end corpus-cleaning pipeline over the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_for_dumdums_spark.operators.corpus import attrition_report, clean_corpus
+
+from .conftest import SF_SMOKE
+
+
+def test_clean_corpus_invariants(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cleaned = clean_corpus(docs)
+    rows = cleaned.collect()
+    assert 0 < len(rows) < docs.count()
+
+    # every survivor passed every gate
+    assert all(r["predicted_lang"] == "en" for r in rows)
+    assert all(r["quality_bucket"] == "ok" for r in rows)
+    assert all(r["n_tokens"] >= 20 for r in rows)
+
+    # no surviving exact or fingerprint duplicates
+    n = cleaned.count()
+    assert cleaned.select(F.md5("text")).distinct().count() == n
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+        )
+    )
+    assert cleaned.select(fp.alias("fp")).distinct().count() == n
+
+    # deterministic: same input → same survivor set
+    again = {r["doc_id"] for r in clean_corpus(docs).collect()}
+    assert {r["doc_id"] for r in rows} == again
+
+    # dedup keeps the LOWEST doc_id of each duplicate group: every dropped
+    # doc whose digest survives must have a smaller surviving doc_id
+    report = attrition_report(docs, cleaned).collect()[0]
+    assert report["n_raw"] == docs.count()
+    assert report["n_kept"] == n
+    assert report["n_dropped"] == report["n_raw"] - n
+    assert 0 < report["keep_rate_pct"] < 100
+
+
+def test_clean_corpus_plan_is_two_shuffles(spark):
+    """The row-local gates add no exchanges; only the two digest windows
+    shuffle (plus nothing else before the output)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = clean_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
