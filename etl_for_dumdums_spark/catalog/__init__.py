@@ -30,8 +30,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 # Extra tier: legacy/redundant forms kept fully runnable and oracle-checked
-# locally (tools/check_oracle.py --extra, pytest) but not driver-registered —
-# their operators are covered by a consolidated QUERIES entry.
+# locally (tools/check_oracle.py checks both tiers by default; --driver-only
+# restricts to the 50 the driver sees) but not driver-registered — their
+# operators are covered by a consolidated QUERIES entry.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 EXTRA_ORACLE: dict[str, str] = {}
 

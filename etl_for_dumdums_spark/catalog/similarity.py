@@ -13,7 +13,9 @@ Scale design (100 TB):
     partition, single reduce — never a full n×m shuffle;
   * bucketed: bucket id = sign bits of the leading dimensions (a fixed
     random-hyperplane LSH in production); candidate pairs only join within
-    a bucket, trading recall for sum(bucket²) cost;
+    a bucket, and buckets above _MAX_SIM_BUCKET are excluded from the pair
+    join (sized once, both engines) so the sum(bucket²) cost is hard-bounded
+    no matter how the corpus grows;
   * at 100 TB the embedding column would be stored as a fixed-size binary
     and the dot product vectorized via a Pandas UDF over Arrow batches —
     here the data fits the built-in higher-order functions.
@@ -148,8 +150,16 @@ def sim_topk_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Pairwise similarity threshold within sign-LSH buckets (the scale path).
 # Bucket = sign pattern of the first 8 dimensions.
+#
+# Hot-bucket cap (same class of fix as dedup._MAX_BUCKET / _MAX_SHINGLE_DF):
+# bucket population grows linearly with corpus size, so an uncapped bucket
+# self-join is O(bucket²) with no escape valve. We size every bucket once
+# (256-row aggregate) and exclude buckets above _MAX_SIM_BUCKET from the
+# pair join, identically in both engines. At production scale the sign-bit
+# count would also grow with log(n); the cap is the hard bound either way.
 # ---------------------------------------------------------------------------
 _SIGN_BITS = 8
+_MAX_SIM_BUCKET = 64
 
 
 def _bucket_sql(v: str) -> str:
@@ -160,6 +170,30 @@ def _bucket_spark(v: str) -> str:
     return " + ".join(f"(CASE WHEN element_at({v}, {i + 1}) >= 0 THEN {2**i} ELSE 0 END)" for i in range(_SIGN_BITS))
 
 
+def _bucketed_ivecs(t):
+    """Embeddings quantized + sign-bucketed: (vec_id, v, nrm, bucket)."""
+    return t.embeddings.select(
+        "vec_id",
+        F.expr(_IVEC_SPARK).alias("v"),
+        F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
+        F.expr(_bucket_spark(_IVEC_SPARK)).alias("bucket"),
+    )
+
+
+def _cap_buckets(iv, max_bucket: int):
+    """Split iv into (rows in small buckets + their size, hot-bucket sizes).
+
+    One tiny aggregate (≤2^_SIGN_BITS rows, broadcast back) sizes every
+    bucket; only rows in buckets ≤ max_bucket enter any self-join.
+    """
+    sizes = iv.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    small = iv.join(
+        F.broadcast(sizes.filter(F.col("bucket_size") <= max_bucket)), "bucket", "inner"
+    )
+    hot = sizes.filter(F.col("bucket_size") > max_bucket)
+    return small, hot
+
+
 @register(
     "sim_lsh_bucketed",
     sql=f"""
@@ -167,32 +201,33 @@ def _bucket_spark(v: str) -> str:
       SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
              {_bucket_sql(_IVEC_SQL)} AS bucket
       FROM embeddings),
+    sizes AS (SELECT bucket, count(*) AS bucket_size FROM iv GROUP BY bucket),
+    small AS (
+      SELECT iv.*, s.bucket_size FROM iv JOIN sizes s USING (bucket)
+      WHERE s.bucket_size <= {_MAX_SIM_BUCKET}),
     pairs AS (
-      SELECT a.bucket,
+      SELECT a.bucket, a.bucket_size,
              round({_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm), {DP}) AS cosine
-      FROM iv a JOIN iv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT bucket, count(*) AS n_pairs,
+      FROM small a JOIN small b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT bucket, bucket_size, count(*) AS n_pairs,
            CAST(count_if(cosine >= 0.2) AS BIGINT) AS n_similar,
            round(max(cosine), {DP}) AS max_cosine
-    FROM pairs GROUP BY bucket
+    FROM pairs GROUP BY bucket, bucket_size
     HAVING count(*) >= 5
     ORDER BY bucket
     """,
 )
-def sim_lsh_bucketed(spark, sf_dir):
+def sim_lsh_bucketed(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
     t = Tables(spark, sf_dir)
-    iv = t.embeddings.select(
-        "vec_id",
-        F.expr(_IVEC_SPARK).alias("v"),
-        F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
-        F.expr(_bucket_spark(_IVEC_SPARK)).alias("bucket"),
-    )
-    a = iv.alias("a")
-    b = iv.alias("b")
+    iv = _bucketed_ivecs(t)
+    small, _hot = _cap_buckets(iv, max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).select(
         F.col("a.bucket").alias("bucket"),
+        F.col("a.bucket_size").alias("bucket_size"),
         F.round(
             F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
             / F.sqrt(F.col("a.nrm") * 1.0 * F.col("b.nrm")),
@@ -200,7 +235,7 @@ def sim_lsh_bucketed(spark, sf_dir):
         ).alias("cosine"),
     )
     return (
-        pairs.groupBy("bucket")
+        pairs.groupBy("bucket", "bucket_size")
         .agg(
             F.count("*").alias("n_pairs"),
             F.count_if(F.col("cosine") >= 0.2).alias("n_similar"),
@@ -365,7 +400,9 @@ def sim_label_cohesion(spark, sf_dir):
 # near-dup partner" (one aggregation over the pair list) — at 100 TB this is
 # the standard single-pass dedup reduction; exact connected components would
 # be an iterative join (GraphFrames/Pregel) only needed for transitive-merge
-# semantics.
+# semantics. Hot buckets are excluded from the pair join via _MAX_SIM_BUCKET
+# (sized once, same cap in both engines) and reported as
+# n_hot_buckets_skipped, mirroring dedup_minhash_lsh.
 # ---------------------------------------------------------------------------
 _NEARDUP_COS = 0.55
 
@@ -378,26 +415,28 @@ _NEARDUP_COS = 0.55
       SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
              {_bucket_sql(_IVEC_SQL)} AS bucket
       FROM embeddings),
+    sizes AS (SELECT bucket, count(*) AS bucket_size FROM iv GROUP BY bucket),
+    small AS (
+      SELECT iv.* FROM iv JOIN sizes USING (bucket)
+      WHERE bucket_size <= {_MAX_SIM_BUCKET}),
     pairs AS (
       SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
-      FROM iv a JOIN iv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM small a JOIN small b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE {_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm) >= {_NEARDUP_COS})
     SELECT count(DISTINCT dup_id)                    AS n_docs_dropped,
            count(DISTINCT keep_id)                   AS n_docs_with_dups,
            count(*)                                  AS n_neardup_pairs,
-           (SELECT count(*) FROM iv) - count(DISTINCT dup_id) AS n_docs_kept
+           (SELECT count(*) FROM iv) - count(DISTINCT dup_id) AS n_docs_kept,
+           (SELECT count(*) FROM sizes WHERE bucket_size > {_MAX_SIM_BUCKET})
+             AS n_hot_buckets_skipped
     FROM pairs
     """,
 )
-def dedup_embedding_neardup(spark, sf_dir):
+def dedup_embedding_neardup(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
     t = Tables(spark, sf_dir)
-    iv = t.embeddings.select(
-        "vec_id",
-        F.expr(_IVEC_SPARK).alias("v"),
-        F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
-        F.expr(_bucket_spark(_IVEC_SPARK)).alias("bucket"),
-    )
-    a, b = iv.alias("a"), iv.alias("b")
+    iv = _bucketed_ivecs(t)
+    small, hot = _cap_buckets(iv, max_bucket)
+    a, b = small.alias("a"), small.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).filter(
@@ -413,10 +452,12 @@ def dedup_embedding_neardup(spark, sf_dir):
             F.count("*").alias("n_neardup_pairs"),
         )
         .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(hot.agg(F.count("*").alias("n_hot_buckets_skipped"))))
         .select(
             "n_docs_dropped",
             "n_docs_with_dups",
             "n_neardup_pairs",
             (F.col("n_total") - F.col("n_docs_dropped")).alias("n_docs_kept"),
+            "n_hot_buckets_skipped",
         )
     )

@@ -98,11 +98,17 @@ def cosine_topk_vectorized(
                 cand_idx = np.nonzero(mask)[0]
                 if not len(cand_idx):
                     continue
-                # per-batch partial top-k (keeps the shuffle tiny); ties on
-                # cosine resolved later by neighbor_id in the global window,
-                # so keep a few extra candidates to make ties deterministic
-                take = min(len(cand_idx), k + 8)
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:take]]
+                # per-batch partial top-k (keeps the shuffle tiny). The
+                # global window ranks by the ROUNDED cosine with neighbor_id
+                # as tie-break, so the local cut must select on the same
+                # rounded value and keep EVERY row tying with the k-th one —
+                # a fixed k+ε cut on the unrounded cosine could drop the
+                # lowest-neighbor_id member of a large rounded-tie plateau.
+                scaled = col[cand_idx] * (10.0**round_dp)
+                rr = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+                order = np.argsort(-rr, kind="stable")
+                kth = rr[order[min(k, len(order)) - 1]]
+                top = cand_idx[rr >= kth]
                 out_q.extend([qid] * len(top))
                 out_n.extend(ids[top].tolist())
                 out_c.extend(col[top].tolist())

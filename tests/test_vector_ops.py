@@ -27,6 +27,22 @@ def test_vectorized_matches_exact_brute_force(spark):
     assert len(got) == 10 * 5
 
 
+def test_rounded_tie_plateau_keeps_lowest_neighbor_id(spark):
+    """>k+8 rows tying at the same rounded cosine in ONE batch: the per-batch
+    cut must keep every boundary tie so the global window can pick the lowest
+    neighbor_id — the exact failure mode a fixed k+8 unrounded cut had."""
+    # 14 collinear vectors (cosine exactly 1.0 to the query) with DESCENDING
+    # ids in row order, then the smallest id last; one partition = one batch.
+    rows = [(0, [1.0, 0.0, 0.0])]
+    rows += [(100 + 13 - i, [float(i + 2), 0.0, 0.0]) for i in range(14)]
+    rows += [(50, [9.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1)
+
+    got = cosine_topk_vectorized(emb, query_ids=[0], k=5).collect()
+    assert [r["neighbor_id"] for r in got] == [50, 100, 101, 102, 103]
+    assert all(r["cosine"] == 1.0 for r in got)
+
+
 def test_vectorized_streams_small_batches(spark):
     # repartitioned input exercises per-partition partial top-k + global merge
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").repartition(8)
