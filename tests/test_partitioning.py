@@ -15,9 +15,9 @@ def _formatted(df) -> str:
 
 def test_partitioned_write_prunes(spark, tmp_path):
     out = str(tmp_path / "events_by_month")
-    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    from etl_for_dumdums_spark.catalog import Tables
+
+    events = Tables(spark, SF_SMOKE).events  # adaptive ts load (ns-long or native)
     write_partitioned(
         events.withColumn("event_month", month_start(F.col("ts"))), out, "event_month"
     )

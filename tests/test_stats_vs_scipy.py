@@ -101,11 +101,11 @@ def test_linregress_matches_reference(spark, orders_pdf):
 
 
 def test_ttest_matches_reference(spark):
+    from etl_for_dumdums_spark.catalog import Tables
+
     events = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .selectExpr(
-            "value", "dayofweek(timestamp_micros(CAST(ts DIV 1000 AS BIGINT))) AS dow"
-        )
+        Tables(spark, SF_SMOKE)
+        .events.selectExpr("value", "dayofweek(ts) AS dow")
         .toPandas()
     )
     weekend = events[events.dow.isin([1, 7])]["value"]

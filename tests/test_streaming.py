@@ -10,9 +10,10 @@ from .conftest import SF_SMOKE
 def test_windowed_event_stream_matches_batch(spark, tmp_path):
     # stage the smoke events as a stream source dir (converting the nanos
     # timestamp column so the stream schema is a plain timestamp)
-    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    from etl_for_dumdums_spark.catalog import Tables
+
+    # watermarks require TIMESTAMP (instant), not NTZ — cast at the source
+    src = Tables(spark, SF_SMOKE).events.withColumn("ts", F.col("ts").cast("timestamp"))
     stream_dir = str(tmp_path / "events_stream")
     src.write.parquet(stream_dir)
     schema = spark.read.parquet(stream_dir).schema
@@ -47,9 +48,11 @@ def test_incremental_batch_sync_idempotent(spark, tmp_store):
 def test_dedup_event_stream_drops_duplicates(spark, tmp_path):
     from etl_for_dumdums_spark.streaming import dedup_event_stream
 
+    from etl_for_dumdums_spark.catalog import Tables
+
     src = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        Tables(spark, SF_SMOKE)
+        .events.withColumn("ts", F.col("ts").cast("timestamp"))
         .limit(500)
     )
     # duplicate every event (same event_id) — the at-least-once delivery shape
