@@ -54,9 +54,24 @@ def _ivecs(t):
 # ---------------------------------------------------------------------------
 _TOPK = 5
 
+# Above this corpus size the brute branch switches from JVM higher-order
+# dot products (fine when n is small) to the Arrow/numpy matmul kernel in
+# operators/vector.py — one int64 BLAS multiply per batch, bit-exact with
+# the JVM path (tests/test_vector_ops.py), and the execution you'd want at
+# 100 TB. The row count comes from parquet metadata (no scan).
+_VECTORIZE_MIN_ROWS = 50_000
 
-def _brute_topk(spark, sf_dir):
+
+def _brute_topk(spark, sf_dir, vectorize: bool | None = None):
     t = Tables(spark, sf_dir)
+    if vectorize is None:
+        vectorize = t.embeddings.count() >= _VECTORIZE_MIN_ROWS
+    if vectorize:
+        from ..operators.vector import cosine_topk_vectorized
+
+        return cosine_topk_vectorized(
+            t.embeddings, query_ids=list(range(10)), k=_TOPK, round_dp=DP
+        )
     iv = _ivecs(t)
     q = iv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")

@@ -56,3 +56,21 @@ def test_vectorized_streams_small_batches(spark):
         assert ranks == [1, 2, 3]
         cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_brute_branch_auto_switches_to_vectorized(spark):
+    """sim_topk_cosine's brute branch must route through the matmul kernel
+    above _VECTORIZE_MIN_ROWS, with identical output either way."""
+    from etl_for_dumdums_spark.catalog import load_all
+    from etl_for_dumdums_spark.catalog.similarity import (
+        _VECTORIZE_MIN_ROWS,
+        _brute_topk,
+    )
+
+    load_all()
+    jvm = _brute_topk(spark, SF_SMOKE, vectorize=False).collect()
+    vec = _brute_topk(spark, SF_SMOKE, vectorize=True).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+    assert sorted(map(key, jvm)) == sorted(map(key, vec))
+    # the auto threshold is a real production value, not accidentally tiny
+    assert _VECTORIZE_MIN_ROWS >= 10_000
