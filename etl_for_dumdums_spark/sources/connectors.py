@@ -327,3 +327,231 @@ def with_retries(
                 do_sleep(base_delay * (2 ** (attempt - 1)))
 
     return wrapped
+
+
+# ---------------------------------------------------------------------------
+# Stocks: yfinance-shaped OHLCV download (reference sources/stocks.py)
+# ---------------------------------------------------------------------------
+
+# Sector map = reference config (sources/stocks.py:19-27); the grouping IS
+# the specified semantics (sector enrichment joins depend on it).
+TICKERS_BY_SECTOR = {
+    "Technology": ["AAPL", "MSFT", "NVDA", "GOOGL", "META", "AMD", "CRM"],
+    "Healthcare": ["JNJ", "UNH", "PFE", "ABBV", "MRK", "LLY"],
+    "Energy": ["XOM", "CVX", "COP", "SLB", "OXY", "NEE"],
+    "Industrial": ["CAT", "HON", "BA", "UPS", "GE", "DE"],
+    "Consumer Retail": ["AMZN", "WMT", "COST", "HD", "NKE", "SBUX", "TGT"],
+}
+ALL_TICKERS = [t for ts in TICKERS_BY_SECTOR.values() for t in ts]
+TICKER_TO_SECTOR = {t: s for s, ts in TICKERS_BY_SECTOR.items() for t in ts}
+
+
+class StocksSource(Source):
+    """Daily OHLCV prices with the yfinance MultiIndex→records flattening.
+
+    Protocol (reference sources/stocks.py:72-139): one download call for the
+    whole ticker list over a lookback window; the returned pandas frame has
+    MultiIndex (ticker, field) columns for >1 ticker and flat field columns
+    for exactly 1; tickers absent from the response are skipped. Transform
+    (stocks.py:149-185): composite key ``{ticker}_{date}``, sector lookup,
+    and NaN→NULL scrubbing for every price/volume field — done Spark-side
+    with functions.scrub_nan instead of per-row Python.
+
+    The downloader is injected: ``download(tickers, start, end) -> pandas
+    DataFrame`` (yfinance.download shape). ``today`` is injectable so tests
+    pin the lookback window deterministically.
+    """
+
+    dataset_id = "stocks"
+    table_id = "raw_prices"
+    primary_key = "id"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("ticker", T.StringType(), False),
+            T.StructField("sector", T.StringType()),
+            T.StructField("date", T.StringType(), False),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("adj_close", T.DoubleType()),
+            T.StructField("volume", T.DoubleType()),  # scrubbed → long in transform
+            T.StructField("fetched_at", T.StringType()),
+        ]
+    )
+
+    _FIELDS = {
+        "open": "Open",
+        "high": "High",
+        "low": "Low",
+        "close": "Close",
+        "adj_close": "Adj Close",
+        "volume": "Volume",
+    }
+
+    def __init__(
+        self,
+        download,
+        *,
+        lookback_days: int = 30,
+        tickers: Optional[list] = None,
+        today=None,
+        clock=None,
+    ):
+        self._download = download
+        self.lookback_days = lookback_days
+        self.tickers = list(tickers) if tickers else list(ALL_TICKERS)
+        self._today = today  # date | None
+        self._clock = clock  # () -> iso str | None
+
+    def fetch(self, spark: SparkSession) -> Iterable[dict]:
+        from datetime import date, timedelta
+
+        end = self._today or date.today()
+        start = end - timedelta(days=self.lookback_days)
+        df = self._download(self.tickers, start.isoformat(), end.isoformat())
+        if df is None or df.empty:
+            return []
+        fetched_at = self._clock() if self._clock else datetime.utcnow().isoformat()
+
+        def rec(ticker, date_idx, row):
+            out = {"ticker": ticker, "date": date_idx.strftime("%Y-%m-%d")}
+            for name, src_col in self._FIELDS.items():
+                out[name] = row.get(src_col)
+            out["fetched_at"] = fetched_at
+            return out
+
+        records = []
+        if len(self.tickers) == 1:  # flat columns, no MultiIndex
+            t = self.tickers[0]
+            records.extend(rec(t, idx, row) for idx, row in df.iterrows())
+        else:
+            present = df.columns.get_level_values(0)
+            for t in self.tickers:
+                if t not in present:
+                    continue  # yfinance omits tickers with no data
+                records.extend(rec(t, idx, row) for idx, row in df[t].iterrows())
+        return records
+
+    def transform(self, spark: SparkSession, raw: Iterable[dict]):
+        from pyspark.sql import functions as F
+
+        from ..functions import scrub_nan
+
+        rows = [
+            {
+                "id": f"{r['ticker']}_{r['date']}",
+                "sector": TICKER_TO_SECTOR.get(r["ticker"]),
+                **{k: (float(v) if v is not None else None) if k in self._FIELDS else v
+                   for k, v in r.items()},
+            }
+            for r in raw
+        ]
+        df = spark.createDataFrame(rows, schema=self.schema)
+        for name in self._FIELDS:
+            df = df.withColumn(name, scrub_nan(F.col(name)))
+        return df.withColumn("volume", F.col("volume").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Google Trends: 5-keyword batched interest-over-time (reference
+# sources/trends.py)
+# ---------------------------------------------------------------------------
+
+TRENDS_BATCH = 5  # pytrends payload limit (reference trends.py:83)
+TRENDS_RATE_LIMIT_DELAY = 5  # seconds between batches (trends.py:22)
+
+
+class TrendsSource(Source):
+    """Keyword interest-over-time with the pytrends batching protocol.
+
+    Protocol (reference sources/trends.py:72-132): keywords are fetched in
+    batches of 5 (the pytrends payload cap) with a 5 s inter-batch delay —
+    but NOT after the last batch; a keyword missing from a response frame is
+    skipped; an empty frame skips the whole batch. Transform (trends.py:139
+    -151): key ``{keyword}_{date}_{geo}``, integer interest, geo recorded as
+    'WORLD' when unset.
+
+    ``fetch_batch(keywords, timeframe, geo) -> pandas DataFrame`` is the
+    injected pytrends stand-in (date index, one column per keyword, plus an
+    optional isPartial column). ``sleep`` is injectable so tests assert the
+    rate-limit protocol without waiting.
+    """
+
+    dataset_id = "trends"
+    table_id = "raw_interest_over_time"
+    primary_key = "id"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("keyword", T.StringType(), False),
+            T.StructField("date", T.StringType(), False),
+            T.StructField("interest", T.IntegerType()),
+            T.StructField("is_partial", T.BooleanType()),
+            T.StructField("geo", T.StringType()),
+            T.StructField("fetched_at", T.StringType()),
+        ]
+    )
+
+    def __init__(
+        self,
+        fetch_batch,
+        *,
+        keywords: list,
+        timeframe: str = "today 3-m",
+        geo: str = "US",
+        sleep=None,
+        clock=None,
+    ):
+        if not keywords:
+            raise ValueError("TrendsSource requires a non-empty keyword list")
+        self._fetch_batch = fetch_batch
+        self.keywords = list(keywords)
+        self.timeframe = timeframe
+        self.geo = geo
+        self._sleep = sleep
+        self._clock = clock
+
+    def fetch(self, spark: SparkSession) -> Iterable[dict]:
+        import time as _time
+
+        do_sleep = self._sleep or _time.sleep
+        fetched_at = self._clock() if self._clock else datetime.utcnow().isoformat()
+        out = []
+        for i in range(0, len(self.keywords), TRENDS_BATCH):
+            batch = self.keywords[i : i + TRENDS_BATCH]
+            df = self._fetch_batch(batch, self.timeframe, self.geo)
+            if df is not None and not df.empty:
+                for kw in batch:
+                    if kw not in df.columns:
+                        continue  # keyword dropped from the response
+                    for idx, row in df.iterrows():
+                        out.append(
+                            {
+                                "keyword": kw,
+                                "date": idx,
+                                "interest": row[kw],
+                                "is_partial": bool(row.get("isPartial", False)),
+                                "geo": self.geo or "WORLD",
+                                "fetched_at": fetched_at,
+                            }
+                        )
+            if i + TRENDS_BATCH < len(self.keywords):  # never after the last batch
+                do_sleep(TRENDS_RATE_LIMIT_DELAY)
+        return out
+
+    def transform(self, spark: SparkSession, raw: Iterable[dict]):
+        rows = [
+            {
+                "id": f"{r['keyword']}_{r['date'].strftime('%Y-%m-%d')}_{r['geo']}",
+                "keyword": r["keyword"],
+                "date": r["date"].strftime("%Y-%m-%d"),
+                "interest": int(r["interest"]),
+                "is_partial": r["is_partial"],
+                "geo": r["geo"],
+                "fetched_at": r["fetched_at"],
+            }
+            for r in raw
+        ]
+        return spark.createDataFrame(rows, schema=self.schema)
