@@ -36,6 +36,17 @@ except ImportError:
     _HAS_DELTA = False
 
 
+def _delta_session(spark: SparkSession) -> bool:
+    """True when THIS session was built with the Delta SQL extension —
+    having delta-spark importable is not enough; the extension must be in
+    the session conf for DeltaTable operations to resolve."""
+    try:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:  # pragma: no cover - conf access is never expected to fail
+        return False
+    return "DeltaSparkSessionExtension" in exts
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
@@ -116,16 +127,23 @@ def merge_table(
     """
     target_path = Path(path)
     if not target_path.exists():
-        load_table(source, path, "WRITE_TRUNCATE")
+        if _HAS_DELTA and _delta_session(spark):  # pragma: no cover - optional leg
+            source.write.format("delta").mode("overwrite").save(path)
+        else:
+            load_table(source, path, "WRITE_TRUNCATE")
         return
 
-    target = spark.read.parquet(path)
-    if _HAS_DELTA:  # pragma: no cover - not available in this environment
+    if _HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
+        # Native transactional MERGE (reference lib/bigquery.py:203-212).
+        # Schema evolution rides on spark.databricks.delta.schema.autoMerge
+        # (set by the optional-leg session); reader isolation comes from the
+        # Delta log instead of the parquet-swap below.
         DeltaTable.forPath(spark, path).alias("t").merge(
             source.alias("s"), f"t.{primary_key} = s.{primary_key}"
         ).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
         return
 
+    target = spark.read.parquet(path)
     target, source = _evolve(target, source)
     kept = target.join(source.select(primary_key), on=primary_key, how="left_anti")
     merged = kept.unionByName(source)

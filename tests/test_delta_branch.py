@@ -45,6 +45,12 @@ class _FakeDeltaTable:
         _FakeDeltaTable.instances.append(self)
 
     @classmethod
+    def isDeltaTable(cls, spark, path):
+        # the double stands in for a real Delta target (which would carry a
+        # _delta_log); detection is part of the pinned wiring
+        return True
+
+    @classmethod
     def forPath(cls, spark, path):
         return cls(path)
 
