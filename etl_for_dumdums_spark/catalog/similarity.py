@@ -54,6 +54,15 @@ def _ivecs(t):
 # ---------------------------------------------------------------------------
 _TOPK = 5
 
+# Fixed query workload: ANN serves a BOUNDED query set per job. The IVF
+# branch's %-sample alone would grow the query count linearly with the
+# corpus, making total pair work O(n²/K) — the same scale hazard as an
+# uncapped LSH bucket. With the id bound the per-job cost is |queries| ×
+# n/K: linear in n. The bound covers every driver SF's full id space (max
+# vec_id 1999 at sf0.1), so oracle results are unchanged; it binds only on
+# scaled-up corpora.
+_IVF_MAX_QUERY_ID = 2000
+
 # Above this corpus size the brute branch switches from JVM higher-order
 # dot products (fine when n is small) to the Arrow/numpy matmul kernel in
 # operators/vector.py — one int64 BLAS multiply per batch, bit-exact with
@@ -122,7 +131,8 @@ def _brute_topk(spark, sf_dir, vectorize: bool | None = None):
                  AS rnk
         FROM iv CROSS JOIN centroids c)
       WHERE rnk = 1),
-    iqueries AS (SELECT * FROM assigned WHERE vec_id % 100 = 7),
+    iqueries AS (SELECT * FROM assigned
+                 WHERE vec_id % 100 = 7 AND vec_id < {_IVF_MAX_QUERY_ID}),
     iscored AS (
       SELECT q.vec_id AS query_id, q.cid AS bucket, a.vec_id AS neighbor_id,
              round({_DOT_SQL.format(a='q.v', b='a.v')} / sqrt(q.nrm * 1.0 * a.nrm), {DP})
@@ -289,7 +299,8 @@ _IVF_TOPK = 3
                  AS rnk
         FROM iv CROSS JOIN centroids c)
       WHERE rnk = 1),
-    queries AS (SELECT * FROM assigned WHERE vec_id % 100 = 7),
+    queries AS (SELECT * FROM assigned
+                WHERE vec_id % 100 = 7 AND vec_id < {_IVF_MAX_QUERY_ID}),
     scored AS (
       SELECT q.vec_id AS query_id, q.cid AS bucket, a.vec_id AS neighbor_id,
              round({_DOT_SQL.format(a='q.v', b='a.v')} / sqrt(q.nrm * 1.0 * a.nrm), {DP})
@@ -332,7 +343,9 @@ def sim_ivf_topk(spark, sf_dir):
         .filter(F.col("rnk") == 1)
         .select("vec_id", "v", "nrm", "cid")
     )
-    queries = assigned.filter(F.col("vec_id") % 100 == 7).select(
+    queries = assigned.filter(
+        (F.col("vec_id") % 100 == 7) & (F.col("vec_id") < _IVF_MAX_QUERY_ID)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),

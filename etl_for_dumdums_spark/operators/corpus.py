@@ -6,11 +6,15 @@ operators exist for, composed as one lazy DataFrame plan.
       → quality gate (length / stopword / type-token heuristics)
       → exact dedup (md5 digest, keep lowest doc_id)
       → near-dup drop (sorted-token fingerprint, keep lowest doc_id)
+      → [optional] banded MinHash-LSH near-dup drop
       → cleaned corpus + per-stage attrition report
 
-Everything is native column expressions + two digest group-bys — a single
+Everything is native column expressions + digest group-bys — a single
 pipeline whose shuffle count does not depend on corpus size (2 digest
-shuffles + 1 final report aggregation), so it runs unchanged at 100 TB.
+shuffles + 1 final report aggregation by default; the optional MinHash
+stage adds a signature aggregation and a hot-bucket-capped band self-join,
+the same bounded shape as catalog/dedup.py's dedup_minhash_lsh), so it
+runs unchanged at 100 TB.
 """
 
 from __future__ import annotations
@@ -31,10 +35,65 @@ def _hits(lang: str):
     return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
 
 
+_MINHASH_N_SIG = 8
+_MINHASH_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
+_MINHASH_MAX_BUCKET = 64  # same escape valve as catalog/dedup.py _MAX_BUCKET
+
+
+def minhash_neardup_candidates(
+    docs: DataFrame, max_bucket: int = _MINHASH_MAX_BUCKET
+) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (da < db) over a (doc_id, text)
+    frame — the reusable operator form of catalog/dedup.py's
+    dedup_minhash_lsh plan: 8 md5-min signatures, 4 bands × 2 rows, one
+    band-struct explode, and buckets above ``max_bucket`` excluded from the
+    O(bucket²) self-join."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"s{i}")
+            for i in range(_MINHASH_N_SIG)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat(F.col(f"s{a}"), F.col(f"s{b}"))).alias("key"),
+            )
+            for bi, (a, b) in enumerate(_MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_size"))
+    small = bands.join(
+        sizes.filter(F.col("bucket_size") <= max_bucket), ["band", "key"], "inner"
+    ).select("doc_id", "band", "key")
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
 def clean_corpus(
     documents: DataFrame,
     keep_langs: tuple[str, ...] = ("en",),
     min_tokens: int = 20,
+    minhash_neardup: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus with per-row provenance columns:
     (doc_id, text, predicted_lang, n_tokens, quality_bucket).
@@ -77,21 +136,31 @@ def clean_corpus(
         )
     )
     w_fp = Window.partitionBy(fp).orderBy("doc_id")
-    return (
+    deduped = (
         exact.withColumn("_rn", F.row_number().over(w_fp))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text", "predicted_lang", "n_tokens", "quality_bucket")
     )
+    if not minhash_neardup:
+        return deduped
+    # optional banded-LSH stage: drop every doc with ANY smaller-id bucket
+    # mate (the single-pass dedup reduction, as in dedup_embedding_neardup)
+    cand = minhash_neardup_candidates(deduped)
+    drops = cand.select(F.col("db").alias("doc_id")).distinct()
+    return deduped.join(drops, "doc_id", "left_anti")
 
 
-def attrition_report(documents: DataFrame, cleaned: DataFrame) -> DataFrame:
-    """One-row keep/drop accounting for the pipeline run."""
+def attrition_report(
+    documents: DataFrame, cleaned: DataFrame, **stages: DataFrame
+) -> DataFrame:
+    """One-row keep/drop accounting for the pipeline run. Extra keyword
+    stage frames add ``n_after_<name>`` columns (e.g. the pre-MinHash frame,
+    so the report counts the near-dup stage's drops explicitly)."""
     total = documents.agg(F.count("*").alias("n_raw"))
     kept = cleaned.agg(F.count("*").alias("n_kept"))
-    return (
-        total.crossJoin(F.broadcast(kept))
-        .withColumn("n_dropped", F.col("n_raw") - F.col("n_kept"))
-        .withColumn(
-            "keep_rate_pct", F.round(F.lit(100.0) * F.col("n_kept") / F.col("n_raw"), 2)
-        )
+    out = total.crossJoin(F.broadcast(kept))
+    for name, frame in stages.items():
+        out = out.crossJoin(F.broadcast(frame.agg(F.count("*").alias(f"n_after_{name}"))))
+    return out.withColumn("n_dropped", F.col("n_raw") - F.col("n_kept")).withColumn(
+        "keep_rate_pct", F.round(F.lit(100.0) * F.col("n_kept") / F.col("n_raw"), 2)
     )

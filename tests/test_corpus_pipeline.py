@@ -49,3 +49,32 @@ def test_clean_corpus_plan_is_two_shuffles(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = clean_corpus(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
+
+
+def test_clean_corpus_minhash_stage(spark):
+    """With the banded-LSH stage on, the cleaned corpus additionally drops
+    MinHash bucket-mates (keeping the lowest doc_id of each candidate pair)
+    and the attrition report counts those drops explicitly."""
+    from etl_for_dumdums_spark.operators.corpus import minhash_neardup_candidates
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = clean_corpus(docs)
+    with_mh = clean_corpus(docs, minhash_neardup=True)
+
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    mh_ids = {r["doc_id"] for r in with_mh.select("doc_id").collect()}
+    # the stage only removes docs, never adds
+    assert mh_ids <= base_ids
+
+    cand = minhash_neardup_candidates(base).collect()
+    assert cand, "smoke fixture must produce MinHash candidates (non-vacuous)"
+    expected_drops = {r["db"] for r in cand}
+    assert base_ids - mh_ids == expected_drops
+    # every dropped doc keeps a smaller-id mate in the survivor set
+    keep_of = {r["db"]: r["da"] for r in cand}
+    assert all(keep_of[d] < d for d in expected_drops)
+
+    report = attrition_report(docs, with_mh, fingerprint=base).collect()[0]
+    assert report["n_after_fingerprint"] == len(base_ids)
+    assert report["n_kept"] == len(mh_ids)
+    assert report["n_after_fingerprint"] - report["n_kept"] == len(expected_drops)
