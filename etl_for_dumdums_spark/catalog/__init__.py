@@ -136,6 +136,7 @@ def load_all() -> None:
         textops,
         similarity,
         dedup,
+        corpus_report,
         advanced,
         aggregations,
         filters,

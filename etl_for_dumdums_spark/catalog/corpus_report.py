@@ -1,0 +1,148 @@
+"""Driver-facing query for the COMPOSED corpus-cleaning pipeline.
+
+operators/corpus.py's clean_corpus (langid gate → quality gate → exact
+dedup → fingerprint near-dup → banded MinHash-LSH near-dup) was previously
+pytest-only; this registers its end-to-end attrition accounting as an
+oracled catalog query, so the whole composition — not just its stages in
+isolation — sits inside the driver's DuckDB correctness gate.
+
+The Spark side calls the REAL operators (no re-implementation drift); the
+SQL mirrors each stage with the same primitives the per-stage queries
+already prove cross-engine (textops langid/quality, dedup digests + banded
+MinHash with the _MAX_BUCKET hot-bucket cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import Tables, register
+from .dedup import _BANDS, _MAX_BUCKET, _N_SIG
+from .textops import _hits_sql
+
+_TOK = "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+_FP = f"md5(array_to_string(list_sort({_TOK}), ' '))"
+
+
+@register(
+    "corpus_clean_report",
+    extra=True,  # the driver gate caps at 50 registered queries; this one
+    # rides the strict local oracle tier (tools/check_oracle.py) instead
+    sql=f"""
+    WITH hits AS (
+      SELECT doc_id, text,
+             {', '.join(f"{_hits_sql(lg)} AS h_{lg}" for lg in ('en', 'de', 'fr', 'es'))},
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len({_TOK}) AS n_types
+      FROM documents),
+    gated AS (
+      SELECT doc_id, text FROM hits
+      WHERE (CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+                  WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+                  WHEN h_fr > h_en AND h_fr >= h_es THEN 'fr'
+                  WHEN h_es > h_en THEN 'es'
+                  ELSE 'en' END) = 'en'
+        AND NOT (n_tokens < 20)
+        AND NOT (h_en * 100 < n_tokens)
+        AND NOT (n_types * 10 < n_tokens * 3)),
+    exact AS (
+      SELECT doc_id, text FROM gated
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    fp AS (
+      SELECT doc_id, text FROM exact
+      QUALIFY row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1),
+    tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({_TOK}) AS w FROM fp)
+      WHERE w != ''),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}|' || w)) AS s{i}" for i in range(_N_SIG))}
+      FROM tok GROUP BY doc_id),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, md5(s{a} || s{b}) AS key FROM sig" for bi, (a, b) in enumerate(_BANDS))}),
+    small AS (
+      SELECT doc_id, band, key,
+             count(*) OVER (PARTITION BY band, key) AS bucket_size
+      FROM bands QUALIFY bucket_size <= {_MAX_BUCKET}),
+    drops AS (
+      SELECT DISTINCT b.doc_id FROM small a JOIN small b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT (SELECT count(*) FROM documents)                        AS n_raw,
+           (SELECT count(*) FROM gated)                            AS n_after_gates,
+           (SELECT count(*) FROM exact)                            AS n_after_exact,
+           (SELECT count(*) FROM fp)                               AS n_after_fingerprint,
+           (SELECT count(*) FROM fp) - (SELECT count(*) FROM drops) AS n_kept,
+           (SELECT count(*) FROM documents)
+             - ((SELECT count(*) FROM fp) - (SELECT count(*) FROM drops)) AS n_dropped,
+           round(100.0 * ((SELECT count(*) FROM fp) - (SELECT count(*) FROM drops))
+                 / (SELECT count(*) FROM documents), 2)            AS keep_rate_pct
+    """,
+)
+def corpus_clean_report(spark, sf_dir):
+    from ..operators.corpus import clean_corpus, minhash_neardup_candidates
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+
+    # stage frames from the real operators (lazy; each a prefix of the plan)
+    hits = {
+        lg: F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")),
+                F.lit(r"\b(" + "|".join(ws) + r")\b"),
+                F.lit(0),
+            )
+        )
+        for lg, ws in {
+            "en": ["the", "a", "of", "and", "to"],
+            "de": ["der", "die", "das", "und", "ist"],
+            "fr": ["le", "la", "les", "et", "est"],
+            "es": ["el", "los", "las", "y", "es"],
+        }.items()
+    }
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_types = F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    predicted_en = (
+        ~((hits["en"] == 0) & (hits["de"] == 0) & (hits["fr"] == 0) & (hits["es"] == 0))
+        & ~((hits["de"] > hits["en"]) & (hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]))
+        & ~((hits["fr"] > hits["en"]) & (hits["fr"] >= hits["es"]))
+        & ~(hits["es"] > hits["en"])
+    )
+    gated = docs.filter(
+        predicted_en
+        & ~(n_tokens < 20)
+        & ~(hits["en"] * 100 < n_tokens)
+        & ~(n_types * 10 < n_tokens * 3)
+    )
+    from pyspark.sql import Window
+
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fingerprint = clean_corpus(docs)  # == exact + fp dedup (same operators)
+    cleaned = clean_corpus(docs, minhash_neardup=True)
+
+    counts = (
+        docs.agg(F.count("*").alias("n_raw"))
+        .crossJoin(F.broadcast(gated.agg(F.count("*").alias("n_after_gates"))))
+        .crossJoin(F.broadcast(exact.agg(F.count("*").alias("n_after_exact"))))
+        .crossJoin(
+            F.broadcast(fingerprint.agg(F.count("*").alias("n_after_fingerprint")))
+        )
+        .crossJoin(F.broadcast(cleaned.agg(F.count("*").alias("n_kept"))))
+    )
+    return counts.select(
+        "n_raw",
+        "n_after_gates",
+        "n_after_exact",
+        "n_after_fingerprint",
+        "n_kept",
+        (F.col("n_raw") - F.col("n_kept")).alias("n_dropped"),
+        F.round(F.lit(100.0) * F.col("n_kept") / F.col("n_raw"), 2).alias(
+            "keep_rate_pct"
+        ),
+    )
