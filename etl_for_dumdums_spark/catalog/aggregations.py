@@ -203,7 +203,11 @@ def agg_stddev_weighted(spark, sf_dir):
     SELECT user_id,
            round(max(CASE WHEN event_type = 'click'    THEN value END), {DP}) AS max_click_value,
            round(max(CASE WHEN event_type = 'purchase' THEN value END), {DP}) AS max_purchase_value,
-           round(avg(CASE WHEN event_type = 'view'     THEN value END), {DP}) AS avg_view_value
+           ((2 * sum(CAST(round((CASE WHEN event_type = 'view' THEN value END) * 1000000)
+                          AS BIGINT))
+             + 100 * count(CASE WHEN event_type = 'view' THEN value END))
+            // nullif(200 * count(CASE WHEN event_type = 'view' THEN value END), 0))
+           / 10000.0 AS avg_view_value
     FROM events
     GROUP BY user_id ORDER BY user_id
     """,
@@ -212,15 +216,27 @@ def agg_conditional_max_pivot(spark, sf_dir):
     t = Tables(spark, sf_dir)
     e = F.col("event_type")
     v = F.col("value")
-    return (
-        t.events.groupBy("user_id")
-        .agg(
-            R(F.max(F.when(e == "click", v))).alias("max_click_value"),
-            R(F.max(F.when(e == "purchase", v))).alias("max_purchase_value"),
-            R(F.avg(F.when(e == "view", v))).alias("avg_view_value"),
-        )
-        .orderBy("user_id")
+    # avg computed ENTIRELY in integer domain: micro-cells (1e-6) summed
+    # exactly, then rounded to 4 dp by the half-up floor-division identity
+    # floor(s/(100n) + 1/2) = (2s + 100n) // (200n)  [values are >= 0].
+    # Both a raw double avg AND round(double, 4) at the edge diverge between
+    # engines by half an ulp on boundary quotients (seen at sf0.1); the one
+    # double op left is the final /10000.0 presentation, which is exact.
+    view_cell = F.when(e == "view", F.round(v * 1000000).cast("long"))
+    agged = t.events.groupBy("user_id").agg(
+        R(F.max(F.when(e == "click", v))).alias("max_click_value"),
+        R(F.max(F.when(e == "purchase", v))).alias("max_purchase_value"),
+        F.sum(view_cell).alias("_sc"),
+        F.count(F.when(e == "view", v)).alias("_nv"),
     )
+    return agged.select(
+        "user_id",
+        "max_click_value",
+        "max_purchase_value",
+        (F.expr("(2 * _sc + 100 * _nv) div nullif(200 * _nv, 0)") / 10000.0).alias(
+            "avg_view_value"
+        ),
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

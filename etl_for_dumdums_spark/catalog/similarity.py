@@ -388,7 +388,9 @@ def sim_ivf_topk(spark, sf_dir):
              round({_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm), {DP}) AS cosine
       FROM iv a JOIN iv b ON a.vec_id < b.vec_id)
     SELECT label_a, label_b, count(*) AS n_pairs,
-           round(avg(cosine), {DP}) AS avg_cosine,
+           (CASE WHEN sum(CAST(round(cosine * 10000) AS BIGINT)) < 0 THEN -1 ELSE 1 END
+            * ((2 * abs(sum(CAST(round(cosine * 10000) AS BIGINT))) + count(*))
+               // (2 * count(*)))) / 10000.0 AS avg_cosine,
            round(max(cosine), {DP}) AS max_cosine
     FROM pairs GROUP BY label_a, label_b
     ORDER BY label_a, label_b
@@ -408,15 +410,28 @@ def sim_label_cohesion(spark, sf_dir):
             DP,
         ).alias("cosine"),
     )
-    return (
-        pairs.groupBy("label_a", "label_b")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.round(F.avg("cosine"), DP).alias("avg_cosine"),
-            F.round(F.max("cosine"), DP).alias("max_cosine"),
-        )
-        .orderBy("label_a", "label_b")
+    # avg over exact 4-dp integer cells (cosine is already rounded to DP, so
+    # the cell recovers its integer form losslessly), with the final 4-dp
+    # rounding done by the half-away floor-division identity — summation
+    # order and engine round() boundary quirks cannot flip the last digit
+    # (the raw-double avg diverged at sf0.1)
+    cell = F.round(F.col("cosine") * 10000).cast("long")
+    agged = pairs.groupBy("label_a", "label_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(cell).alias("_sc"),
+        F.round(F.max("cosine"), DP).alias("max_cosine"),
     )
+    return agged.select(
+        "label_a",
+        "label_b",
+        "n_pairs",
+        (
+            F.expr("CASE WHEN _sc < 0 THEN -1 ELSE 1 END")
+            * F.expr("(2 * abs(_sc) + n_pairs) div (2 * n_pairs)")
+            / 10000.0
+        ).alias("avg_cosine"),
+        "max_cosine",
+    ).orderBy("label_a", "label_b")
 
 
 # ---------------------------------------------------------------------------

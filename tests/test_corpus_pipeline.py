@@ -78,3 +78,17 @@ def test_clean_corpus_minhash_stage(spark):
     assert report["n_after_fingerprint"] == len(base_ids)
     assert report["n_kept"] == len(mh_ids)
     assert report["n_after_fingerprint"] - report["n_kept"] == len(expected_drops)
+
+
+def test_minhash_candidates_hot_bucket_cap(spark):
+    """Buckets above the cap never enter the pair join (same contract as
+    dedup._MAX_BUCKET / similarity._MAX_SIM_BUCKET): forcing cap=1 must
+    remove every candidate pair, and a huge cap must match the default."""
+    from etl_for_dumdums_spark.operators.corpus import minhash_neardup_candidates
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = clean_corpus(docs)
+    assert minhash_neardup_candidates(base, max_bucket=1).count() == 0
+    default = minhash_neardup_candidates(base).count()
+    uncapped = minhash_neardup_candidates(base, max_bucket=10**9).count()
+    assert default <= uncapped and uncapped > 0
