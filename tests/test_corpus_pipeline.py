@@ -92,3 +92,25 @@ def test_minhash_candidates_hot_bucket_cap(spark):
     default = minhash_neardup_candidates(base).count()
     uncapped = minhash_neardup_candidates(base, max_bucket=10**9).count()
     assert default <= uncapped and uncapped > 0
+
+
+def test_corpus_clean_report_matches_operators(spark):
+    """The catalog accounting query must describe the REAL operator pipeline:
+    stage counts monotone and the two operator-backed counts exact."""
+    from etl_for_dumdums_spark.catalog import load_all
+    from etl_for_dumdums_spark.catalog.corpus_report import corpus_clean_report
+
+    load_all()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    row = corpus_clean_report(spark, SF_SMOKE).collect()[0]
+    assert (
+        row["n_raw"]
+        >= row["n_after_gates"]
+        >= row["n_after_exact"]
+        >= row["n_after_fingerprint"]
+        >= row["n_kept"]
+        > 0
+    )
+    assert row["n_after_fingerprint"] == clean_corpus(docs).count()
+    assert row["n_kept"] == clean_corpus(docs, minhash_neardup=True).count()
+    assert row["n_dropped"] == row["n_raw"] - row["n_kept"]
