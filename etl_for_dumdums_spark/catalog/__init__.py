@@ -72,6 +72,25 @@ class Tables:
         self._dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
 
+    def row_count(self, name: str) -> int:
+        """Row count from parquet footer metadata — no Spark job. Used for
+        plan-selection thresholds (e.g. the vectorized-ANN switch), where
+        launching a count() job just to pick a path would cost more than
+        the decision is worth."""
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}")
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        path = Path(f"{self._dir}/{name}.parquet")
+        parts = (
+            sorted(p for p in path.glob("*.parquet")) or sorted(path.glob("part-*"))
+            if path.is_dir()
+            else [path]
+        )
+        return sum(pq.ParquetFile(str(p)).metadata.num_rows for p in parts)
+
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)

@@ -74,7 +74,8 @@ _VECTORIZE_MIN_ROWS = 50_000
 def _brute_topk(spark, sf_dir, vectorize: bool | None = None):
     t = Tables(spark, sf_dir)
     if vectorize is None:
-        vectorize = t.embeddings.count() >= _VECTORIZE_MIN_ROWS
+        # footer-metadata count: the path decision costs no Spark job
+        vectorize = t.row_count("embeddings") >= _VECTORIZE_MIN_ROWS
     if vectorize:
         from ..operators.vector import cosine_topk_vectorized
 
