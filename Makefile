@@ -1,4 +1,4 @@
-.PHONY: test oracle oracle-smoke bench smoke scale-data bench-scale
+.PHONY: test oracle oracle-smoke oracle-all-sf bench smoke scale-data bench-scale scale-data-100 bench-scale-100
 
 # 10x scale-up of sf0.1 (key-offset replication) + bench on it — the
 # docs/SCALING.md evidence pipeline
@@ -8,6 +8,13 @@ scale-data:
 bench-scale: scale-data
 	SPARK_GRAFT_SF_DIR=/tmp/sfscale10 python bench.py 2>/dev/null
 
+# 100x variant (60M lineitem rows) — the SCALE_r03.json evidence pipeline
+scale-data-100:
+	python tools/make_scale_data.py --src /root/testdata/sf0.1 --out /tmp/sfscale100 --factor 100
+
+bench-scale-100: scale-data-100
+	SPARK_GRAFT_SF_DIR=/tmp/sfscale100 python bench.py 2>/dev/null
+
 test:
 	python -m pytest tests/ -q
 
@@ -16,6 +23,13 @@ oracle:
 
 oracle-smoke:
 	python tools/check_oracle.py --sf /root/testdata/sf0.001
+
+# strict oracle at every driver SF (catches rounding-boundary divergences
+# that only appear at larger groups)
+oracle-all-sf:
+	python tools/check_oracle.py --sf /root/testdata/sf0.001
+	python tools/check_oracle.py --sf /root/testdata/sf0.01
+	python tools/check_oracle.py --sf /root/testdata/sf0.1
 
 bench:
 	python bench.py 2>/dev/null

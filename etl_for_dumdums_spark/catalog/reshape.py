@@ -73,9 +73,15 @@ def reshape_pivot(spark, sf_dir):
     sql=f"""
     WITH wide AS (
       SELECT o_orderpriority,
-             round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), {DP}) AS open_revenue,
-             round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), {DP}) AS finished_revenue,
-             round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), {DP}) AS pending_revenue
+             sum(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) / 100.0
+               AS open_revenue,
+             sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) / 100.0
+               AS finished_revenue,
+             sum(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) / 100.0
+               AS pending_revenue
       FROM orders GROUP BY o_orderpriority)
     SELECT o_orderpriority, metric, value FROM (
       SELECT o_orderpriority, 'open_revenue' AS metric, open_revenue AS value FROM wide
@@ -88,13 +94,17 @@ def reshape_pivot(spark, sf_dir):
 )
 def reshape_melt(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    p = F.col("o_totalprice")
+    # currency sums in exact integer cents (summation-order-proof; the raw
+    # double sum drifts into visible noise by 60M rows), one division out
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     wide = t.orders.groupBy("o_orderpriority").agg(
-        R(F.sum(F.when(F.col("o_orderstatus") == "O", p).otherwise(0.0))).alias("open_revenue"),
-        R(F.sum(F.when(F.col("o_orderstatus") == "F", p).otherwise(0.0))).alias(
+        (F.sum(F.when(F.col("o_orderstatus") == "O", cents).otherwise(F.lit(0))) / 100.0).alias(
+            "open_revenue"
+        ),
+        (F.sum(F.when(F.col("o_orderstatus") == "F", cents).otherwise(F.lit(0))) / 100.0).alias(
             "finished_revenue"
         ),
-        R(F.sum(F.when(F.col("o_orderstatus") == "P", p).otherwise(0.0))).alias(
+        (F.sum(F.when(F.col("o_orderstatus") == "P", cents).otherwise(F.lit(0))) / 100.0).alias(
             "pending_revenue"
         ),
     )

@@ -10,6 +10,7 @@ values. Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import math
 import sys
 import time
@@ -36,6 +37,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        # canonicalize to 10 significant digits FIRST, then decide the
+        # integer print — otherwise a value that is exactly integral in one
+        # engine but carries sub-10-digit noise in the other formats two
+        # different ways (full integer vs scientific) and false-fails even
+        # though both agree at the compared precision.
+        v = float(f"{v:.10g}")
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         # 10 significant digits: catches half-ulp rounding divergences at the
@@ -153,9 +160,11 @@ def main():
 
     con = duckdb.connect()
     for tname in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{args.sf}/{tname}.parquet')"
-        )
+        # driver testdata is one file per table; Spark-written scale-up data
+        # (tools/make_scale_data.py) is a directory of part files — glob it
+        tpath = f"{args.sf}/{tname}.parquet"
+        src = f"{tpath}/*.parquet" if os.path.isdir(tpath) else tpath
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{src}')")
 
     n_pass = n_fail = n_skip = 0
     for name in names:
