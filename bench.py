@@ -45,7 +45,7 @@ def main() -> None:
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
-        sf = -1.0
+        sf = sf_dir  # non-sfN dir (e.g. a scale-up): report the path itself
 
     load_all()
     spark = get_spark("bench")

@@ -55,3 +55,20 @@ def test_fingerprint_invariant_under_permutation_and_duplication(spark, docs, se
     for o, m in zip(originals, mutated):
         if o != m:
             assert hashlib.md5(o.encode()).hexdigest() != hashlib.md5(m.encode()).hexdigest()
+
+
+def test_minhash_candidates_order_invariant(spark):
+    """The corpus MinHash candidate set must not depend on row order or
+    partitioning — signatures are per-doc aggregates and the band join is
+    set-semantics (distinct pairs)."""
+    from etl_for_dumdums_spark.operators.corpus import minhash_neardup_candidates
+
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    base = {(r["da"], r["db"]) for r in minhash_neardup_candidates(docs).collect()}
+    from pyspark.sql import functions as F
+
+    shuffled = docs.orderBy(F.rand(seed=7)).repartition(13)
+    again = {(r["da"], r["db"]) for r in minhash_neardup_candidates(shuffled).collect()}
+    assert base == again and base
