@@ -89,18 +89,14 @@ def minhash_neardup_candidates(
     )
 
 
-def clean_corpus(
+def gate_documents(
     documents: DataFrame,
     keep_langs: tuple[str, ...] = ("en",),
     min_tokens: int = 20,
-    minhash_neardup: bool = False,
 ) -> DataFrame:
-    """Return the cleaned corpus with per-row provenance columns:
-    (doc_id, text, predicted_lang, n_tokens, quality_bucket).
-
-    Drop order mirrors production pipelines: cheap row-local gates first
-    (language, quality — pure column ops, no shuffle), content dedup last
-    (the only shuffles, over already-reduced data)."""
+    """Row-local gates (language ID + quality) with provenance columns —
+    pure column expressions, no shuffle, so the SAME plan fragment serves
+    both the batch cleaner and the streaming twin (streaming/corpus.py)."""
     hits = {lg: _hits(lg) for lg in _LANG_MARKERS}
     predicted = (
         F.when(
@@ -120,22 +116,44 @@ def clean_corpus(
         .when(n_types * 10 < n_tokens * 3, "repetitive")
         .otherwise("ok")
     )
-    gated = (
+    return (
         documents.withColumn("predicted_lang", predicted)
         .withColumn("n_tokens", n_tokens)
         .withColumn("quality_bucket", quality)
         .filter(F.col("predicted_lang").isin(*keep_langs) & (F.col("quality_bucket") == "ok"))
     )
-    # exact dedup: keep the lowest doc_id per raw-text digest
-    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = gated.withColumn("_rn", F.row_number().over(w_exact)).filter(F.col("_rn") == 1)
-    # near-dup (reorder-robust): sorted distinct token-set fingerprint
-    fp = F.md5(
+
+
+def fingerprint_expr():
+    """Reorder-robust content fingerprint: md5 of the sorted distinct token
+    set. Exact duplicates always share it, so deduping on this single digest
+    subsumes exact dedup — the property the streaming twin relies on to use
+    ONE bounded-state dedup operator."""
+    return F.md5(
         F.concat_ws(
             " ", F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
         )
     )
-    w_fp = Window.partitionBy(fp).orderBy("doc_id")
+
+
+def clean_corpus(
+    documents: DataFrame,
+    keep_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 20,
+    minhash_neardup: bool = False,
+) -> DataFrame:
+    """Return the cleaned corpus with per-row provenance columns:
+    (doc_id, text, predicted_lang, n_tokens, quality_bucket).
+
+    Drop order mirrors production pipelines: cheap row-local gates first
+    (language, quality — pure column ops, no shuffle), content dedup last
+    (the only shuffles, over already-reduced data)."""
+    gated = gate_documents(documents, keep_langs, min_tokens)
+    # exact dedup: keep the lowest doc_id per raw-text digest
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = gated.withColumn("_rn", F.row_number().over(w_exact)).filter(F.col("_rn") == 1)
+    # near-dup (reorder-robust): sorted distinct token-set fingerprint
+    w_fp = Window.partitionBy(fingerprint_expr()).orderBy("doc_id")
     deduped = (
         exact.withColumn("_rn", F.row_number().over(w_fp))
         .filter(F.col("_rn") == 1)
