@@ -312,3 +312,88 @@ def text_fingerprint(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.count_distinct("fingerprint").alias("n_distinct_fps"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language ID (the n-gram flavor of the heuristic): score =
+# how many character positions produce a trigram from the language's profile,
+# argmax with the same deterministic tie-break cascade as the marker variant.
+# Pure higher-order column functions in both engines — one scan, no UDFs, no
+# shuffle beyond the confusion-count aggregate; at corpus scale the trigram
+# array is O(doc length) per row and never materialized across rows.
+# ---------------------------------------------------------------------------
+_TRIGRAM_PROFILES = {
+    # trigrams of each language's marker words (the synthetic corpus carries
+    # markers as the language signal; real corpora would use top-k profile
+    # trigrams learned from a sample)
+    "en": ["the", "he ", " a ", "of ", "and"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le ", "la ", "les", "et ", "est"],
+    "es": ["el ", "los", "las", " y ", " es"],
+}
+
+
+def _tri_hits_sql(lang: str) -> str:
+    profile = ", ".join(f"'{t}'" for t in _TRIGRAM_PROFILES[lang])
+    return (
+        "CASE WHEN length(lower(text)) < 3 THEN 0 ELSE "
+        "len(list_filter(list_transform(generate_series(1, length(lower(text)) - 2), "
+        f"i -> substr(lower(text), i, 3)), x -> list_contains([{profile}], x))) END"
+    )
+
+
+def _tri_hits_spark(lang: str) -> str:
+    profile = ", ".join(f"'{t}'" for t in _TRIGRAM_PROFILES[lang])
+    return (
+        "CASE WHEN length(lower(text)) < 3 THEN 0 ELSE "
+        "size(filter(transform(sequence(1, length(lower(text)) - 2), "
+        f"i -> substring(lower(text), i, 3)), x -> array_contains(array({profile}), x))) END"
+    )
+
+
+@register(
+    "text_langid_ngram",
+    extra=True,
+    sql=f"""
+    WITH hits AS (
+      SELECT lang AS actual_lang,
+             {', '.join(f'CAST(({_tri_hits_sql(lg)}) AS BIGINT) AS h_{lg}' for lg in _TRIGRAM_PROFILES)}
+      FROM documents),
+    pred AS (
+      SELECT actual_lang,
+             CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+                  WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+                  WHEN h_fr > h_en AND h_fr >= h_es THEN 'fr'
+                  WHEN h_es > h_en THEN 'es'
+                  ELSE 'en' END AS predicted_lang
+      FROM hits)
+    SELECT actual_lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_langid_ngram(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    hits = t.documents.select(
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.expr(_tri_hits_spark(lg)).cast("long").alias(f"h_{lg}")
+            for lg in _TRIGRAM_PROFILES
+        ],
+    )
+    h = {lg: F.col(f"h_{lg}") for lg in _TRIGRAM_PROFILES}
+    pred = hits.select(
+        "actual_lang",
+        F.when(
+            (h["en"] == 0) & (h["de"] == 0) & (h["fr"] == 0) & (h["es"] == 0), "unknown"
+        )
+        .when((h["de"] > h["en"]) & (h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when((h["fr"] > h["en"]) & (h["fr"] >= h["es"]), "fr")
+        .when(h["es"] > h["en"], "es")
+        .otherwise("en")
+        .alias("predicted_lang"),
+    )
+    return (
+        pred.groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
