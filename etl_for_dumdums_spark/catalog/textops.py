@@ -533,3 +533,102 @@ def text_winnow_sketch(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnow-sketch near-dup pairs — the MOSS detection step the sketch exists
+# for: candidate pairs share sketch hashes, and a pair is a near-dup when
+# the overlap COVERS at least half of the smaller document's sketch
+# (containment — raw shared-hash counts are unselective when the corpus
+# shares vocabulary). Hash buckets above the familiar _MAX-style cap are
+# boilerplate collisions and skip the pair join; all arithmetic is integer
+# (n_shared * 2 >= min sketch), exact in both engines.
+# ---------------------------------------------------------------------------
+_WINNOW_MIN_SHARED = 3
+_WINNOW_MAX_HASH_BUCKET = 64
+
+
+@register(
+    "text_winnow_neardup",
+    extra=True,
+    sql=f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, length(t) - {_WINNOW_K - 1})) AS i
+      FROM norm WHERE length(t) >= {_WINNOW_K + _WINNOW_W - 1}),
+    hashq AS (
+      SELECT doc_id, i, {_hex15_to_long_sql(f'substr(t, i, {_WINNOW_K})')} AS h
+      FROM pos),
+    winnowed AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+             lead(i, {_WINNOW_W - 1}) OVER (PARTITION BY doc_id ORDER BY i) AS full_i
+      FROM hashq),
+    sketch AS (SELECT DISTINCT doc_id, sel AS h FROM winnowed WHERE full_i IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS sk FROM sketch GROUP BY doc_id),
+    small AS (
+      SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS bucket_size
+      FROM sketch QUALIFY bucket_size <= {_WINNOW_MAX_HASH_BUCKET}),
+    ovl AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+      FROM small a JOIN small b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= {_WINNOW_MIN_SHARED})
+    SELECT o.da, o.db, o.n_shared,
+           sa.sk AS sketch_a, sb.sk AS sketch_b
+    FROM ovl o JOIN sizes sa ON sa.doc_id = o.da JOIN sizes sb ON sb.doc_id = o.db
+    WHERE o.n_shared * 2 >= least(sa.sk, sb.sk)
+    ORDER BY o.da, o.db
+    """,
+)
+def text_winnow_neardup(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    norm = t.documents.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+    )
+    pos = norm.filter(F.length("t") >= _WINNOW_K + _WINNOW_W - 1).select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (_WINNOW_K - 1))).alias("i"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "i",
+        F.expr(_hex15_to_long_spark(f"substring(t, i, {_WINNOW_K})")).alias("h"),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("i")
+    sketch = (
+        hashed.select(
+            "doc_id",
+            F.min("h").over(wspec.rowsBetween(0, _WINNOW_W - 1)).alias("sel"),
+            F.lead("i", _WINNOW_W - 1).over(wspec).alias("full_i"),
+        )
+        .filter(F.col("full_i").isNotNull())
+        .select("doc_id", F.col("sel").alias("h"))
+        .distinct()
+    )
+    sizes = sketch.groupBy("doc_id").agg(F.count("*").alias("sk"))
+    bsizes = sketch.groupBy("h").agg(F.count("*").alias("bucket_size"))
+    small = sketch.join(
+        bsizes.filter(F.col("bucket_size") <= _WINNOW_MAX_HASH_BUCKET), "h", "inner"
+    ).select("doc_id", "h")
+    a, b = small.alias("a"), small.alias("b")
+    overlaps = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+    return (
+        overlaps.join(sizes.select(F.col("doc_id").alias("da"), F.col("sk").alias("sketch_a")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sk").alias("sketch_b")), "db")
+        .filter(F.col("n_shared") * 2 >= F.least("sketch_a", "sketch_b"))
+        .select("da", "db", "n_shared", "sketch_a", "sketch_b")
+        .orderBy("da", "db")
+    )
