@@ -550,3 +550,147 @@ def dedup_simhash64(spark, sf_dir):
         .crossJoin(flagged.agg(F.count("*").alias("n_docs_flagged")))
         .crossJoin(hot.agg(F.count("*").alias("n_hot_buckets_skipped")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive dedup groups: EXACT connected components over the MinHash
+# candidate-pair graph — the "union-find" semantics every near-dup operator
+# above approximates with the single-pass smaller-id reduction. Spark side:
+# Pregel-style iterative min-label propagation (one key-shuffle join per
+# iteration, iteration count = graph diameter; lineage truncated per step
+# with localCheckpoint — the canonical iterative-algorithm pattern, NOT a
+# driver-side row loop). Oracle side: the same fixpoint as a DuckDB
+# recursive CTE (min reachable node id per node). Both engines provably
+# converge to min-node-id-per-component, so results are bit-identical.
+#
+# The result also demonstrates WHY production dedup uses the single-pass
+# smaller-id reduction instead of transitive merges: on a shared-vocabulary
+# corpus the candidate graph chains into giant components (one 324-doc
+# component at sf0.01), so transitive-closure dedup over-merges — the exact
+# CC is the analysis tool, the capped pairwise reduction is the cleaner.
+# ---------------------------------------------------------------------------
+_CC_MAX_ITERS = 25  # >= graph diameter for any capped-bucket candidate graph
+_DP_CC = 4
+
+
+def _minhash_cand_sql() -> str:
+    """The capped band-join candidate pairs, as reusable SQL CTE text
+    (identical logic to dedup_minhash_lsh's prefix)."""
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}|' || w)) AS s{i}" for i in range(_N_SIG))}
+      FROM tok GROUP BY doc_id),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, md5(s{a} || s{b}) AS key FROM sig" for bi, (a, b) in enumerate(_BANDS))}),
+    small_bands AS (
+      SELECT doc_id, band, key,
+             count(*) OVER (PARTITION BY band, key) AS bucket_size
+      FROM bands QUALIFY bucket_size <= {_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM small_bands a JOIN small_bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_candidates(documents):
+    """Capped band-join candidate pairs (da < db) — Spark twin of
+    _minhash_cand_sql, same logic as dedup_minhash_lsh's prefix."""
+    tok = _tokens(documents)
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"s{i}")
+            for i in range(_N_SIG)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat(F.col(f"s{a}"), F.col(f"s{b}"))).alias("key"),
+            )
+            for bi, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_size"))
+    small = bands.join(
+        sizes.filter(F.col("bucket_size") <= _MAX_BUCKET), ["band", "key"], "inner"
+    ).select("doc_id", "band", "key")
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_cc_groups",
+    extra=True,
+    sql=f"""
+    WITH RECURSIVE
+    {_minhash_cand_sql()},
+    nodes AS (SELECT da AS node FROM cand UNION SELECT db FROM cand),
+    edges AS (SELECT da AS src, db AS dst FROM cand
+              UNION ALL SELECT db, da FROM cand),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    labels AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+    groups AS (SELECT comp, count(*) AS group_size FROM labels GROUP BY comp)
+    SELECT count(*)                         AS n_components,
+           CAST(sum(group_size) AS BIGINT)  AS n_docs_in_groups,
+           max(group_size)                  AS max_group_size,
+           round(sum(group_size) * 1.0 / count(*), {_DP_CC}) AS avg_group_size
+    FROM groups
+    """,
+)
+def dedup_cc_groups(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    cand = _minhash_candidates(t.documents).cache()
+    nodes = cand.select(F.col("da").alias("node")).union(cand.select("db")).distinct()
+    edges = cand.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITERS):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new_labels = (
+            labels.select("node", "lbl")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    groups = labels.groupBy("lbl").agg(F.count("*").alias("group_size"))
+    return groups.agg(
+        F.count("*").alias("n_components"),
+        F.sum("group_size").alias("n_docs_in_groups"),
+        F.max("group_size").alias("max_group_size"),
+        F.round(F.sum("group_size") * 1.0 / F.count("*"), _DP_CC).alias("avg_group_size"),
+    )
