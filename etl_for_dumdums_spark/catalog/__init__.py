@@ -163,4 +163,5 @@ def load_all() -> None:
         reshape,
         scalars,
         setops,
+        sketches,
     )
