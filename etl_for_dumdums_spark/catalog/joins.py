@@ -377,3 +377,77 @@ def join_semi_anti(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range/interval join (beyond-reference — the survey notes the reference has
+# NO range/as-of/interval joins, §2.4 "No range/as-of/interval joins exist").
+# Point-in-window self-join: for every event, count same-type events in the
+# following hour.
+#
+# Scale design (100 TB): a naive range join is an all-pairs nested loop.
+# The scale-safe shape used here buckets time into window-sized slots and
+# turns the range predicate into an EQUI-join on (type, bucket) plus a
+# residual filter: the left side explodes into the (exactly 2) buckets its
+# window overlaps, the right side keeps its own bucket, so Catalyst plans a
+# plain shuffled hash/sort-merge join — cost is sum over buckets of
+# |left|×|right| within a bucket, linear in data for bounded event density,
+# never O(n²). A hot event_type would additionally be salted
+# (operators/skew.py); the plan test pins "no cartesian/BNLJ".
+# ---------------------------------------------------------------------------
+_RANGE_BUCKET_SEC = 3600
+
+
+@register(
+    "join_range_interval",
+    sql=f"""
+    WITH e AS (SELECT event_id, event_type, ts FROM events),
+    f AS (
+      SELECT e1.event_id, e1.event_type, count(e2.event_id) AS n_follow
+      FROM e e1 LEFT JOIN e e2
+        ON e1.event_type = e2.event_type
+       AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+      GROUP BY e1.event_id, e1.event_type)
+    SELECT event_type, count(*) AS n_events,
+           round(avg(n_follow), {DP}) AS avg_follows,
+           max(n_follow) AS max_follows,
+           CAST(sum(n_follow) AS BIGINT) AS total_pairs
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    extra=True,
+)
+def join_range_interval(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    e = t.events.select("event_id", "event_type", "ts")
+    bkt = F.floor(F.unix_timestamp("ts") / _RANGE_BUCKET_SEC)
+    # left explodes into the two buckets its 1h window can overlap
+    left = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    right = e.select(
+        F.col("event_id").alias("nid"),
+        F.col("event_type").alias("event_type"),
+        F.col("ts").alias("nts"),
+        bkt.alias("bkt"),
+    )
+    pairs = left.join(right, ["event_type", "bkt"]).filter(
+        (F.col("nts") > F.col("ts"))
+        & (F.col("nts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    follows = pairs.groupBy("event_id").agg(F.count("*").alias("n_follow"))
+    per_event = e.join(follows, "event_id", "left").select(
+        "event_type", F.coalesce("n_follow", F.lit(0)).alias("n_follow")
+    )
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("n_follow"), DP).alias("avg_follows"),
+            F.max("n_follow").alias("max_follows"),
+            F.sum("n_follow").cast("bigint").alias("total_pairs"),
+        )
+        .orderBy("event_type")
+    )

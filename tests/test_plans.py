@@ -80,3 +80,13 @@ def test_top_n_salted_two_stage(spark):
         by_p.setdefault(r["o_orderpriority"], []).append(r["rank_in_priority"])
     for p, ranks in by_p.items():
         assert sorted(ranks) == [1, 2, 3], (p, ranks)
+
+
+def test_range_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as an equi-join on (type, bucket)
+    with a residual filter — never a cartesian/nested-loop product."""
+    from etl_for_dumdums_spark.catalog.joins import join_range_interval
+
+    plan = _plan(join_range_interval(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
