@@ -164,4 +164,5 @@ def load_all() -> None:
         scalars,
         setops,
         sketches,
+        sampling,
     )

@@ -1,0 +1,183 @@
+"""Deterministic sampling / mixture-rebalancing operators (beyond-reference).
+
+The two downsampling primitives every large-scale training-data pipeline
+needs, absent from the reference (whose only sampling is dashboard-side
+`head()`): per-stratum hash sampling and exact mixture rebalancing. Both
+are fully deterministic — membership is a pure function of the row key via
+the shared 60-bit md5-prefix hash (catalog/sketches.py), so a re-run (or a
+different engine: the DuckDB oracle) selects the identical sample. That is
+the property that makes a 100 TB sample reproducible and incrementally
+maintainable (new rows don't reshuffle old membership, unlike rand()).
+
+Scale design (100 TB):
+  * stratified hash sampling is a pure map-side filter — no shuffle at
+    all; the stratum→rate lookup is a broadcast of a handful of rows.
+  * mixture rebalancing needs an exact per-stratum top-N by hash rank:
+    implemented as a per-stratum window over the hash order. At 100 TB the
+    same result is produced without a global per-stratum sort by first
+    applying the hash-threshold filter at rate (target/n + slack) — a
+    map-side filter that keeps ~target rows — then trimming the small
+    remainder exactly; membership is identical because hash rank is
+    preserved under the pre-filter. The budget math is exact integer
+    arithmetic (percent weights), so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import Tables, register
+from .sketches import _h_spark, _h_sql
+
+# per-language keep rates (percent) for the stratified sample: downsample
+# the dominant language, keep the tail (the canonical training-mix move)
+_STRATA_RATES = {"en": 25, "de": 80, "es": 80, "fr": 80, "zh": 80}
+_DEFAULT_RATE = 50
+
+# target mixture weights (percent, sum 100) for the rebalancer
+_MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+def _rates_values_sql(d: dict[str, int]) -> str:
+    return ", ".join(f"('{k}', {v})" for k, v in d.items())
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum deterministic hash sampling: keep a row iff
+# hash(doc_id) mod 100 < rate(lang). Zero-shuffle at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_stratified_hash",
+    sql=f"""
+    WITH rates(lang, pct) AS (VALUES {_rates_values_sql(_STRATA_RATES)}),
+    sampled AS (
+      SELECT d.lang,
+             coalesce(r.pct, {_DEFAULT_RATE}) AS target_pct,
+             CASE WHEN {_h_sql("concat('samp:', CAST(doc_id AS VARCHAR))")} % 100
+                       < coalesce(r.pct, {_DEFAULT_RATE})
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN rates r ON d.lang = r.lang)
+    SELECT lang,
+           min(target_pct) AS target_pct,
+           count(*) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round(100.0 * sum(kept) / count(*), 2) AS actual_pct
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    extra=True,
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sample: membership is a pure function of
+    doc_id, so re-runs and both engines select the identical rows."""
+    t = Tables(spark, sf_dir)
+    rates = spark.createDataFrame(
+        list(_STRATA_RATES.items()), ["lang", "pct"]
+    )
+    h = F.expr(_h_spark("concat('samp:', CAST(doc_id AS STRING))"))
+    sampled = (
+        t.documents.join(F.broadcast(rates), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("pct", F.lit(_DEFAULT_RATE)).alias("target_pct"),
+            F.when(h % 100 < F.coalesce("pct", F.lit(_DEFAULT_RATE)), 1)
+            .otherwise(0)
+            .alias("kept"),
+        )
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.min("target_pct").alias("target_pct"),
+            F.count("*").alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(100.0 * F.sum("kept") / F.count("*"), 2).alias("actual_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact mixture rebalancing: given integer percent weights w_l, the largest
+# feasible corpus respecting the mixture without upsampling is
+# budget = min_l floor(100 * n_l / w_l); each language contributes
+# n_after_l = floor(w_l * budget / 100), selected as the top-n_after_l rows
+# by deterministic hash rank. All budget math is exact integer arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "mix_rebalance_langs",
+    sql=f"""
+    WITH w(lang, wt) AS (VALUES {_rates_values_sql(_MIX_WEIGHTS)}),
+    counts AS (
+      SELECT d.lang, wt, count(*) AS n_before
+      FROM documents d JOIN w ON d.lang = w.lang
+      GROUP BY d.lang, wt),
+    budget AS (SELECT min(100 * n_before // wt) AS b FROM counts),
+    targets AS (
+      SELECT lang, wt, n_before, (wt * (SELECT b FROM budget)) // 100 AS n_after
+      FROM counts),
+    ranked AS (
+      SELECT d.lang,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY {_h_sql("concat('mix:', CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS rnk
+      FROM documents d JOIN w ON d.lang = w.lang),
+    kept AS (
+      SELECT r.lang, count(*) AS n_kept
+      FROM ranked r JOIN targets t ON r.lang = t.lang AND r.rnk <= t.n_after
+      GROUP BY r.lang)
+    SELECT t.lang AS lang, t.wt AS target_wt, t.n_before, t.n_after,
+           k.n_kept,
+           round(100.0 * k.n_kept / sum(k.n_kept) OVER (), 2) AS actual_wt
+    FROM targets t JOIN kept k ON t.lang = k.lang
+    ORDER BY lang
+    """,
+    extra=True,
+)
+def mix_rebalance_langs(spark, sf_dir):
+    """Training-mix rebalancer: exact integer budget math + deterministic
+    hash-rank selection (see module docstring for the 100 TB execution)."""
+    t = Tables(spark, sf_dir)
+    w = spark.createDataFrame(list(_MIX_WEIGHTS.items()), ["lang", "wt"])
+    docs = t.documents.join(F.broadcast(w), "lang")
+    counts = docs.groupBy("lang", "wt").agg(F.count("*").alias("n_before"))
+    budget = counts.agg(
+        F.min(F.expr("100 * n_before DIV wt")).alias("b")
+    )
+    targets = counts.crossJoin(F.broadcast(budget)).select(
+        "lang", "wt", "n_before", F.expr("(wt * b) DIV 100").alias("n_after")
+    )
+    h = F.expr(_h_spark("concat('mix:', CAST(doc_id AS STRING))"))
+    ranked = docs.select(
+        "lang",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc()))
+        .alias("rnk"),
+    )
+    kept = (
+        ranked.join(F.broadcast(targets.select("lang", "n_after")), "lang")
+        .filter(F.col("rnk") <= F.col("n_after"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    out = targets.join(kept, "lang").select(
+        "lang",
+        F.col("wt").alias("target_wt"),
+        "n_before",
+        "n_after",
+        "n_kept",
+    )
+    total = out.agg(F.sum("n_kept").alias("tot"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "target_wt",
+            "n_before",
+            "n_after",
+            "n_kept",
+            F.round(100.0 * F.col("n_kept") / F.col("tot"), 2).alias("actual_wt"),
+        )
+        .orderBy("lang")
+    )
