@@ -165,4 +165,5 @@ def load_all() -> None:
         setops,
         sketches,
         sampling,
+        timeseries,
     )

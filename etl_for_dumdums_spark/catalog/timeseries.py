@@ -1,0 +1,149 @@
+"""Time-series gap-fill and interpolation (beyond-reference).
+
+The reference's dashboards plot daily series straight from marts and
+simply show holes (e.g. pages/3_Oura_Wellness.py rolling means with
+min_periods=1); a real analytics engine needs an explicit densify +
+interpolate operator. This one builds a calendar spine per group with
+`sequence`/`explode` (generated distributed, no driver loop), left-joins
+the observed points, and fills gaps by linear interpolation between the
+nearest observed neighbors (LOCF/NOCB at the edges) using
+ignore-nulls window frames.
+
+Determinism: daily revenue is summed in exact integer cents (the repo's
+standard exact-rounding trick, tests/test_exact_rounding.py), so the only
+float steps are the final interpolation ratio and /100 rescale — both
+single IEEE ops on identical operands in both engines.
+
+Scale design (100 TB): the spine is |groups| × |days| rows generated
+map-side; the interpolation windows partition by group and are bounded by
+the calendar (365 rows per partition regardless of data volume — the same
+"calendar-bounded window" class as stats_timeseries, docs/PLANS.md). The
+observed-points join shuffles on (group, day) — the natural key. No
+driver-side loops, no unbounded windows over data-sized partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+_Y0, _Y1 = "1995-01-01", "1995-12-31"
+
+
+@register(
+    "ts_gapfill_interpolate",
+    sql=f"""
+    WITH daily AS (
+      SELECT r.r_name AS region, CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '{_Y0}' AND DATE '{_Y1}'
+      GROUP BY r.r_name, CAST(o_orderdate AS DATE)),
+    spine AS (
+      SELECT r.r_name AS region, CAST(gs.d AS DATE) AS day
+      FROM region r
+      CROSS JOIN (SELECT unnest(generate_series(DATE '{_Y0}', DATE '{_Y1}', INTERVAL 1 DAY)) AS d) gs),
+    joined AS (
+      SELECT s.region, s.day, d.n_orders, d.rev_cents
+      FROM spine s LEFT JOIN daily d ON s.region = d.region AND s.day = d.day),
+    anchored AS (
+      SELECT region, day, n_orders, rev_cents,
+             last_value(rev_cents IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             last_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             first_value(rev_cents IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM joined)
+    SELECT region, day,
+           coalesce(n_orders, 0) AS n_orders,
+           CASE WHEN rev_cents IS NOT NULL THEN 0 ELSE 1 END AS is_gap,
+           CASE
+             WHEN rev_cents IS NOT NULL THEN round(rev_cents / 100.0, {DP})
+             WHEN prev_v IS NULL THEN round(next_v / 100.0, {DP})
+             WHEN next_v IS NULL THEN round(prev_v / 100.0, {DP})
+             -- exact half-away rounding of the rational lerp to 1e-4
+             -- dollars: T = floor((2N + dn) / (2 dn)) with integer
+             -- N = 100*(prev*dn + (next-prev)*dd); no float ties possible
+             ELSE (2 * 100 * (prev_v * date_diff('day', prev_d, next_d)
+                              + (next_v - prev_v) * date_diff('day', prev_d, day))
+                   + date_diff('day', prev_d, next_d))
+                  // (2 * date_diff('day', prev_d, next_d)) / 10000.0
+           END AS revenue_filled
+    FROM anchored
+    ORDER BY region, day
+    """,
+    extra=True,
+)
+def ts_gapfill_interpolate(spark, sf_dir):
+    """Densify 1995 per-region daily revenue and linearly interpolate gaps."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("day").between(_Y0, _Y1))
+        .join(t.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.select("r_regionkey", F.col("r_name").alias("region"))), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("region", "day")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    spine = t.region.select(F.col("r_name").alias("region")).crossJoin(
+        F.broadcast(
+            t.region.sparkSession.range(1).select(
+                F.explode(
+                    F.expr(f"sequence(to_date('{_Y0}'), to_date('{_Y1}'), interval 1 day)")
+                ).alias("day")
+            )
+        )
+    )
+    joined = spine.join(daily, ["region", "day"], "left")
+    asc = W.partitionBy("region").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    desc = W.partitionBy("region").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("rev_cents").isNotNull(), F.col("day"))
+    anchored = joined.select(
+        "region",
+        "day",
+        "n_orders",
+        "rev_cents",
+        F.last("rev_cents", ignorenulls=True).over(asc).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(asc).alias("prev_d"),
+        F.first("rev_cents", ignorenulls=True).over(desc).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(desc).alias("next_d"),
+    )
+    # exact half-away rounding of the rational lerp to 1e-4 dollars via the
+    # floor-division identity (see tests/test_exact_rounding.py): no float
+    # ties, so both engines agree bit-for-bit
+    lerp_exact = F.expr(
+        "(2 * 100 * (prev_v * CAST(datediff(next_d, prev_d) AS BIGINT)"
+        "            + (next_v - prev_v) * CAST(datediff(day, prev_d) AS BIGINT))"
+        " + CAST(datediff(next_d, prev_d) AS BIGINT))"
+        " DIV (2 * CAST(datediff(next_d, prev_d) AS BIGINT)) / 10000.0"
+    )
+    return anchored.select(
+        "region",
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("rev_cents").isNotNull(), 0).otherwise(1).alias("is_gap"),
+        F.when(F.col("rev_cents").isNotNull(), F.round(F.col("rev_cents") / 100.0, DP))
+        .when(F.col("prev_v").isNull(), F.round(F.col("next_v") / 100.0, DP))
+        .when(F.col("next_v").isNull(), F.round(F.col("prev_v") / 100.0, DP))
+        .otherwise(lerp_exact)
+        .alias("revenue_filled"),
+    ).orderBy("region", "day")
