@@ -136,3 +136,61 @@ def setop_native_rollup(spark, sf_dir):
         )
         .orderBy("status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native GROUPING SETS with grouping() markers (beyond the reference's
+# hand-built UNION ALL rollup, fct_fda_recalls_by_topic.sql:72-108): all
+# four aggregation shapes — (flag,status), (flag), (status), grand total —
+# in ONE shuffle with map-side partial aggregation, vs four scans + a union
+# at 100 TB. Revenue is summed in exact integer cents so every grouping
+# level agrees bit-for-bit across engines regardless of summation order.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets",
+    extra=True,
+    sql=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, {DP}) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+    ORDER BY rf, ls
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count("*").alias("n_rows"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            R(F.sum("cents").cast("bigint") / 100.0).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n_rows",
+            "sum_qty",
+            "revenue",
+        )
+        .orderBy("rf", "ls")
+    )
