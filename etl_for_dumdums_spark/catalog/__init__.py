@@ -166,4 +166,5 @@ def load_all() -> None:
         sketches,
         sampling,
         timeseries,
+        contamination,
     )
