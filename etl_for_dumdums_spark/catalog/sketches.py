@@ -346,3 +346,102 @@ def sketch_bloom_membership(spark, sf_dir):
         F.col("nb").alias("n_bits_set"),
         "fp_rate_pct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch: 128 equi-width bins over integer
+# cents (exact integer bin math), quantile estimated at the bin midpoint,
+# reported next to the exact interpolated percentile. The histogram is the
+# mergeable, single-pass, bounded-state quantile structure: at 100 TB the
+# bin counts are a map-side combine over a 128-key space (like count-min),
+# while the exact percentile needs a full sort/selection of the column.
+# The cumulative-sum window runs over ≤128 rows — bounded by construction.
+# ---------------------------------------------------------------------------
+_HQ_BINS = 128
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def _hq_sql() -> str:
+    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _HQ_QS)
+    return f"""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+    b AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS n FROM c),
+    bins AS (
+      SELECT (c - mn) * {_HQ_BINS} // (mx - mn + 1) AS bin, count(*) AS cnt
+      FROM c CROSS JOIN b GROUP BY 1),
+    cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+    qs(q) AS (VALUES {qs_rows}),
+    sel AS (
+      SELECT q, min(bin) AS qbin
+      FROM qs CROSS JOIN cum CROSS JOIN b
+      WHERE cum >= ceil(q * n) GROUP BY q),
+    est AS (
+      SELECT q, (mn + (qbin + 0.5) * (mx - mn + 1) / {_HQ_BINS}) / 100.0 AS est_v
+      FROM sel CROSS JOIN b),
+    exact AS (
+      {" UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(c, {q}) / 100.0 AS exact_v FROM c" for q in _HQ_QS)})
+    SELECT est.q AS q, {_HQ_BINS} AS n_bins,
+           round(est_v, {DP}) AS est_value,
+           round(exact_v, {DP}) AS exact_value,
+           round(100.0 * abs(est_v - exact_v) / exact_v, 2) AS err_pct
+    FROM est JOIN exact ON est.q = exact.q
+    ORDER BY q
+    """
+
+
+@register("sketch_histogram_quantile", extra=True, sql=_hq_sql())
+def sketch_histogram_quantile(spark, sf_dir):
+    """Single-pass histogram quantiles vs exact percentiles on lineitem."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    c = t.lineitem.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
+    )
+    b = c.agg(F.min("c").alias("mn"), F.max("c").alias("mx"), F.count("*").alias("n"))
+    bins = (
+        c.crossJoin(F.broadcast(b))
+        .select(F.expr(f"(c - mn) * {_HQ_BINS} DIV (mx - mn + 1)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = bins.withColumn(
+        "cum",
+        F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in _HQ_QS], ["q"])
+    sel = (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    est = sel.crossJoin(F.broadcast(b)).select(
+        "q",
+        (
+            (F.col("mn") + (F.col("qbin") + 0.5) * (F.col("mx") - F.col("mn") + 1) / _HQ_BINS)
+            / 100.0
+        ).alias("est_v"),
+    )
+    pv = c.agg(
+        F.percentile("c", F.array(*[F.lit(float(q)) for q in _HQ_QS])).alias("pv")
+    )
+    exact = pv.select(F.posexplode("pv").alias("pos", "v")).select(
+        F.array(*[F.lit(float(q)) for q in _HQ_QS])[F.col("pos")].alias("q"),
+        (F.col("v") / 100.0).alias("exact_v"),
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.lit(_HQ_BINS).alias("n_bins"),
+            F.round("est_v", DP).alias("est_value"),
+            F.round("exact_v", DP).alias("exact_value"),
+            F.round(100.0 * F.abs(F.col("est_v") - F.col("exact_v")) / F.col("exact_v"), 2).alias(
+                "err_pct"
+            ),
+        )
+        .orderBy("q")
+    )

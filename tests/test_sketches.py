@@ -77,3 +77,15 @@ def test_sketch_state_is_bounded(spark):
     assert _HLL_M * 51 < 1 << 20  # registers × max rho
     assert _CMS_D * _CMS_W < 1 << 10
     assert _BLOOM_M < 1 << 13
+
+
+def test_histogram_quantile_envelope(spark):
+    from etl_for_dumdums_spark.catalog.sketches import sketch_histogram_quantile
+
+    rows = sketch_histogram_quantile(spark, SF_SMOKE).collect()
+    assert [r["q"] for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        # bin-midpoint error is bounded by half a bin width relative to the
+        # value range; these quantiles sit in well-populated territory
+        assert r["err_pct"] < 10.0, (r["q"], r["err_pct"])
+        assert r["est_value"] > 0 and r["exact_value"] > 0
