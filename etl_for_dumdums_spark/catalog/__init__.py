@@ -167,4 +167,5 @@ def load_all() -> None:
         sampling,
         timeseries,
         contamination,
+        behavior,
     )

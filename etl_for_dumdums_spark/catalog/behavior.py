@@ -1,0 +1,286 @@
+"""Behavioral / event-history operators: funnel, cohort retention, SCD2.
+
+The reference models user activity relationally (daily sleep/activity marts,
+period-over-period comparisons — e.g. ``fct_daily_activity`` and the trends
+marts, SURVEY.md §2.11); these queries are the standard event-analytics
+shapes built the same Spark-first way over the ``events`` table:
+
+  * ``events_funnel_steps``   — ordered multi-step conversion funnel;
+  * ``events_cohort_retention`` — first-seen cohort × week-offset retention;
+  * ``scd2_intervals``        — slowly-changing-dimension (Type 2) intervals
+                                derived from a change-event stream, the
+                                warehouse twin of the reference's MERGE
+                                upsert history (lib/bigquery.py:128-224 keeps
+                                only current rows; SCD2 keeps the history).
+
+Scale notes (100 TB): every query shuffles the events table exactly once on
+``user_id`` and then chains window/aggregate work inside that partitioning —
+no per-user driver loops, no collect. Funnel step columns are chained
+window minima (constant per user), so state per task is O(1) per row.
+Cohort/SCD2 arithmetic is integer (dates / epoch micros) summed exactly and
+divided once at the edge, so cross-engine hashes cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import ROUND_DP as DP
+from . import Tables, register
+
+R = lambda c: F.round(c, DP)  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel: signup → view → click → purchase, each step
+# strictly AFTER the previous step's first completion. Chained window minima
+# over one user_id partitioning (one shuffle, four WindowExecs, no join).
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_steps",
+    extra=True,
+    sql=f"""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2 FROM s1),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3 FROM s2),
+    s4 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t4 FROM s3),
+    per_user AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+      FROM s4 GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           count(t1) AS n_signup,
+           count(t2) AS n_signup_view,
+           count(t3) AS n_signup_view_click,
+           count(t4) AS n_full_funnel,
+           round(count(t2) * 100.0 / nullif(count(t1), 0), {DP}) AS pct_s1_to_s2,
+           round(count(t3) * 100.0 / nullif(count(t2), 0), {DP}) AS pct_s2_to_s3,
+           round(count(t4) * 100.0 / nullif(count(t3), 0), {DP}) AS pct_s3_to_s4,
+           round(count(t4) * 100.0 / nullif(count(t1), 0), {DP}) AS pct_overall
+    FROM per_user
+    """,
+)
+def events_funnel_steps(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    ev = t.events.select("user_id", "ts", "event_type")
+    s = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t2")), F.col("ts"))
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t4",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t3")), F.col("ts")
+            )
+        ).over(w),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+        F.max("t4").alias("t4"),
+    )
+    c = lambda col: F.count(col)  # noqa: E731
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        c("t1").alias("n_signup"),
+        c("t2").alias("n_signup_view"),
+        c("t3").alias("n_signup_view_click"),
+        c("t4").alias("n_full_funnel"),
+        R(c("t2") * 100.0 / F.nullif(c("t1"), F.lit(0))).alias("pct_s1_to_s2"),
+        R(c("t3") * 100.0 / F.nullif(c("t2"), F.lit(0))).alias("pct_s2_to_s3"),
+        R(c("t4") * 100.0 / F.nullif(c("t3"), F.lit(0))).alias("pct_s3_to_s4"),
+        R(c("t4") * 100.0 / F.nullif(c("t1"), F.lit(0))).alias("pct_overall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = ISO week of a user's first-seen day; a user
+# counts as retained at week offset k if active on any day in [7k, 7k+7)
+# days after their cohort day. date_trunc('week') is ISO-Monday in both
+# engines; all arithmetic is integer date math.
+# ---------------------------------------------------------------------------
+@register(
+    "events_cohort_retention",
+    extra=True,
+    sql=f"""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+    cohorts AS (
+      SELECT user_id, cohort_day,
+             CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week
+      FROM firsts),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events),
+    offsets AS (
+      SELECT DISTINCT c.cohort_week, c.user_id,
+             CAST(date_diff('day', c.cohort_day, a.active_day) // 7 AS BIGINT) AS week_offset
+      FROM cohorts c JOIN activity a USING (user_id)),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week)
+    SELECT o.cohort_week, o.week_offset,
+           count(*) AS n_active_users,
+           s.cohort_size,
+           round(count(*) * 100.0 / s.cohort_size, {DP}) AS retention_pct
+    FROM offsets o JOIN sizes s USING (cohort_week)
+    GROUP BY o.cohort_week, o.week_offset, s.cohort_size
+    ORDER BY o.cohort_week, o.week_offset
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    cohorts = firsts.withColumn(
+        "cohort_week", F.date_trunc("week", F.col("cohort_day")).cast("date")
+    )
+    activity = t.events.select(
+        "user_id", F.col("ts").cast("date").alias("active_day")
+    ).distinct()
+    offsets = (
+        cohorts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            F.floor(F.datediff("active_day", "cohort_day") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        offsets.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active_users",
+            "cohort_size",
+            R(F.col("n_active_users") * 100.0 / F.col("cohort_size")).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 intervals from a change-event stream: collapse each user's
+# consecutive same-type runs into [valid_from, valid_to) intervals; the open
+# interval per user is current. Run detection = lag + running sum of change
+# flags, all inside one user_id partitioning. Durations are exact epoch-
+# micro integers summed before one edge division.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_intervals",
+    extra=True,
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM ordered),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    intervals AS (
+      SELECT user_id, event_type, run_id,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id),
+    closed AS (
+      SELECT user_id, event_type, valid_from, n_events,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM intervals)
+    SELECT event_type,
+           count(*) AS n_intervals,
+           count(valid_to) AS n_closed,
+           count(*) - count(valid_to) AS n_current,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN valid_to IS NOT NULL
+                          THEN epoch_us(valid_to) - epoch_us(valid_from)
+                          ELSE 0 END) * 1.0
+                 / (nullif(count(valid_to), 0) * 1000000), {DP})
+             AS avg_closed_duration_sec
+    FROM closed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(worder).alias("prev_type"),
+    )
+    flagged = ordered.withColumn(
+        "chg",
+        F.when(
+            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(wrun))
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    closed = intervals.withColumn(
+        "valid_to",
+        F.lead("valid_from").over(W.partitionBy("user_id").orderBy("valid_from")),
+    )
+    # events.ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # session-tz cast cancels in the subtraction, so durations are exact.
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dur_us = F.when(F.col("valid_to").isNotNull(), us("valid_to") - us("valid_from")).otherwise(
+        F.lit(0)
+    )
+    return (
+        closed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.count("valid_to").alias("n_closed"),
+            (F.count("*") - F.count("valid_to")).alias("n_current"),
+            F.sum("n_events").alias("n_events"),
+            R(
+                F.sum(dur_us)
+                * 1.0
+                / (F.nullif(F.count("valid_to"), F.lit(0)) * 1000000)
+            ).alias("avg_closed_duration_sec"),
+        )
+        .orderBy("event_type")
+    )

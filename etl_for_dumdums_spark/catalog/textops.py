@@ -632,3 +632,135 @@ def text_winnow_neardup(spark, sf_dir):
         .select("da", "db", "n_shared", "sketch_a", "sketch_b")
         .orderBy("da", "db")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, §A1.1: "repetitious
+# documents are removed" via duplicate-word and top-n-gram fractions). Per
+# document: fraction of word occurrences taken by the single most frequent
+# word, same for word-bigrams, and the duplicate-word-occurrence fraction;
+# docs bucket by integer-exact threshold comparisons (top word > 20%, top
+# bigram > 20%, duplicate occurrences > 50%). Row-based shape: one explode
+# of word positions serves BOTH the unigram and bigram counts (the bigram is
+# the word plus its successor via a null-safe index lookup), then doc-grained
+# groupBys — no per-row quadratic arrays, keys are doc-grained, scale-safe.
+# Corpus ratios are exact integer sums divided once at the edge.
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_gopher",
+    extra=True,
+    sql=f"""
+    WITH arrs AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS arr
+      FROM documents),
+    wordpos AS (
+      SELECT doc_id, lang, arr, unnest(generate_series(1, len(arr))) AS i
+      FROM arrs WHERE len(arr) >= 1),
+    words AS (
+      SELECT doc_id, lang, arr[i] AS w, arr[i + 1] AS w_next FROM wordpos),
+    wcounts AS (
+      SELECT doc_id, lang, w, count(*) AS cnt FROM words GROUP BY doc_id, lang, w),
+    wstats AS (
+      SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+             count(*) AS n_distinct, max(cnt) AS top_word_cnt
+      FROM wcounts GROUP BY doc_id, lang),
+    bcounts AS (
+      SELECT doc_id, w || ' ' || w_next AS b, count(*) AS cnt
+      FROM words WHERE w_next IS NOT NULL GROUP BY doc_id, b),
+    bstats AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, max(cnt) AS top_bigram_cnt
+      FROM bcounts GROUP BY doc_id),
+    rated AS (
+      SELECT w.lang, w.n_words, w.n_distinct, w.top_word_cnt,
+             coalesce(b.n_bigrams, 0) AS n_bigrams,
+             coalesce(b.top_bigram_cnt, 0) AS top_bigram_cnt,
+             CASE WHEN w.top_word_cnt * 5 > w.n_words THEN 'top_word_heavy'
+                  WHEN coalesce(b.top_bigram_cnt, 0) * 5 > coalesce(b.n_bigrams, 0)
+                    THEN 'top_bigram_heavy'
+                  WHEN (w.n_words - w.n_distinct) * 2 > w.n_words THEN 'dup_word_heavy'
+                  ELSE 'ok' END AS repetition_bucket
+      FROM wstats w LEFT JOIN bstats b USING (doc_id))
+    SELECT lang, repetition_bucket, count(*) AS n_docs,
+           round(sum(top_word_cnt) * 1.0 / nullif(sum(n_words), 0), {DP})
+             AS corpus_top_word_frac,
+           round(sum(top_bigram_cnt) * 1.0 / nullif(sum(n_bigrams), 0), {DP})
+             AS corpus_top_bigram_frac,
+           round(sum(n_words - n_distinct) * 1.0 / nullif(sum(n_words), 0), {DP})
+             AS corpus_dup_word_frac
+    FROM rated GROUP BY lang, repetition_bucket
+    ORDER BY lang, repetition_bucket
+    """,
+)
+def text_repetition_gopher(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    arrs = t.documents.select(
+        "doc_id",
+        "lang",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("arr"),
+    )
+    words = arrs.filter(F.size("arr") >= 1).select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
+        "arr",
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("try_element_at(arr, i)").alias("w"),
+        F.expr("try_element_at(arr, i + 1)").alias("w_next"),
+    )
+    wcounts = words.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("cnt"))
+    wstats = wcounts.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_word_cnt"),
+    )
+    bcounts = (
+        words.filter(F.col("w_next").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w_next").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bstats = bcounts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_cnt")
+    )
+    rated = (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "lang",
+            "n_words",
+            "n_distinct",
+            "top_word_cnt",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+        )
+        .withColumn(
+            "repetition_bucket",
+            F.when(F.col("top_word_cnt") * 5 > F.col("n_words"), "top_word_heavy")
+            .when(F.col("top_bigram_cnt") * 5 > F.col("n_bigrams"), "top_bigram_heavy")
+            .when(
+                (F.col("n_words") - F.col("n_distinct")) * 2 > F.col("n_words"),
+                "dup_word_heavy",
+            )
+            .otherwise("ok"),
+        )
+    )
+    nw = F.nullif(F.sum("n_words"), F.lit(0))
+    return (
+        rated.groupBy("lang", "repetition_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            R(F.sum("top_word_cnt") * 1.0 / nw).alias("corpus_top_word_frac"),
+            R(
+                F.sum("top_bigram_cnt") * 1.0 / F.nullif(F.sum("n_bigrams"), F.lit(0))
+            ).alias("corpus_top_bigram_frac"),
+            R((F.sum("n_words") - F.sum("n_distinct")) * 1.0 / nw).alias(
+                "corpus_dup_word_frac"
+            ),
+        )
+        .orderBy("lang", "repetition_bucket")
+    )
