@@ -255,3 +255,50 @@ def enrich_sentiment_stub(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), R(F.avg("sentiment_score")).alias("avg_score"))
         .orderBy("lang", "sentiment_category")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregation (batch twin of streaming/__init__.py's
+# sliding_event_stream): window('7 days', slide '1 day') assigns each event
+# to the 7 day-aligned windows covering it. The oracle mirrors Spark's
+# epoch-aligned window generation with an explicit 0..6-day start explode.
+# Overlap factor is window/slide = 7 — constant, so output volume stays
+# linear in input at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sliding_weekly",
+    extra=True,
+    sql=f"""
+    WITH expanded AS (
+      SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS DATE) AS window_start,
+             event_type, user_id, value
+      FROM events, (SELECT unnest(generate_series(0, 6)) AS k))
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), {DP}) AS sum_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_sliding_weekly(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "7 days", "1 day").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            R(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -284,3 +284,52 @@ def scd2_intervals(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transition matrix: per user, each event's successor type
+# (lead over the same deterministic (ts, event_id) order SCD2 uses), then
+# transition counts and per-from-state probabilities. One events shuffle on
+# user_id; the count table is |types|² rows, so the probability join is a
+# broadcast no-op at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "events_markov_transitions",
+    extra=True,
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions * 1.0 /
+                 sum(n_transitions) OVER (PARTITION BY from_type), {DP})
+             AS p_transition
+    FROM counts ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(worder).alias("to_type"),
+    )
+    counts = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wfrom = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        R(F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wfrom)).alias(
+            "p_transition"
+        ),
+    ).orderBy("from_type", "to_type")

@@ -94,3 +94,41 @@ def dedup_event_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def sliding_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "3 days",
+    output_mode: str = "complete",
+    query_name: str = "events_sliding",
+) -> StreamingQuery:
+    """Sliding-window count/sum over a parquet-backed stream (streaming twin
+    of the catalog's ``stream_sliding_weekly``). Each event lands in
+    window/slide overlapping windows; the watermark bounds BOTH late-data
+    acceptance and, in append mode, when a window finalizes and emits.
+    State is O(open windows × group keys) — constant overlap factor, so
+    state volume is independent of total stream length.
+    """
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -68,3 +68,82 @@ def test_dedup_event_stream_drops_duplicates(spark, tmp_path):
     finally:
         q.stop()
     assert got["n"] == got["d"] == src.count()
+
+
+def test_sliding_event_stream_matches_batch_twin(spark, tmp_path):
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.catalog.advanced import stream_sliding_weekly
+    from etl_for_dumdums_spark.streaming import sliding_event_stream
+
+    from .conftest import SF_SMOKE as _SF
+
+    src = Tables(spark, _SF).events.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream_dir = str(tmp_path / "sliding_stream")
+    src.write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    q = sliding_event_stream(spark, stream_dir, schema, query_name="t_sliding")
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"])[:10], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM t_sliding").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = stream_sliding_weekly(spark, _SF).collect()
+    expected = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in batch}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_sliding_stream_append_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark: a row arriving later than the watermark is
+    dropped — its window has already finalized without it."""
+    import datetime as dt
+
+    from etl_for_dumdums_spark.streaming import sliding_event_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream_dir = str(tmp_path / "late_stream")
+    d = dt.datetime(2024, 3, 20, 12, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, d, 1, "click", 1.0), (2, d + dt.timedelta(days=10), 1, "click", 1.0)],
+        schema,
+    )
+    batch1.write.mode("append").parquet(stream_dir)
+
+    q = sliding_event_stream(
+        spark,
+        stream_dir,
+        schema,
+        window="1 day",
+        slide="1 day",
+        watermark="1 day",
+        output_mode="append",
+        query_name="t_late",
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now day+10 - 1d; this row is 10 days older -> dropped
+        late = spark.createDataFrame([(3, d, 1, "click", 5.0)], schema)
+        late.write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT window_start, n_events FROM t_late ORDER BY window_start"
+        ).collect()
+    finally:
+        q.stop()
+    # the finalized 2024-03-20 window emitted exactly the one on-time event;
+    # the late duplicate never re-opened or re-emitted it
+    emitted = {str(r["window_start"])[:10]: r["n_events"] for r in rows}
+    assert emitted.get("2024-03-20") == 1
