@@ -764,3 +764,84 @@ def text_repetition_gopher(spark, sf_dir):
         )
         .orderBy("lang", "repetition_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language — the corpus-characterization op (what words
+# define this slice?). Rational idf variant: score = tf * N / df with exact
+# integer inputs and ONE IEEE division (log-based idf would hostage the
+# cross-engine hash to libm differences; exactly-rounded division is
+# bit-identical in both engines). Top-k per language runs the salted
+# two-stage pattern (local top-k per hash-salt partition, then global top-k
+# over k*SALTS survivors) so no single task ever sorts a full language's
+# vocabulary — the same scale fix win_top_n_per_group uses. The DuckDB
+# oracle states the plain window form; results are identical, the salting
+# is pure execution strategy.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 10
+_TFIDF_SALTS = 32
+
+
+@register(
+    "text_tfidf_topterms",
+    extra=True,
+    sql=f"""
+    WITH words AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS w
+      FROM documents),
+    stats AS (
+      SELECT lang, w AS term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM words GROUP BY lang, w),
+    sizes AS (SELECT lang, count(*) AS n_docs_lang FROM documents GROUP BY lang),
+    scored AS (
+      SELECT s.lang, s.term, s.tf, s.df, z.n_docs_lang,
+             s.tf * z.n_docs_lang * 1.0 / s.df AS score
+      FROM stats s JOIN sizes z USING (lang)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term)
+               AS rn
+      FROM scored)
+    SELECT lang, term, tf, df, n_docs_lang, round(score, {DP}) AS tfidf, rn
+    FROM ranked WHERE rn <= {_TFIDF_K}
+    ORDER BY lang, rn
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("w"),
+    )
+    stats = words.groupBy("lang", F.col("w").alias("term")).agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    sizes = t.documents.groupBy("lang").agg(F.count("*").alias("n_docs_lang"))
+    scored = stats.join(F.broadcast(sizes), "lang").withColumn(
+        "score", F.col("tf") * F.col("n_docs_lang") * 1.0 / F.col("df")
+    )
+    # stage 1: local top-k inside (lang, salt) — bounds every sort task to
+    # its salt shard of the vocabulary
+    salted = scored.withColumn(
+        "salt", F.pmod(F.xxhash64("term"), F.lit(_TFIDF_SALTS))
+    )
+    wlocal = W.partitionBy("lang", "salt").orderBy(F.desc("score"), F.asc("term"))
+    survivors = (
+        salted.withColumn("lrn", F.row_number().over(wlocal))
+        .filter(F.col("lrn") <= _TFIDF_K)
+        .drop("lrn", "salt")
+    )
+    # stage 2: global top-k over ≤ k * SALTS survivors per language
+    wglobal = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(wglobal))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("lang", "term", "tf", "df", "n_docs_lang", R("score").alias("tfidf"), "rn")
+        .orderBy("lang", "rn")
+    )

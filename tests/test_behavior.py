@@ -91,3 +91,38 @@ def test_funnel_single_shuffle_plan(spark):
     # one hash exchange for the user_id windows; final agg is a single-partition
     # exchange, not a hash repartition of the events table
     assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}:\n{plan[:2000]}"
+
+
+def test_tfidf_two_stage_equals_plain_window(spark):
+    """The salted two-stage top-k must return exactly the plain-window
+    top-k (salting is execution strategy, not semantics)."""
+    from pyspark.sql import Window as W
+
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.catalog.textops import text_tfidf_topterms
+
+    t = Tables(spark, SF_SMOKE)
+    words = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("w"),
+    )
+    stats = words.groupBy("lang", F.col("w").alias("term")).agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    sizes = t.documents.groupBy("lang").agg(F.count("*").alias("n_docs_lang"))
+    scored = stats.join(sizes, "lang").withColumn(
+        "score", F.col("tf") * F.col("n_docs_lang") * 1.0 / F.col("df")
+    )
+    wglobal = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    plain = (
+        scored.withColumn("rn", F.row_number().over(wglobal))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "term", "rn")
+        .collect()
+    )
+    got = text_tfidf_topterms(spark, SF_SMOKE).select("lang", "term", "rn").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+    assert len(got) > 0
