@@ -308,3 +308,85 @@ def agg_global_summary(spark, sf_dir):
         R(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
         R(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: clip l_extendedprice to its per-group [p05, p95]
+# and report the clipped mean EXACTLY. Prices are 2-decimal, so inlier sums
+# run in integer cents; the two clip boundaries contribute n_below*p05 and
+# n_above*p95 as single IEEE multiplications in a fixed addition order —
+# no order-dependent double summation anywhere, so the cross-engine hash
+# cannot drift even at the 100x replica. Two passes over the group (exact
+# percentile, then conditional agg) joined on the tiny group key.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_winsorized_stats",
+    extra=True,
+    sql=f"""
+    WITH pct AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag),
+    classified AS (
+      SELECT l.l_returnflag,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             p.p05, p.p95,
+             CASE WHEN l.l_extendedprice < p.p05 THEN 'below'
+                  WHEN l.l_extendedprice > p.p95 THEN 'above'
+                  ELSE 'inlier' END AS cls
+      FROM lineitem l JOIN pct p USING (l_returnflag))
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(count_if(cls = 'below') AS BIGINT) AS n_clipped_low,
+           CAST(count_if(cls = 'above') AS BIGINT) AS n_clipped_high,
+           round(any_value(p05), {DP}) AS p05,
+           round(any_value(p95), {DP}) AS p95,
+           round(((CAST(sum(CASE WHEN cls = 'inlier' THEN cents ELSE 0 END) AS DOUBLE)
+                   + count_if(cls = 'below') * (any_value(p05) * 100))
+                  + count_if(cls = 'above') * (any_value(p95) * 100))
+                 / (count(*) * 100.0), {DP}) AS avg_winsorized
+    FROM classified GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_winsorized_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    pct = t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    classified = t.lineitem.join(F.broadcast(pct), "l_returnflag").select(
+        "l_returnflag",
+        cents.alias("cents"),
+        "p05",
+        "p95",
+        F.when(F.col("l_extendedprice") < F.col("p05"), "below")
+        .when(F.col("l_extendedprice") > F.col("p95"), "above")
+        .otherwise("inlier")
+        .alias("cls"),
+    )
+    inlier_cents = F.sum(F.when(F.col("cls") == "inlier", F.col("cents")).otherwise(0))
+    n_low = F.count_if(F.col("cls") == "below")
+    n_high = F.count_if(F.col("cls") == "above")
+    return (
+        classified.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            n_low.cast("long").alias("n_clipped_low"),
+            n_high.cast("long").alias("n_clipped_high"),
+            R(F.any_value("p05")).alias("p05"),
+            R(F.any_value("p95")).alias("p95"),
+            R(
+                (
+                    (
+                        inlier_cents.cast("double")
+                        + n_low * (F.any_value("p05") * 100)
+                    )
+                    + n_high * (F.any_value("p95") * 100)
+                )
+                / (F.count("*") * 100.0)
+            ).alias("avg_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )

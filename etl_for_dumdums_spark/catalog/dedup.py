@@ -694,3 +694,122 @@ def dedup_cc_groups(spark, sf_dir):
         F.max("group_size").alias("max_group_size"),
         F.round(F.sum("group_size") * 1.0 / F.count("*"), _DP_CC).alias("avg_group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT Jaccard similarity join via prefix filtering (PPJoin family —
+# Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): order each doc's distinct
+# word-trigram shingles rarest-first, keep only the first s-ceil(0.8s)+1 as its prefix (for
+# threshold 0.8, two docs with J >= t MUST share a prefix token), generate
+# candidates by a prefix-token equi-join + size filter (3*min >= sa+sb),
+# then verify the EXACT intersection with an integer count join. Unlike
+# MinHash/SimHash this has no false negatives or positives — it's the
+# deterministic alternative when the threshold is a hard guarantee. The
+# rarest-first ordering keeps hot boilerplate tokens out of prefixes, which
+# is what bounds the candidate join at corpus scale; all arithmetic is
+# integer so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_prefix_jaccard",
+    extra=True,
+    sql=f"""
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(a) - 1),
+                                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS w
+      FROM arr WHERE len(a) >= 3),
+    dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+    sized AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.w,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rk
+      FROM toks t JOIN dfreq d USING (w)),
+    prefix AS (
+      SELECT r.doc_id, r.w
+      FROM ranked r JOIN sized z USING (doc_id)
+      WHERE r.rk <= z.s - (4 * z.s + 4) // 5 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id),
+    sized_cand AS (
+      SELECT c.da, c.db, za.s AS sa, zb.s AS sb
+      FROM cand c JOIN sized za ON za.doc_id = c.da
+                  JOIN sized zb ON zb.doc_id = c.db
+      WHERE 5 * least(za.s, zb.s) >= 4 * greatest(za.s, zb.s)),
+    inter AS (
+      SELECT c.da, c.db, max(c.sa) AS sa, max(c.sb) AS sb, count(*) AS n_shared
+      FROM sized_cand c
+      JOIN toks ta ON ta.doc_id = c.da
+      JOIN toks tb ON tb.doc_id = c.db AND tb.w = ta.w
+      GROUP BY c.da, c.db)
+    SELECT da, db, n_shared, sa, sb,
+           round(n_shared * 1.0 / (sa + sb - n_shared), {DP}) AS jaccard
+    FROM inter
+    WHERE 9 * n_shared >= 4 * (sa + sb)
+    ORDER BY da, db
+    """,
+)
+def dedup_prefix_jaccard(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    arr = t.documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
+    ).filter(F.size("a") >= 3)
+    toks = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+            )
+        ).alias("w"),
+    ).distinct()
+    dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    sized = toks.groupBy("doc_id").agg(F.count("*").alias("s"))
+    ranked = toks.join(dfreq, "w").select(
+        "doc_id",
+        "w",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("df", "w"))
+        .alias("rk"),
+    )
+    prefix = (
+        ranked.join(sized, "doc_id")
+        .filter(F.col("rk") <= F.col("s") - F.floor((4 * F.col("s") + 4) / 5) + 1)
+        .select("doc_id", "w")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sized_cand = (
+        cand.join(sized.select(F.col("doc_id").alias("da"), F.col("s").alias("sa")), "da")
+        .join(sized.select(F.col("doc_id").alias("db"), F.col("s").alias("sb")), "db")
+        .filter(5 * F.least("sa", "sb") >= 4 * F.greatest("sa", "sb"))
+    )
+    ta = toks.select(F.col("doc_id").alias("da"), F.col("w").alias("wa"))
+    tb = toks.select(F.col("doc_id").alias("db2"), F.col("w").alias("wb"))
+    inter = (
+        sized_cand.join(ta, "da")
+        .join(tb, (F.col("db") == F.col("db2")) & (F.col("wa") == F.col("wb")))
+        .groupBy("da", "db")
+        .agg(F.max("sa").alias("sa"), F.max("sb").alias("sb"), F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.filter(9 * F.col("n_shared") >= 4 * (F.col("sa") + F.col("sb")))
+        .select(
+            "da",
+            "db",
+            "n_shared",
+            "sa",
+            "sb",
+            R(F.col("n_shared") * 1.0 / (F.col("sa") + F.col("sb") - F.col("n_shared"))).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("da", "db")
+    )

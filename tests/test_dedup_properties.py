@@ -72,3 +72,44 @@ def test_minhash_candidates_order_invariant(spark):
     shuffled = docs.orderBy(F.rand(seed=7)).repartition(13)
     again = {(r["da"], r["db"]) for r in minhash_neardup_candidates(shuffled).collect()}
     assert base == again and base
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    """Prefix filtering is exact: the candidate pruning must lose nothing —
+    the output equals the brute-force all-shared-shingle threshold join."""
+    from pyspark.sql import functions as F
+
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.catalog.dedup import dedup_prefix_jaccard
+
+    from .conftest import SF_SMOKE as _SF
+
+    docs = Tables(spark, _SF).documents
+    arr = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
+    ).filter(F.size("a") >= 3)
+    sh = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+            )
+        ).alias("w"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
+    x, y = sh.alias("x"), sh.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.w") == F.col("y.w")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    brute = (
+        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("s").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("s").alias("sb")), "db")
+        .filter(9 * F.col("inter") >= 4 * (F.col("sa") + F.col("sb")))
+        .select("da", "db")
+        .collect()
+    )
+    got = dedup_prefix_jaccard(spark, _SF).select("da", "db").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, brute))
+    assert len(got) > 0  # non-vacuous at the smoke SF
