@@ -302,3 +302,183 @@ def stream_sliding_weekly(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+# match each purchase to its nearest click by the same user within a
+# tolerance, preferring the earlier click on exact ties. Shape: one tagged
+# union stream, one user_id shuffle, two frame-bounded window passes
+# (backward max / forward min) — never a range self-join, so cost stays
+# O(n log n) per key at any scale. Gap arithmetic is integer epoch micros.
+# ---------------------------------------------------------------------------
+_ASOF_TOL_S = 600
+
+
+@register(
+    "join_asof_nearest",
+    extra=True,
+    sql=f"""
+    WITH stream AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    passes AS (
+      SELECT user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id
+                     ROWS UNBOUNDED PRECEDING) AS prev_click,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click
+      FROM stream),
+    purchases AS (
+      SELECT epoch_us(ts) - epoch_us(prev_click) AS back_us,
+             epoch_us(next_click) - epoch_us(ts) AS fwd_us
+      FROM passes WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT CASE
+               WHEN back_us IS NOT NULL AND back_us <= {_ASOF_TOL_S} * 1000000
+                    AND (fwd_us IS NULL OR back_us <= fwd_us OR fwd_us > {_ASOF_TOL_S} * 1000000)
+                 THEN 'backward'
+               WHEN fwd_us IS NOT NULL AND fwd_us <= {_ASOF_TOL_S} * 1000000
+                 THEN 'forward'
+               ELSE 'none' END AS match_direction,
+             CASE
+               WHEN back_us IS NOT NULL AND back_us <= {_ASOF_TOL_S} * 1000000
+                    AND (fwd_us IS NULL OR back_us <= fwd_us OR fwd_us > {_ASOF_TOL_S} * 1000000)
+                 THEN back_us
+               WHEN fwd_us IS NOT NULL AND fwd_us <= {_ASOF_TOL_S} * 1000000
+                 THEN fwd_us
+             END AS gap_us
+      FROM purchases)
+    SELECT match_direction,
+           count(*) AS n_purchases,
+           round(sum(gap_us) * 1.0 / (nullif(count(gap_us), 0) * 1000000), {DP})
+             AS avg_gap_sec
+    FROM matched GROUP BY match_direction ORDER BY match_direction
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    tol_us = _ASOF_TOL_S * 1_000_000
+    stream = t.events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    worder = W.partitionBy("user_id").orderBy("ts", "event_type", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    passes = stream.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(worder.rowsBetween(W.unboundedPreceding, 0)).alias("prev_click"),
+        F.min(click_ts).over(worder.rowsBetween(0, W.unboundedFollowing)).alias("next_click"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    purchases = passes.filter(F.col("event_type") == "purchase").select(
+        (us("ts") - us("prev_click")).alias("back_us"),
+        (us("next_click") - us("ts")).alias("fwd_us"),
+    )
+    back_ok = F.col("back_us").isNotNull() & (F.col("back_us") <= tol_us) & (
+        F.col("fwd_us").isNull()
+        | (F.col("back_us") <= F.col("fwd_us"))
+        | (F.col("fwd_us") > tol_us)
+    )
+    fwd_ok = F.col("fwd_us").isNotNull() & (F.col("fwd_us") <= tol_us)
+    matched = purchases.select(
+        F.when(back_ok, "backward").when(fwd_ok, "forward").otherwise("none").alias(
+            "match_direction"
+        ),
+        F.when(back_ok, F.col("back_us")).when(fwd_ok, F.col("fwd_us")).alias("gap_us"),
+    )
+    return (
+        matched.groupBy("match_direction")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            R(
+                F.sum("gap_us") * 1.0 / (F.nullif(F.count("gap_us"), F.lit(0)) * 1000000)
+            ).alias("avg_gap_sec"),
+        )
+        .orderBy("match_direction")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE decile profiling WITHOUT a global sort window: rank customers into
+# 10 account-balance deciles and profile each with exact integer-cent means.
+# A naive ntile() OVER (ORDER BY ...) funnels the whole table through ONE
+# task — the single-partition-window scale killer. Instead: repartitionByRange
+# on the (acctbal, custkey) total order, row_number within each range
+# partition, add the collected per-partition offsets (32 small ints — the
+# documented tiny-by-construction collect), and apply SQL ntile's exact
+# floor-division fill rule in closed form from the global rank. Result is
+# bit-identical to the oracle's ntile() at any scale, with no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "win_ntile_deciles",
+    extra=True,
+    sql=f"""
+    WITH ranked AS (
+      SELECT c_acctbal, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    SELECT decile,
+           count(*) AS n_customers,
+           round(min(c_acctbal), {DP}) AS min_bal,
+           round(max(c_acctbal), {DP}) AS max_bal,
+           round(sum(cents) / (count(*) * 100.0), {DP}) AS avg_bal,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def win_ntile_deciles(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    nparts = 32
+    base_df = t.customer.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    ranged = (
+        base_df.repartitionByRange(nparts, "c_acctbal", "c_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    wloc = W.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    base_sz, rem = total // 10, total % 10
+    pivot = rem * (base_sz + 1)
+    if base_sz == 0:
+        decile_expr = "CAST(r AS INT)"
+    else:
+        decile_expr = (
+            f"CAST(CASE WHEN r <= {pivot} THEN (r - 1) DIV {base_sz + 1} + 1 "
+            f"ELSE {rem} + (r - 1 - {pivot}) DIV {base_sz} + 1 END AS INT)"
+        )
+    ranked = (
+        ranged.withColumn("lr", F.row_number().over(wloc))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("r", F.col("off") + F.col("lr"))
+        .withColumn("decile", F.expr(decile_expr))
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            R(F.min("c_acctbal")).alias("min_bal"),
+            R(F.max("c_acctbal")).alias("max_bal"),
+            R(F.sum("cents") / (F.count("*") * 100.0)).alias("avg_bal"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("decile")
+    )

@@ -451,3 +451,90 @@ def join_range_interval(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence / market-basket pairs: parts bought together in one order,
+# scored by support and rational lift (n_ab * N / (n_a * n_b), one
+# exactly-rounded division — no libm). The within-order self-join is
+# bounded by basket size (TPC-H ≤ 7 lines/order; real carts are similarly
+# small constants), so pair volume is linear in orders, not quadratic in
+# parts. Top-20 by (support, pair) via TakeOrdered — per-partition heads
+# merged on the driver, never a global sort.
+# ---------------------------------------------------------------------------
+_COOC_K = 20
+
+
+@register(
+    "join_cooccurrence_pairs",
+    extra=True,
+    sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    part_orders AS (
+      SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY l_partkey),
+    n_total AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb),
+    scored AS (
+      SELECT p.pa, p.pb, p.n_ab, fa.n_orders AS n_a, fb.n_orders AS n_b,
+             round(p.n_ab * t.n * 1.0 / (fa.n_orders * fb.n_orders), {{DP}})
+               AS lift
+      FROM pairs p
+      JOIN part_orders fa ON fa.l_partkey = p.pa
+      JOIN part_orders fb ON fb.l_partkey = p.pb
+      CROSS JOIN n_total t)
+    SELECT pa, pb, n_ab, n_a, n_b, lift,
+           CAST(row_number() OVER (ORDER BY n_ab DESC, pa, pb) AS BIGINT) AS rn
+    FROM scored
+    QUALIFY rn <= {{K}}
+    ORDER BY rn
+    """.format(DP=4, K=_COOC_K),
+)
+def join_cooccurrence_pairs(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    n_total = items.agg(F.count_distinct("l_orderkey").alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    fa = part_orders.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("n_a"))
+    fb = part_orders.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("n_b"))
+    scored = (
+        pairs.join(fa, "pa")
+        .join(fb, "pb")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.col("n"),
+        )
+        .withColumn(
+            "lift",
+            F.round(F.col("n_ab") * F.col("n") * 1.0 / (F.col("n_a") * F.col("n_b")), 4),
+        )
+        .drop("n")
+    )
+    # TakeOrdered top-K (orderBy+limit → per-partition heads, driver merge)
+    top = scored.orderBy(F.desc("n_ab"), "pa", "pb").limit(_COOC_K)
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.orderBy(F.desc("n_ab"), "pa", "pb")).cast("long")
+    return top.withColumn("rn", rn).select(
+        "pa", "pb", "n_ab", "n_a", "n_b", "lift", "rn"
+    ).orderBy("rn")
