@@ -132,3 +132,56 @@ def sliding_event_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_stream_click_purchase_join(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_gap: str = "10 minutes",
+    watermark: str = "1 day",
+    query_name: str = "events_ss_join",
+) -> StreamingQuery:
+    """Watermarked stream-stream inner join: each purchase joined to the
+    same user's clicks in the trailing ``max_gap`` window. Both sides carry
+    watermarks and the join condition bounds event-time distance, so Spark
+    can evict buffered state once the watermark passes — the requirement
+    for an unbounded two-stream join (state is O(events per watermark
+    horizon), never O(stream length)).
+    """
+    events = spark.readStream.schema(schema).parquet(path)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {max_gap}
+            """
+        ),
+        "inner",
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

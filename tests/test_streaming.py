@@ -147,3 +147,49 @@ def test_sliding_stream_append_drops_late_rows(spark, tmp_path):
     # the late duplicate never re-opened or re-emitted it
     emitted = {str(r["window_start"])[:10]: r["n_events"] for r in rows}
     assert emitted.get("2024-03-20") == 1
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.streaming import stream_stream_click_purchase_join
+
+    from .conftest import SF_SMOKE as _SF
+
+    src = Tables(spark, _SF).events.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream_dir = str(tmp_path / "ss_join_stream")
+    src.write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    q = stream_stream_click_purchase_join(spark, stream_dir, schema, query_name="t_ssj")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM t_ssj").collect()
+        }
+    finally:
+        q.stop()
+
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes")),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    )
+    expected = {(r["purchase_id"], r["click_id"]) for r in batch}
+    assert got == expected
+    assert len(got) > 0
