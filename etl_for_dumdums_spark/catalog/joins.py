@@ -538,3 +538,72 @@ def join_cooccurrence_pairs(spark, sf_dir):
     return top.withColumn("rn", rn).select(
         "pa", "pb", "n_ab", "n_a", "n_b", "lift", "rn"
     ).orderBy("rn")
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: compare two keyed snapshots of an incrementally
+# shipping fact (per-order shipped-line state at two cutoff dates) and
+# classify every key as added / removed / changed / unchanged — the
+# change-data-capture audit between two MERGE syncs (reference runs its
+# syncs incrementally with lookback + MERGE; this is the diff you run to
+# trust them). One full-outer join on the key; states are integer
+# (count, cents) pairs so equality is exact.
+# ---------------------------------------------------------------------------
+_CDC_CUT_A = "1995-06-30"
+_CDC_CUT_B = "1996-06-30"
+
+
+@register(
+    "cdc_snapshot_diff",
+    extra=True,
+    sql=f"""
+    WITH snap_a AS (
+      SELECT l_orderkey, count(*) AS n_lines,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem WHERE l_shipdate <= DATE '{_CDC_CUT_A}' GROUP BY l_orderkey),
+    snap_b AS (
+      SELECT l_orderkey, count(*) AS n_lines,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem WHERE l_shipdate <= DATE '{_CDC_CUT_B}' GROUP BY l_orderkey),
+    diff AS (
+      SELECT CASE WHEN a.l_orderkey IS NULL THEN 'added'
+                  WHEN b.l_orderkey IS NULL THEN 'removed'
+                  WHEN a.n_lines <> b.n_lines OR a.qty_cents <> b.qty_cents
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.l_orderkey = b.l_orderkey)
+    SELECT change_type, count(*) AS n_keys
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+
+    def snap(cut):
+        return (
+            t.lineitem.filter(F.col("l_shipdate") <= F.lit(cut).cast("date"))
+            .groupBy("l_orderkey")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+            )
+        )
+
+    a = snap(_CDC_CUT_A).select(
+        F.col("l_orderkey").alias("ka"), F.col("n_lines").alias("nla"), F.col("qty_cents").alias("qca")
+    )
+    b = snap(_CDC_CUT_B).select(
+        F.col("l_orderkey").alias("kb"), F.col("n_lines").alias("nlb"), F.col("qty_cents").alias("qcb")
+    )
+    diff = a.join(b, F.col("ka") == F.col("kb"), "full_outer").select(
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(
+            (F.col("nla") != F.col("nlb")) | (F.col("qca") != F.col("qcb")), "changed"
+        )
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return (
+        diff.groupBy("change_type").agg(F.count("*").alias("n_keys")).orderBy("change_type")
+    )
