@@ -185,3 +185,37 @@ def stream_stream_click_purchase_join(
         .queryName(query_name)
         .start()
     )
+
+
+def merge_stream_sink(
+    spark: SparkSession,
+    path: str,
+    schema,
+    target_path: str,
+    primary_key: str = "event_id",
+    query_name: str = "events_merge_sink",
+) -> StreamingQuery:
+    """foreachBatch → MERGE upsert: the production streaming sink pattern.
+    Each micro-batch runs the SAME merge_table the batch syncs use (Delta
+    MERGE where available, join-rewrite otherwise), so at-least-once
+    delivery collapses to exactly-once table state on the primary key —
+    the streaming twin of the reference's incremental sync + MERGE loop.
+    """
+    from ..io import merge_table
+
+    events = spark.readStream.schema(schema).parquet(path)
+
+    def sink(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # dedupe within the batch first (a batch can carry the same key
+        # twice); cross-batch dupes collapse in the MERGE itself
+        deduped = batch_df.dropDuplicates([primary_key])
+        merge_table(spark, deduped, target_path, primary_key)
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", target_path + "_checkpoint")
+        .start()
+    )

@@ -193,3 +193,35 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     expected = {(r["purchase_id"], r["click_id"]) for r in batch}
     assert got == expected
     assert len(got) > 0
+
+
+def test_merge_stream_sink_exactly_once_state(spark, tmp_path):
+    """At-least-once input (every event duplicated, plus a second replay
+    file) must collapse to exactly-once table state via the MERGE sink."""
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.streaming import merge_stream_sink
+
+    from .conftest import SF_SMOKE as _SF
+
+    src = (
+        Tables(spark, _SF)
+        .events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(300)
+    )
+    stream_dir = str(tmp_path / "merge_stream")
+    target = str(tmp_path / "merge_target")
+    src.unionByName(src).write.mode("append").parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    q = merge_stream_sink(spark, stream_dir, schema, target, query_name="t_merge_sink")
+    try:
+        q.processAllAvailable()
+        # replay the same rows again (a second at-least-once delivery)
+        src.write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stored = spark.read.parquet(target)
+    assert stored.count() == src.count()
+    assert stored.select("event_id").distinct().count() == src.count()
