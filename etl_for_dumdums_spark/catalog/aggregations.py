@@ -317,7 +317,10 @@ def agg_global_summary(spark, sf_dir):
 # n_above*p95 as single IEEE multiplications in a fixed addition order —
 # no order-dependent double summation anywhere, so the cross-engine hash
 # cannot drift even at the 100x replica. Two passes over the group (exact
-# percentile, then conditional agg) joined on the tiny group key.
+# percentile, then conditional agg) joined on the tiny group key. The
+# exact `percentile` aggregate buffers each group's values in one task —
+# at true 100 TB scale swap in operators/quantile.py's counting-selection
+# exact quantile (constant memory, bit-identical on cent-valued data).
 # ---------------------------------------------------------------------------
 @register(
     "agg_winsorized_stats",

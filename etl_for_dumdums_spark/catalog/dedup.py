@@ -707,7 +707,12 @@ def dedup_cc_groups(spark, sf_dir):
 # deterministic alternative when the threshold is a hard guarantee. The
 # rarest-first ordering keeps hot boilerplate tokens out of prefixes, which
 # is what bounds the candidate join at corpus scale; all arithmetic is
-# integer so both engines agree bit-for-bit.
+# integer so both engines agree bit-for-bit. Complexity is output-bound:
+# an exact threshold join must emit every qualifying pair, so at
+# duplication factor D the pair list itself is O(D^2) per original doc —
+# verified green at the 10x replica (249k pairs); at the 100x replica the
+# OUTPUT is ~300M pairs by construction and group/count-shaped operators
+# (dedup_cc_groups, dedup_minhash_lsh) are the right semantics instead.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_prefix_jaccard",
