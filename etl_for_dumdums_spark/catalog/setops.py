@@ -194,3 +194,51 @@ def agg_grouping_sets(spark, sf_dir):
         )
         .orderBy("rf", "ls")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native CUBE — completes the multi-level aggregation family (rollup ✓,
+# grouping sets ✓): all 2^k grouping combinations in one shuffle with
+# map-side partials. Exact integer cents keep every level engine-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_cube",
+    extra=True,
+    sql=f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, {DP})
+             AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def agg_cube(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            R(F.sum("cents").cast("bigint") / 100.0).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
