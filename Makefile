@@ -15,6 +15,15 @@ scale-data-100:
 bench-scale-100: scale-data-100
 	SPARK_GRAFT_SF_DIR=/tmp/sfscale100 python bench.py 2>/dev/null
 
+# oracle parity ON the 100x dataset, excluding per-row-output queries
+# (their result sets scale with the data — collect cost, not an engine
+# gap; covered by the full sf0.1 run) and dedup_prefix_jaccard (its exact
+# pair-list output is quadratic in the replication factor by definition —
+# verified at 10x instead).
+ORACLE_100X_EXCLUDE = win_lag_deltas,win_rolling_frames,scalar_string_ops,scalar_math_conditional,scalar_clean_html,scalar_array_ops,dedup_prefix_jaccard
+oracle-100x:
+	python tools/check_oracle.py --sf /tmp/sfscale100 --exclude $(ORACLE_100X_EXCLUDE)
+
 test:
 	python -m pytest tests/ -q
 

@@ -149,6 +149,11 @@ def main():
         action="store_true",
         help="check only the 50 driver-facing queries (default: both tiers)",
     )
+    ap.add_argument(
+        "--exclude",
+        default="",
+        help="comma-separated query names to skip (e.g. row-scaled outputs on scale-up data)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -156,6 +161,8 @@ def main():
     queries = dict(QUERIES) if args.driver_only else {**QUERIES, **EXTRA_QUERIES}
     oracle = dict(ORACLE) if args.driver_only else {**ORACLE, **EXTRA_ORACLE}
     names = args.names or sorted(queries)
+    excluded = {n for n in args.exclude.split(",") if n}
+    names = [n for n in names if n not in excluded]
     spark = get_spark("oracle-check")
 
     con = duckdb.connect()
