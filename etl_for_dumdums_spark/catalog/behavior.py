@@ -235,34 +235,12 @@ def events_cohort_retention(spark, sf_dir):
     """,
 )
 def scd2_intervals(spark, sf_dir):
+    from ..operators.scd import scd2_intervals_from_events
+
     t = Tables(spark, sf_dir)
-    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = t.events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.lag("event_type").over(worder).alias("prev_type"),
-    )
-    flagged = ordered.withColumn(
-        "chg",
-        F.when(
-            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")), 1
-        ).otherwise(0),
-    )
-    wrun = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    runs = flagged.withColumn("run_id", F.sum("chg").over(wrun))
-    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
-        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
-    )
-    closed = intervals.withColumn(
-        "valid_to",
-        F.lead("valid_from").over(W.partitionBy("user_id").orderBy("valid_from")),
-    )
+    closed = scd2_intervals_from_events(
+        t.events, "user_id", "ts", "event_type", "event_id"
+    ).withColumnRenamed("attr", "event_type")
     # events.ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
     # session-tz cast cancels in the subtraction, so durations are exact.
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
