@@ -182,3 +182,15 @@ def attrition_report(
     return out.withColumn("n_dropped", F.col("n_raw") - F.col("n_kept")).withColumn(
         "keep_rate_pct", F.round(F.lit(100.0) * F.col("n_kept") / F.col("n_raw"), 2)
     )
+
+
+def pack_cleaned_corpus(
+    cleaned: DataFrame, shard_tokens: int = 100_000, n_parts: int = 32
+) -> DataFrame:
+    """Final pipeline stage: assign the cleaned corpus to contiguous
+    ~shard_tokens shards (operators/packing.py's distributed cumsum) —
+    the manifest a training job reads, ready for
+    ``write_partitioned(df, path, 'shard_id')``."""
+    from .packing import assign_token_shards
+
+    return assign_token_shards(cleaned, "doc_id", "n_tokens", shard_tokens, n_parts)

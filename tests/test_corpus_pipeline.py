@@ -114,3 +114,21 @@ def test_corpus_clean_report_matches_operators(spark):
     assert row["n_after_fingerprint"] == clean_corpus(docs).count()
     assert row["n_kept"] == clean_corpus(docs, minhash_neardup=True).count()
     assert row["n_dropped"] == row["n_raw"] - row["n_kept"]
+
+
+def test_pack_cleaned_corpus_stage(spark):
+    from pyspark.sql import functions as F
+
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.operators.corpus import clean_corpus, pack_cleaned_corpus
+
+    from .conftest import SF_SMOKE as _SF
+
+    docs = Tables(spark, _SF).documents
+    cleaned = clean_corpus(docs)
+    packed = pack_cleaned_corpus(cleaned, shard_tokens=2000)
+    assert packed.count() == cleaned.count()  # packing drops nothing
+    stats = packed.groupBy("shard_id").agg(F.sum("n_tokens").alias("tok")).collect()
+    assert len(stats) > 1  # non-vacuous: multiple shards at the smoke SF
+    max_doc = cleaned.agg(F.max("n_tokens")).collect()[0][0]
+    assert all(r["tok"] < 2000 + max_doc for r in stats)
