@@ -125,3 +125,35 @@ def cosine_topk_vectorized(
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: per-vector symmetric max-abs scaling — the
+# 4x storage cut embedding stores ship (float32 -> int8 + one float scale).
+# Pure higher-order column functions (JVM-side, no UDF): quantize computes
+# scale = max|x| / 127 and rounds each component; dequantize multiplies
+# back. Roundtrip error is bounded by scale/2 per component, pinned by test.
+# ---------------------------------------------------------------------------
+def quantize_embeddings(df, vec_col: str = "embedding"):
+    """Add int8 quantized vector + per-vector scale columns."""
+    scale = F.expr(
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"
+    )
+    out = df.withColumn("q_scale", scale)
+    quant = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) / q_scale) AS TINYINT))"
+    )
+    return out.withColumn(
+        "q_vec",
+        F.when(F.col("q_scale") > 0, quant).otherwise(
+            F.expr(f"transform({vec_col}, x -> CAST(0 AS TINYINT))")
+        ),
+    )
+
+
+def dequantize_embeddings(df, q_col: str = "q_vec", scale_col: str = "q_scale"):
+    """Reconstruct float vectors from int8 + scale."""
+    return df.withColumn(
+        "deq_vec",
+        F.expr(f"transform({q_col}, x -> CAST(x AS DOUBLE) * {scale_col})"),
+    )

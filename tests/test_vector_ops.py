@@ -74,3 +74,28 @@ def test_brute_branch_auto_switches_to_vectorized(spark):
     assert sorted(map(key, jvm)) == sorted(map(key, vec))
     # the auto threshold is a real production value, not accidentally tiny
     assert _VECTORIZE_MIN_ROWS >= 10_000
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.operators.vector import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    from .conftest import SF_SMOKE as _SF
+
+    emb = Tables(spark, _SF).embeddings.limit(500)
+    q = dequantize_embeddings(quantize_embeddings(emb))
+    err = q.select(
+        F.expr(
+            "aggregate(zip_with(embedding, deq_vec, (a, b) -> abs(CAST(a AS DOUBLE) - b)),"
+            " CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, x))"
+        ).alias("max_err"),
+        (F.col("q_scale") / 2 + 1e-12).alias("bound"),
+    ).collect()
+    assert len(err) > 0
+    for r in err:
+        assert r["max_err"] <= r["bound"], (r["max_err"], r["bound"])
