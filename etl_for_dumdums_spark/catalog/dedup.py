@@ -249,12 +249,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    # hot-bucket cap (see _MAX_BUCKET note): size each bucket once, join the
-    # size back, and only pair up docs inside small buckets
-    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_size"))
-    small = bands.join(
-        sizes.filter(F.col("bucket_size") <= _MAX_BUCKET), ["band", "key"], "inner"
-    ).select("doc_id", "band", "key")
+    # hot-bucket cap (see _MAX_BUCKET note): bucket sizes via a window count
+    # over (band, key) — one shuffle, no separate aggregate-and-join-back —
+    # and the sized frame is cached so the tokenize→8×md5 signature subtree
+    # (the expensive part) runs ONCE for the small/hot/self-join readers
+    # instead of once per branch. The self-join's equi-keys match the window
+    # partitioning, so the cached layout is reused without a new Exchange.
+    from pyspark.sql import Window as _W
+
+    sized = bands.withColumn(
+        "bucket_size", F.count("*").over(_W.partitionBy("band", "key"))
+    ).cache()
+    small = sized.filter(F.col("bucket_size") <= _MAX_BUCKET).select("doc_id", "band", "key")
     left = small.alias("a")
     right = small.alias("b")
     cand = (
@@ -267,11 +273,11 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
         # three output branches read the candidate set; cache it so the
-        # band self-join (the expensive subtree) runs once, not per branch
+        # band self-join runs once, not per branch
         .cache()
     )
     flagged = cand.select(F.col("da").alias("d")).union(cand.select("db")).distinct()
-    hot = sizes.filter(F.col("bucket_size") > _MAX_BUCKET)
+    hot = sized.filter(F.col("bucket_size") > _MAX_BUCKET).select("band", "key").distinct()
     return (
         cand.agg(F.count("*").alias("n_candidate_pairs"))
         .crossJoin(flagged.agg(F.count("*").alias("n_docs_flagged")))
@@ -503,7 +509,10 @@ def dedup_simhash64(spark, sf_dir):
         *[F.expr(e.replace("strpos", "instr").replace("//", "div")) for e in
           _sh64_vote_exprs("strpos", "//")]
     )
-    bandvals = votes.selectExpr("doc_id", *_sh64_band_exprs())
+    # one row per doc, 5 narrow columns — cached because FOUR subtrees read
+    # it (band explode, the x/y verification sides, candidate count); without
+    # the cache the 64-bit-vote token aggregation runs once per reader
+    bandvals = votes.selectExpr("doc_id", *_sh64_band_exprs()).cache()
     band_structs = F.array(
         *[
             F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
@@ -513,10 +522,14 @@ def dedup_simhash64(spark, sf_dir):
     bands = bandvals.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_size"))
-    small = bands.join(
-        sizes.filter(F.col("bucket_size") <= _MAX_BUCKET), ["band", "key"], "inner"
-    ).select("doc_id", "band", "key")
+    # same sized-window + cache shape as dedup_minhash_lsh: the 64-bit vote
+    # aggregation runs once, not once per small/hot reader
+    from pyspark.sql import Window as _W
+
+    sized = bands.withColumn(
+        "bucket_size", F.count("*").over(_W.partitionBy("band", "key"))
+    ).cache()
+    small = sized.filter(F.col("bucket_size") <= _MAX_BUCKET).select("doc_id", "band", "key")
     a, b = small.alias("a"), small.alias("b")
     cand = (
         a.join(
@@ -527,6 +540,7 @@ def dedup_simhash64(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
+        .cache()  # read by the verification join AND the candidate count
     )
     x = bandvals.select(
         F.col("doc_id").alias("da"), *[F.col(f"b{i}").alias(f"xa{i}") for i in range(_SH64_BANDS)]
@@ -542,7 +556,7 @@ def dedup_simhash64(spark, sf_dir):
     flagged = confirmed.select(F.col("da").alias("d")).union(
         confirmed.select("db")
     ).distinct()
-    hot = sizes.filter(F.col("bucket_size") > _MAX_BUCKET)
+    hot = sized.filter(F.col("bucket_size") > _MAX_BUCKET).select("band", "key").distinct()
     return (
         t.documents.agg(F.count("*").alias("n_docs"))
         .crossJoin(cand.agg(F.count("*").alias("n_candidate_pairs")))
@@ -617,10 +631,16 @@ def _minhash_candidates(documents):
     bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_size"))
-    small = bands.join(
-        sizes.filter(F.col("bucket_size") <= _MAX_BUCKET), ["band", "key"], "inner"
-    ).select("doc_id", "band", "key")
+    # window-count bucket sizing (see dedup_minhash_lsh): one shuffle on the
+    # join key, signature aggregation computed once for both join sides
+    from pyspark.sql import Window as _W
+
+    small = (
+        bands.withColumn("bucket_size", F.count("*").over(_W.partitionBy("band", "key")))
+        .filter(F.col("bucket_size") <= _MAX_BUCKET)
+        .select("doc_id", "band", "key")
+        .cache()
+    )
     a, b = small.alias("a"), small.alias("b")
     return (
         a.join(
