@@ -168,4 +168,5 @@ def load_all() -> None:
         timeseries,
         contamination,
         behavior,
+        privacy,
     )

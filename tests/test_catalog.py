@@ -64,3 +64,19 @@ def test_operators_doc_covers_every_driver_query():
     text = doc.read_text()
     missing = [name for name in QUERIES if name not in text]
     assert not missing, f"driver-facing queries absent from OPERATORS.md: {missing}"
+
+
+def test_pseudonymize_helper(spark):
+    """pseudonymize(): matching values get a deterministic consistent
+    pseudonym, non-matching values pass through untouched."""
+    from etl_for_dumdums_spark.catalog.privacy import pseudonymize
+
+    df = spark.createDataFrame(
+        [("Customer#000000007",), ("Customer#000000007",), ("no id here",)],
+        ["c_name"],
+    )
+    out = [r.c_name for r in pseudonymize(df, "c_name").collect()]
+    assert out[0] == out[1]  # consistent mapping
+    assert out[0].startswith("CUST_") and len(out[0]) == 17
+    assert out[0] != "Customer#000000007"  # actually scrubbed
+    assert out[2] == "no id here"  # passthrough
