@@ -90,3 +90,24 @@ def test_range_interval_join_is_equi_not_nested_loop(spark):
     plan = _plan(join_range_interval(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signature_computed_once(spark):
+    """dedup_minhash_lsh sizes LSH buckets with a window count over the
+    band key (one shuffle the self-join reuses) and caches the sized
+    frame, so the expensive tokenize->8xmd5 signature aggregation runs
+    once — not once per small/hot/self-join reader."""
+    from etl_for_dumdums_spark.catalog import QUERIES, load_all
+    from .conftest import SF_SMOKE
+
+    load_all()
+    plan = (
+        QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # bucket sizing is the window count partitioned by the band key ...
+    assert "Window [count(1)" in plan and "hashpartitioning(band" in plan
+    # ... and the sized/candidate frames are cached (shared, not recomputed)
+    assert "InMemoryTableScan" in plan
