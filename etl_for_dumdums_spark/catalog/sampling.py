@@ -181,3 +181,60 @@ def mix_rebalance_langs(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment: split = f(hash(doc_id)),
+# so membership is reproducible across runs AND engines, new rows never
+# reshuffle old assignments, and all rows sharing a key land in the same
+# split (the leakage-free grouping property — split on a GROUP key like
+# source-document id when rows are derived fragments). Pure projection:
+# zero shuffle at any scale; the report below adds the one groupBy any
+# audit needs.
+# ---------------------------------------------------------------------------
+_SPLIT_BOUNDS = (80, 90)  # hash%100: <80 train, <90 val, else test
+
+
+def assign_split(df, key_col: str, bounds: tuple[int, int] = _SPLIT_BOUNDS, salt: str = "split:"):
+    """Add a deterministic `split` column ('train'/'val'/'test') keyed on
+    ``key_col``. Map-side only — no shuffle."""
+    h = F.expr(_h_spark(f"concat('{salt}', CAST({key_col} AS STRING))")) % 100
+    return df.withColumn(
+        "split",
+        F.when(h < bounds[0], "train").when(h < bounds[1], "val").otherwise("test"),
+    )
+
+
+@register(
+    "sample_train_split",
+    extra=True,
+    sql=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_h_sql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < {_SPLIT_BOUNDS[0]} THEN 'train'
+                  WHEN {_h_sql("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < {_SPLIT_BOUNDS[1]} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    counts AS (SELECT lang, split, count(*) AS n FROM assigned GROUP BY lang, split),
+    tot AS (SELECT lang, sum(n) AS lang_total FROM counts GROUP BY lang)
+    SELECT c.lang, c.split, c.n,
+           round(100.0 * c.n / t.lang_total, 2) AS pct_of_lang
+    FROM counts c JOIN tot t ON c.lang = t.lang
+    ORDER BY c.lang, c.split
+    """,
+)
+def sample_train_split(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    assigned = assign_split(t.documents, "doc_id")
+    counts = assigned.groupBy("lang", "split").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    return (
+        counts.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "split",
+            "n",
+            F.round(100.0 * F.col("n") / F.col("lang_total"), 2).alias("pct_of_lang"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -67,3 +67,18 @@ def test_mixture_budget_is_max_feasible(spark):
     assert any(
         r["target_wt"] * (budget + 100) // 100 > r["n_before"] for r in rows
     )
+
+
+def test_assign_split_deterministic_and_leakage_free(spark):
+    """Same key always lands in the same split (across rows and runs) and
+    the split is a pure projection — no shuffle in the plan."""
+    from etl_for_dumdums_spark.catalog.sampling import assign_split
+
+    df = spark.createDataFrame([(i % 50, i) for i in range(200)], ["k", "v"])
+    out = assign_split(df, "k")
+    per_key = out.groupBy("k").agg(F.count_distinct("split").alias("d")).collect()
+    assert all(r.d == 1 for r in per_key)  # leakage-free: one split per key
+    again = {r.k: r.split for r in assign_split(df, "k").select("k", "split").distinct().collect()}
+    first = {r.k: r.split for r in out.select("k", "split").distinct().collect()}
+    assert first == again  # reproducible
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
