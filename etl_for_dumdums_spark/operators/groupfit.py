@@ -77,3 +77,56 @@ def user_trends_native(events: DataFrame) -> DataFrame:
         )
         .select("user_id", "n_days", "slope", "intercept", "mean_daily")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas_udf — the third Arrow-Python flavor (after grouped-map
+# applyInPandas above and the scalar pandas_udf token counter): a custom
+# aggregate usable inside groupBy().agg() alongside built-ins. Arrow ships
+# each group's column as one pandas Series; still the slow path vs JVM
+# aggregates, so the native twin below is the production plan and the UDF
+# is the escape hatch for aggregates SQL can't express.
+# ---------------------------------------------------------------------------
+_TRIM_FRAC = 0.1
+
+
+def trimmed_mean_grouped_udf(events: DataFrame) -> DataFrame:
+    """Per-event-type 10%-trimmed mean of `value` via a grouped-agg
+    pandas_udf (drop the k=floor(n*frac) lowest and highest values)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values()
+        k = int(len(s) * _TRIM_FRAC)
+        kept = s.iloc[k : len(s) - k] if len(s) > 2 * k else s
+        return float(kept.mean())
+
+    return (
+        events.groupBy("event_type")
+        .agg(trimmed_mean("value").alias("trimmed_mean_value"))
+        .orderBy("event_type")
+    )
+
+
+def trimmed_mean_native(events: DataFrame) -> DataFrame:
+    """JVM-native twin: rank per group, drop the k extremes, avg the rest.
+    Trimming is by rank, and rank ties can only occur between EQUAL values,
+    so which copy gets dropped cannot change the mean — the two paths agree
+    exactly (up to float summation order)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = events.select("event_type", "value").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    k = F.floor(F.col("n") * _TRIM_FRAC)
+    kept = ranked.filter(
+        (F.col("n") <= 2 * k) | ((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.avg("value").alias("trimmed_mean_value"))
+        .orderBy("event_type")
+    )

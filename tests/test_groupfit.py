@@ -50,3 +50,18 @@ def test_pandas_udf_token_count_matches_native(spark):
     assert len(got) > 0
     for r in got:
         assert r["py"] == r["native"], (r["doc_id"], r["py"], r["native"])
+
+
+def test_grouped_agg_pandas_udf_matches_native_twin(spark):
+    """GROUPED_AGG pandas_udf trimmed mean == the JVM rank-trim twin."""
+    from etl_for_dumdums_spark.operators.groupfit import (
+        trimmed_mean_grouped_udf,
+        trimmed_mean_native,
+    )
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    udf_rows = {r.event_type: r.trimmed_mean_value for r in trimmed_mean_grouped_udf(events).collect()}
+    nat_rows = {r.event_type: r.trimmed_mean_value for r in trimmed_mean_native(events).collect()}
+    assert set(udf_rows) == set(nat_rows) and len(udf_rows) > 1
+    for et in udf_rows:
+        assert abs(udf_rows[et] - nat_rows[et]) < 1e-9, et
