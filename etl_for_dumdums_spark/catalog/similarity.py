@@ -338,11 +338,21 @@ def sim_ivf_topk(spark, sf_dir):
             F.col("nrm") + F.col("cnrm") - 2 * F.expr(_DOT_SPARK.format(a="v", b="cv"))
         ).alias("dist"),
     )
-    wassign = W2.partitionBy("vec_id").orderBy("dist", "cid")
+    # nearest centroid as min(struct(dist, cid, ...)) — an aggregation with
+    # map-side partial combine, instead of a row_number window that must
+    # shuffle AND sort all n×K assignment rows. Equivalent by construction:
+    # struct ordering is lexicographic on (dist, cid) — the window's ORDER
+    # BY — and dist is exact integer math, so the argmin is deterministic;
+    # v/nrm ride along as constant-per-vec_id payload fields.
     assigned = (
-        crossed.withColumn("rnk", F.row_number().over(wassign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v", "nrm", "cid")
+        crossed.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "v", "nrm")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.v").alias("v"),
+            F.col("m.nrm").alias("nrm"),
+            F.col("m.cid").alias("cid"),
+        )
     )
     queries = assigned.filter(
         (F.col("vec_id") % 100 == 7) & (F.col("vec_id") < _IVF_MAX_QUERY_ID)
