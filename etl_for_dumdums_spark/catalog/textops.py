@@ -695,13 +695,17 @@ def text_winnow_neardup(spark, sf_dir):
 )
 def text_repetition_gopher(spark, sf_dir):
     t = Tables(spark, sf_dir)
+    # cached: the word-count and bigram-count branches below both explode
+    # from this frame; caching the COMPACT pre-explode form (one array row
+    # per doc) runs the regexp parse once without materializing the
+    # exploded token stream
     arrs = t.documents.select(
         "doc_id",
         "lang",
         F.split(
             F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
         ).alias("arr"),
-    )
+    ).cache()
     words = arrs.filter(F.size("arr") >= 1).select(
         "doc_id",
         "lang",
