@@ -415,19 +415,17 @@ _WINNOW_W = 4  # winnow window (hashes)
 
 
 def _hex15_to_long_sql(x: str) -> str:
-    return (
-        f"list_reduce(list_transform(generate_series(1, 15), "
-        f"c -> CAST(strpos('0123456789abcdef', substr(md5({x}), c, 1)) - 1 AS BIGINT)), "
-        f"(a, b) -> a * 16 + b)"
-    )
+    # value = int(first 15 md5 hex digits, 16) — same 60-bit integer as the
+    # shared sketches._h_sql hash; a native cast, not a per-digit reduce
+    return f"(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
 
 
 def _hex15_to_long_spark(x: str) -> str:
-    return (
-        f"aggregate(transform(sequence(1, 15), "
-        f"c -> CAST(instr('0123456789abcdef', substring(md5({x}), c, 1)) - 1 AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (a, b) -> a * 16 + b)"
-    )
+    # native conv() — one builtin per k-gram. The earlier 15-step
+    # higher-order aggregate computed the identical value but cost 15
+    # substring+instr lambda steps per character position, which dominated
+    # the winnowing queries at the 100x replica.
+    return f"CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 
 
 @register(
@@ -499,10 +497,14 @@ def text_winnow_sketch(spark, sf_dir):
         F.min("h").over(wspec.rowsBetween(0, _WINNOW_W - 1)).alias("sel"),
         F.lead("i", _WINNOW_W - 1).over(wspec).alias("full_i"),
     )
+    # cached: three aggregation branches (sizes / distinct hashes / shared
+    # hashes) read the sketch; without the cache each re-runs the whole
+    # per-position hash pipeline — the expensive subtree
     sketch = (
         winnowed.filter(F.col("full_i").isNotNull())
         .select("doc_id", "lang", F.col("sel").alias("h"))
         .distinct()
+        .cache()
     )
     sizes = sketch.groupBy("doc_id", "lang").agg(F.count("*").alias("sk"))
     per_lang = sizes.groupBy("lang").agg(
@@ -612,12 +614,19 @@ def text_winnow_neardup(spark, sf_dir):
         .filter(F.col("full_i").isNotNull())
         .select("doc_id", F.col("sel").alias("h"))
         .distinct()
+        # cached: sketch sizes, bucket sizing, and both self-join sides all
+        # read this frame — without the cache each re-runs the per-position
+        # hash pipeline
+        .cache()
     )
     sizes = sketch.groupBy("doc_id").agg(F.count("*").alias("sk"))
-    bsizes = sketch.groupBy("h").agg(F.count("*").alias("bucket_size"))
-    small = sketch.join(
-        bsizes.filter(F.col("bucket_size") <= _WINNOW_MAX_HASH_BUCKET), "h", "inner"
-    ).select("doc_id", "h")
+    # bucket sizes via a window count on h (the self-join key, so the
+    # exchange is reused) — same shape as dedup_minhash_lsh's cap
+    small = (
+        sketch.withColumn("bucket_size", F.count("*").over(W.partitionBy("h")))
+        .filter(F.col("bucket_size") <= _WINNOW_MAX_HASH_BUCKET)
+        .select("doc_id", "h")
+    )
     a, b = small.alias("a"), small.alias("b")
     overlaps = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
