@@ -342,15 +342,6 @@ def _tri_hits_sql(lang: str) -> str:
     )
 
 
-def _tri_hits_spark(lang: str) -> str:
-    profile = ", ".join(f"'{t}'" for t in _TRIGRAM_PROFILES[lang])
-    return (
-        "CASE WHEN length(lower(text)) < 3 THEN 0 ELSE "
-        "size(filter(transform(sequence(1, length(lower(text)) - 2), "
-        f"i -> substring(lower(text), i, 3)), x -> array_contains(array({profile}), x))) END"
-    )
-
-
 @register(
     "text_langid_ngram",
     extra=True,
@@ -373,12 +364,29 @@ def _tri_hits_spark(lang: str) -> str:
 )
 def text_langid_ngram(spark, sf_dir):
     t = Tables(spark, sf_dir)
+
+    # hit count = number of character positions where a profile trigram
+    # starts. Spark side: ONE lookahead regexp_count per language — a
+    # single codegen'd regex pass per doc (the ?= makes matches zero-width,
+    # so overlapping positions all count; profile trigrams are distinct, so
+    # no position matches two alternatives). The DuckDB oracle keeps the
+    # explicit position-scan formulation (_tri_hits_sql) because RE2 has no
+    # lookahead — same integer per doc, proven by the value hash. (An
+    # earlier higher-order-function form computed identical counts but
+    # materialized the trigram array per language per row in interpreted
+    # lambdas — 27x slower at the 100x replica.)
+    import re as _re
+
+    def hcol(lg: str):
+        alts = "|".join(_re.escape(x) for x in _TRIGRAM_PROFILES[lg])
+        return (
+            F.regexp_count(F.lower(F.col("text")), F.lit(f"(?=(?:{alts}))"))
+            .cast("long")
+            .alias(f"h_{lg}")
+        )
+
     hits = t.documents.select(
-        F.col("lang").alias("actual_lang"),
-        *[
-            F.expr(_tri_hits_spark(lg)).cast("long").alias(f"h_{lg}")
-            for lg in _TRIGRAM_PROFILES
-        ],
+        F.col("lang").alias("actual_lang"), *[hcol(lg) for lg in _TRIGRAM_PROFILES]
     )
     h = {lg: F.col(f"h_{lg}") for lg in _TRIGRAM_PROFILES}
     pred = hits.select(
