@@ -515,3 +515,101 @@ def dedup_embedding_neardup(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
             "n_hot_buckets_skipped",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization audit (operators/vector.py quantize/dequantize):
+# the 4x storage cut embedding stores ship, verified end-to-end — per-label
+# component sums of the quantized vectors (exact integers), worst
+# reconstruction error as integer ppm of the per-vector scale (the symmetric
+# max-abs scheme bounds it at ~0.5 * scale per component), and the average
+# scale in integer ppb. Every float step (scale division, round, dequantize
+# multiply, error subtraction) is the IDENTICAL IEEE expression tree in both
+# engines, and every aggregate input is integerized first, so the value hash
+# is exact. Pure higher-order column functions; one scan + one small groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "embed_quantize_int8",
+    extra=True,
+    sql=f"""
+    WITH scaled AS (
+      SELECT label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+      FROM embeddings),
+    quant AS (
+      SELECT label, embedding, s,
+             list_transform(embedding, x -> CASE WHEN s > 0
+                 THEN CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT) ELSE 0 END) AS qv
+      FROM scaled),
+    per AS (
+      SELECT label, s,
+             len(embedding) AS n_comp,
+             CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+             CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_abs_q,
+             CASE WHEN s > 0 THEN CAST(floor(
+                 (list_max(list_transform(list_zip(embedding, qv),
+                     p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * s))) / s)
+                 * 1000000.0) AS BIGINT)
+               ELSE 0 END AS err_ppm,
+             CAST(floor(s * 1000000000.0 + 0.5) AS BIGINT) AS scale_ppb
+      FROM quant)
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(n_comp) AS BIGINT) AS total_components,
+           CAST(sum(q_l1) AS BIGINT) AS total_q_l1,
+           max(max_abs_q) AS max_abs_q,
+           max(err_ppm) AS max_err_ppm,
+           round((sum(scale_ppb) * 1.0) / count(*), {DP}) AS avg_scale_ppb,
+           CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_scale
+    FROM per GROUP BY label ORDER BY label
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    from ..operators.vector import dequantize_embeddings, quantize_embeddings
+
+    t = Tables(spark, sf_dir)
+    q = dequantize_embeddings(quantize_embeddings(t.embeddings))
+    per = (
+        q.select(
+            "label",
+            F.col("q_scale").alias("s"),
+            F.size("embedding").alias("n_comp"),
+            F.expr(
+                "aggregate(q_vec, CAST(0 AS BIGINT), (a, x) -> a + abs(CAST(x AS BIGINT)))"
+            ).alias("q_l1"),
+            F.expr(
+                "aggregate(q_vec, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(CAST(x AS BIGINT))))"
+            ).alias("max_abs_q"),
+            F.expr(
+                "aggregate(zip_with(embedding, deq_vec, (x, y) -> abs(CAST(x AS DOUBLE) - y)),"
+                " CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e))"
+            ).alias("me"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.when(
+                F.col("s") > 0,
+                F.floor((F.col("me") / F.col("s")) * 1000000.0),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "scale_ppb", F.floor(F.col("s") * 1000000000.0 + F.lit(0.5)).cast("long")
+        )
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("n_comp").alias("total_components"),
+            F.sum("q_l1").alias("total_q_l1"),
+            F.max("max_abs_q").alias("max_abs_q"),
+            F.max("err_ppm").alias("max_err_ppm"),
+            F.round((F.sum("scale_ppb") * 1.0) / F.count("*"), DP).alias(
+                "avg_scale_ppb"
+            ),
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("n_zero_scale"),
+        )
+        .orderBy("label")
+    )

@@ -866,3 +866,57 @@ def text_tfidf_topterms(spark, sf_dir):
         .select("lang", "term", "tf", "df", "n_docs_lang", R("score").alias("tfidf"), "rn")
         .orderBy("lang", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-window document chunking (operators/chunking.py): the shaping step
+# that turns cleaned documents into overlapping context-window-sized training
+# examples. One row per chunk; the chunk payload is verified by md5 so the
+# oracle compares content, not just counts. Explodes only chunk STARTS
+# (O(n_tokens/stride) rows/doc); chunking itself is a pure map — no shuffle.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 32  # chunk size (tokens)
+_CHUNK_S = 24  # stride (tokens) -> 8-token overlap
+
+
+@register(
+    "text_chunk_tokens",
+    extra=True,
+    sql=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS arr
+      FROM documents),
+    base AS (SELECT doc_id, arr, len(arr) AS n FROM norm WHERE len(arr) >= 1),
+    starts AS (
+      SELECT doc_id, arr, n, unnest(generate_series(0, n - 1, {_CHUNK_S})) AS start_tok
+      FROM base),
+    chunks AS (
+      SELECT doc_id, arr, start_tok, least({_CHUNK_W}, n - start_tok) AS n_tok
+      FROM starts
+      WHERE start_tok = 0 OR least({_CHUNK_W}, n - start_tok) > {_CHUNK_W - _CHUNK_S})
+    SELECT doc_id,
+           CAST(start_tok // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           substr(md5(array_to_string(arr[start_tok + 1 : start_tok + n_tok], ' ')), 1, 16)
+             AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_tokens(spark, sf_dir):
+    from ..operators.chunking import chunk_by_tokens
+
+    t = Tables(spark, sf_dir)
+    chunks = chunk_by_tokens(
+        t.documents, chunk_tokens=_CHUNK_W, stride=_CHUNK_S, keep_text=True
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "n_tok",
+        F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
