@@ -194,3 +194,35 @@ def pack_cleaned_corpus(
     from .packing import assign_token_shards
 
     return assign_token_shards(cleaned, "doc_id", "n_tokens", shard_tokens, n_parts)
+
+
+# one order key per chunk for the packing cumsum: supports ~2^20 chunks per
+# document (a ~25M-token doc at the default stride) and keeps doc_id unique
+# below 2^43 — both far beyond any real corpus row
+_MAX_CHUNKS_PER_DOC = 1 << 20
+
+
+def chunk_and_pack_corpus(
+    cleaned: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    shard_tokens: int = 100_000,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Alternative output stage: chunk the cleaned corpus into overlapping
+    token windows (operators/chunking.py) and pack the CHUNKS — not whole
+    documents — into contiguous ~``shard_tokens`` shards. This is the
+    manifest shape for context-window training where the chunk is the
+    example; ``pack_cleaned_corpus`` remains the whole-document variant.
+    Chunking is a pure map; the single shuffle is packing's range
+    repartition."""
+    from .chunking import chunk_by_tokens
+    from .packing import assign_token_shards
+
+    chunks = chunk_by_tokens(
+        cleaned, chunk_tokens=chunk_tokens, stride=stride, keep_text=True
+    ).withColumn(
+        "chunk_key",
+        F.col("doc_id") * _MAX_CHUNKS_PER_DOC + F.col("chunk_id"),
+    )
+    return assign_token_shards(chunks, "chunk_key", "n_tok", shard_tokens, n_parts)

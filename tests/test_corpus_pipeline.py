@@ -132,3 +132,29 @@ def test_pack_cleaned_corpus_stage(spark):
     assert len(stats) > 1  # non-vacuous: multiple shards at the smoke SF
     max_doc = cleaned.agg(F.max("n_tokens")).collect()[0][0]
     assert all(r["tok"] < 2000 + max_doc for r in stats)
+
+
+def test_chunk_and_pack_corpus_stage(spark):
+    from pyspark.sql import functions as F
+
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.operators.corpus import chunk_and_pack_corpus, clean_corpus
+
+    from .conftest import SF_SMOKE as _SF
+
+    docs = Tables(spark, _SF).documents
+    cleaned = clean_corpus(docs)
+    packed = chunk_and_pack_corpus(cleaned, shard_tokens=500).cache()
+    rows = packed.orderBy("chunk_key").collect()
+    # every cleaned doc survives into >= 1 chunk
+    assert packed.select("doc_id").distinct().count() == cleaned.count()
+    assert len(rows) > cleaned.count()  # non-vacuous: some docs chunked
+    # shard ids are monotone along the deterministic chunk order
+    sids = [r["shard_id"] for r in rows]
+    assert sids == sorted(sids)
+    # each shard stays within budget + one chunk of slack
+    stats = packed.groupBy("shard_id").agg(F.sum("n_tok").alias("tok")).collect()
+    assert len(stats) > 1
+    assert all(r["tok"] <= 500 + 32 for r in stats)
+    # chunks carry their payload for the training write
+    assert "chunk_text" in packed.columns
