@@ -838,3 +838,123 @@ def dedup_prefix_jaccard(spark, sf_dir):
         )
         .orderBy("da", "db")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-verified near-dup pairs: MinHash-LSH candidates (the same
+# banded plan as dedup_minhash_lsh, hot-bucket capped) VERIFIED by bounded
+# Levenshtein on the normalized text — the classic block-then-verify fuzzy
+# join. The Spark side computes levenshtein with the threshold argument
+# (O(len * k) banded DP, returns -1 above the bound), so verification cost
+# is bounded per pair no matter the document length; the candidate count is
+# bounded by the bucket cap. A pair is kept when the distance is within the
+# absolute bound AND within 20% of the longer text (integer comparison).
+# DuckDB computes the full distance and applies the identical two filters.
+# ---------------------------------------------------------------------------
+_EDIT_MAX = 64  # absolute distance bound (the banded-DP threshold)
+_EDIT_PCT = 5  # keep when edit_dist * _EDIT_PCT <= max(len) (i.e. <= 20%)
+
+
+@register(
+    "dedup_edit_distance",
+    extra=True,
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{i}|' || w)) AS s{i}" for i in range(_N_SIG))}
+      FROM tok GROUP BY doc_id),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, md5(s{a} || s{b}) AS key FROM sig" for bi, (a, b) in enumerate(_BANDS))}),
+    small_bands AS (
+      SELECT doc_id, band, key,
+             count(*) OVER (PARTITION BY band, key) AS bucket_size
+      FROM bands QUALIFY bucket_size <= {_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM small_bands a JOIN small_bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    verified AS (
+      SELECT c.da, c.db,
+             levenshtein(na.nt, nb.nt) AS edit_dist,
+             length(na.nt) AS len_a, length(nb.nt) AS len_b
+      FROM cand c JOIN norm na ON na.doc_id = c.da JOIN norm nb ON nb.doc_id = c.db)
+    SELECT da, db,
+           CAST(edit_dist AS BIGINT) AS edit_dist,
+           CAST(len_a AS BIGINT) AS len_a,
+           CAST(len_b AS BIGINT) AS len_b
+    FROM verified
+    WHERE edit_dist <= {_EDIT_MAX}
+      AND edit_dist * {_EDIT_PCT} <= greatest(len_a, len_b)
+    ORDER BY da, db
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    tok = _tokens(t.documents)
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"s{i}")
+            for i in range(_N_SIG)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat(F.col(f"s{a}"), F.col(f"s{b}"))).alias("key"),
+            )
+            for bi, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    small = (
+        bands.withColumn(
+            "bucket_size", F.count("*").over(_W.partitionBy("band", "key"))
+        )
+        .filter(F.col("bucket_size") <= _MAX_BUCKET)
+        .select("doc_id", "band", "key")
+    )
+    a, b = small.alias("a"), small.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    norm = t.documents.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("nt"),
+    )
+    na = norm.select(F.col("doc_id").alias("da"), F.col("nt").alias("nta"))
+    nb = norm.select(F.col("doc_id").alias("db"), F.col("nt").alias("ntb"))
+    verified = (
+        cand.join(na, "da")
+        .join(nb, "db")
+        # threshold form: banded DP bounded at _EDIT_MAX, -1 when above
+        .withColumn("edit_dist", F.levenshtein("nta", "ntb", _EDIT_MAX))
+        .withColumn("len_a", F.length("nta").cast("long"))
+        .withColumn("len_b", F.length("ntb").cast("long"))
+    )
+    return (
+        verified.filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") * _EDIT_PCT <= F.greatest("len_a", "len_b"))
+        )
+        .select(
+            "da", "db", F.col("edit_dist").cast("long").alias("edit_dist"), "len_a", "len_b"
+        )
+        .orderBy("da", "db")
+    )
