@@ -111,3 +111,19 @@ def test_minhash_signature_computed_once(spark):
     assert "Window [count(1)" in plan and "hashpartitioning(band" in plan
     # ... and the sized/candidate frames are cached (shared, not recomputed)
     assert "InMemoryTableScan" in plan
+
+
+def test_chunking_is_map_only_with_pruned_scan(spark):
+    """chunk_by_tokens must stay a pure map: the only Exchange in the
+    catalog query's plan is the presentation orderBy's range partition —
+    no shuffle belongs to the chunking itself — and the scan reads only
+    (doc_id, text)."""
+    from etl_for_dumdums_spark.catalog.textops import text_chunk_tokens
+    from etl_for_dumdums_spark.operators.chunking import chunk_by_tokens
+
+    plan = _formatted(text_chunk_tokens(spark, SF_SMOKE))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # operator alone (no orderBy): zero exchanges
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    op_plan = _formatted(chunk_by_tokens(docs))
+    assert "Exchange" not in op_plan
