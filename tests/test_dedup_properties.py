@@ -113,3 +113,42 @@ def test_prefix_jaccard_equals_bruteforce(spark):
     got = dedup_prefix_jaccard(spark, _SF).select("da", "db").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, brute))
     assert len(got) > 0  # non-vacuous at the smoke SF
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=5),
+    w=st.integers(2, 10),
+    overlap=st.integers(0, 8),
+)
+def test_chunking_invariants(spark, docs, w, overlap):
+    """chunk_by_tokens invariants for arbitrary corpora and (W, S) configs:
+    full token coverage, per-chunk size bound, stride-aligned starts,
+    non-first chunks contribute new tokens, and each chunk's text equals
+    the corresponding token slice (the serial reference implementation)."""
+    from etl_for_dumdums_spark.operators.chunking import chunk_by_tokens
+
+    s = max(1, w - min(overlap, w - 1))  # 1 <= stride <= w
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = chunk_by_tokens(df, chunk_tokens=w, stride=s).collect()
+
+    for i, text in enumerate(texts):
+        toks = " ".join(text.lower().strip().split()).split(" ")
+        mine = sorted(
+            (r for r in out if r.doc_id == i), key=lambda r: r.chunk_id
+        )
+        # serial reference: starts stepping by s, drop no-new-token tails
+        expected = []
+        for start in range(0, len(toks), s):
+            n_tok = min(w, len(toks) - start)
+            if start == 0 or n_tok > w - s:
+                expected.append((start, n_tok, " ".join(toks[start : start + n_tok])))
+        assert [(r.start_tok, r.n_tok, r.chunk_text) for r in mine] == expected
+        covered = set()
+        for r in mine:
+            assert r.start_tok % s == 0 and r.chunk_id == r.start_tok // s
+            covered.update(range(r.start_tok, r.start_tok + r.n_tok))
+        assert covered == set(range(len(toks)))
