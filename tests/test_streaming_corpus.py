@@ -58,3 +58,36 @@ def test_stream_drops_duplicate_arrivals(spark, tmp_path):
     # at-least-once delivery collapses: one survivor per fingerprint
     fps = [r["fingerprint"] for r in got]
     assert len(fps) == len(set(fps)) > 0
+
+
+def test_chunking_streams_unchanged(spark, tmp_path):
+    """chunk_by_tokens is a stateless map, so the SAME operator applies to a
+    readStream frame with no code changes and no watermark/state — the
+    streaming output equals the batch output row-for-row."""
+    from etl_for_dumdums_spark.operators.chunking import chunk_by_tokens
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(300)
+    stream_dir = str(tmp_path / "chunk_docs")
+    docs.write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    q = (
+        chunk_by_tokens(stream)
+        .writeStream.format("memory")
+        .queryName("t_chunks")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_chunks").collect()
+    finally:
+        q.stop()
+
+    batch = chunk_by_tokens(spark.read.parquet(stream_dir)).collect()
+    key = lambda r: (r.doc_id, r.chunk_id)  # noqa: E731
+    assert sorted(map(tuple, got), key=lambda t: t[:2]) == sorted(
+        map(tuple, batch), key=lambda t: t[:2]
+    )
+    assert len(batch) > 0
