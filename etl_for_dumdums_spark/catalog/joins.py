@@ -607,3 +607,49 @@ def cdc_snapshot_diff(spark, sf_dir):
     return (
         diff.groupBy("change_type").agg(F.count("*").alias("n_keys")).orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join under the oracle gate: the operators/skew.py salted_join
+# (fact side gets a random salt, dim side explodes n_salts ways, join key
+# becomes (key, salt)) must be RESULT-IDENTICAL to the plain equi-join —
+# salting is pure execution strategy for the pathological hot key AQE can't
+# split. The DuckDB oracle states the plain join; revenue is exact integer
+# cents so the hash can't drift. At 100 TB the salted shape spreads one hot
+# supplier over n_salts reducers instead of one.
+# ---------------------------------------------------------------------------
+@register(
+    "join_skew_salted",
+    extra=True,
+    sql=f"""
+    SELECT s.s_nationkey,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / count(*), {DP}) AS avg_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    fact = t.lineitem.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    dim = t.supplier.select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(fact, dim, "suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+            F.round(F.sum("cents") / 100.0 / F.count("*"), DP).alias("avg_price"),
+        )
+        .orderBy("s_nationkey")
+    )
