@@ -146,3 +146,58 @@ def corpus_clean_report(spark, sf_dir):
             "keep_rate_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard packing under the oracle gate: operators/packing.py's
+# assign_token_shards replaces the single-task `sum() OVER (ORDER BY ...)`
+# with a range-repartition + per-partition offsets cumsum, claiming bit
+# equality with the serial rule. The DuckDB oracle STATES the serial rule
+# (one global ordered window), so a pass proves the distributed cumsum
+# exact — per shard, over every document. Integer token counts only.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2_000  # tokens per shard at oracle SF (many shards → strong check)
+
+
+@register(
+    "pack_token_shards",
+    extra=True,
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS n_tok
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM toks)
+    SELECT CAST((c - 1) // {_PACK_BUDGET} AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM cum GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def pack_token_shards(spark, sf_dir):
+    from ..operators.packing import assign_token_shards
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("n_tok"),
+    )
+    packed = assign_token_shards(toks, "doc_id", "n_tok", _PACK_BUDGET)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
