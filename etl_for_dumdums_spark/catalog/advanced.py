@@ -482,3 +482,39 @@ def win_ntile_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Constant-memory exact quantiles under the oracle gate: the
+# operators/quantile.py counting-selection path (binary search on integer
+# cents, one distributed count per probe, NO per-group value buffer — the
+# shape that survives 100 TB where Spark's `percentile` buffers every value)
+# checked against DuckDB quantile_cont. The Spark side runs the REAL
+# operator; the result frame is built from its outputs (the per-probe counts
+# are distributed jobs, the final four numbers are driver scalars by
+# design). Values interpolate between the same two integer-cent order
+# statistics in both engines; compared at ROUND_DP like agg_percentiles.
+# ---------------------------------------------------------------------------
+_QUANTILE_QS = (0.5, 0.99)  # two probes keep the check affordable (~25 count jobs each)
+
+
+@register(
+    "agg_quantile_counting",
+    extra=True,
+    sql=" UNION ALL ".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q, round(quantile_cont(l_extendedprice, {q}), {DP})
+            AS quantile_price FROM lineitem"""
+        for q in _QUANTILE_QS
+    )
+    + " ORDER BY q",
+)
+def agg_quantile_counting(spark, sf_dir):
+    from ..operators.quantile import exact_quantile_cents
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_extendedprice")
+    rows = [
+        (q, round(exact_quantile_cents(li, "l_extendedprice", q), DP))
+        for q in _QUANTILE_QS
+    ]
+    return spark.createDataFrame(rows, "q double, quantile_price double").orderBy("q")
