@@ -173,13 +173,18 @@ def scalar_date_ops(spark, sf_dir):
 def scalar_json_extract(spark, sf_dir):
     t = Tables(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # pre-project the extraction ONCE: as an inline aggregate input the JSON
+    # parse runs per referencing aggregate (3x per row — subexpression
+    # elimination does not reach aggregate inputs); measured 9.3s -> 3.7s on
+    # the 100x replica
+    pre = t.events.select("event_type", k.alias("k"))
     return (
-        t.events.groupBy("event_type")
+        pre.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(k).alias("sum_k"),
-            R(F.avg(k)).alias("avg_k"),
-            F.count_if(k.isNull()).alias("n_missing_k"),
+            F.sum("k").alias("sum_k"),
+            R(F.avg("k")).alias("avg_k"),
+            F.count_if(F.col("k").isNull()).alias("n_missing_k"),
         )
         .orderBy("event_type")
     )

@@ -153,13 +153,19 @@ def text_token_stats(spark, sf_dir):
     bpe_ish = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
     )
+    # pre-project the tokenizations once — as inline aggregate inputs the
+    # regex passes run per referencing aggregate (same fix as
+    # scalar_json_extract)
+    pre = t.documents.select(
+        "lang", ws_tokens.alias("ws"), bpe_ish.alias("bpe"), "n_chars"
+    )
     return (
-        t.documents.groupBy("lang")
+        pre.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(ws_tokens).alias("total_ws_tokens"),
-            R(F.avg(ws_tokens)).alias("avg_ws_tokens"),
-            F.sum(bpe_ish).alias("total_bpe_ish_tokens"),
+            F.sum("ws").alias("total_ws_tokens"),
+            R(F.avg("ws")).alias("avg_ws_tokens"),
+            F.sum("bpe").alias("total_bpe_ish_tokens"),
             R(F.avg(F.col("n_chars") * 1.0)).alias("avg_chars"),
         )
         .orderBy("lang")
