@@ -238,3 +238,54 @@ def sample_train_split(spark, sf_dir):
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-K-per-group deterministic sample: the fixed-size eval-set draw
+# (exactly K docs per language, reproducible across runs/engines — rank by
+# keyed hash, not rand()). Spark side runs the salted two-stage top-K
+# (local top-K per hash-salt shard, global top-K over K*SALTS survivors) so
+# no single task ever sorts a whole group — the same scale shape as
+# win_top_n_per_group / text_tfidf_topterms; the oracle states the plain
+# one-window rule, results identical by construction.
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 20
+_SAMPLE_SALTS = 16
+
+
+@register(
+    "sample_k_per_group",
+    extra=True,
+    sql=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_h_sql("concat('kpg:', CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS rn
+      FROM documents)
+    SELECT lang, rn, doc_id, n_chars
+    FROM ranked WHERE rn <= {_SAMPLE_K}
+    ORDER BY lang, rn
+    """,
+)
+def sample_k_per_group(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    h = F.expr(_h_spark("concat('kpg:', CAST(doc_id AS STRING))"))
+    hashed = t.documents.select("lang", "doc_id", "n_chars", h.alias("_h"))
+    salted = hashed.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_SAMPLE_SALTS)))
+    wlocal = W.partitionBy("lang", "_salt").orderBy("_h", "doc_id")
+    survivors = (
+        salted.withColumn("_lrn", F.row_number().over(wlocal))
+        .filter(F.col("_lrn") <= _SAMPLE_K)
+        .drop("_lrn", "_salt")
+    )
+    wglobal = W.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(wglobal))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("lang", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "rn")
+    )
