@@ -289,3 +289,63 @@ def sample_k_per_group(spark, sf_dir):
         .select("lang", "rn", "doc_id", "n_chars")
         .orderBy("lang", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: keyed on the CONTENT fingerprint, not the row id —
+# duplicate/near-identical documents must land in the SAME split or eval
+# contaminates train (the grouping property assign_split's docstring names,
+# demonstrated concretely). The query audits itself: the count of
+# fingerprints spanning >1 split must be 0 (keying on doc_id instead gives
+# a nonzero count whenever the corpus has duplicate fingerprints — this
+# corpus does). Same zero-shuffle projection; the audit adds one groupBy.
+# ---------------------------------------------------------------------------
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "sample_split_leakage_safe",
+    extra=True,
+    sql=f"""
+    WITH assigned AS (
+      SELECT lang, {_FP_SQL} AS fp,
+             CASE WHEN {_h_sql(f"concat('split:', {_FP_SQL})")} % 100 < {_SPLIT_BOUNDS[0]} THEN 'train'
+                  WHEN {_h_sql(f"concat('split:', {_FP_SQL})")} % 100 < {_SPLIT_BOUNDS[1]} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    counts AS (
+      SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_fingerprints
+      FROM assigned GROUP BY split),
+    leaks AS (
+      SELECT count(*) AS n_leaky FROM (
+        SELECT fp FROM assigned GROUP BY fp HAVING count(DISTINCT split) > 1))
+    SELECT c.split, c.n_docs, c.n_fingerprints,
+           l.n_leaky AS n_fingerprints_spanning_splits
+    FROM counts c CROSS JOIN leaks l ORDER BY c.split
+    """,
+)
+def sample_split_leakage_safe(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    assigned = assign_split(
+        t.documents.select("lang", fp.alias("fp")), "fp"
+    ).select("lang", "fp", "split")
+    counts = assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.count_distinct("fp").alias("n_fingerprints")
+    )
+    leaks = (
+        assigned.groupBy("fp")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaky"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_fingerprints",
+            F.col("n_leaky").alias("n_fingerprints_spanning_splits"),
+        )
+        .orderBy("split")
+    )

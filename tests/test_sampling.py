@@ -82,3 +82,30 @@ def test_assign_split_deterministic_and_leakage_free(spark):
     first = {r.k: r.split for r in out.select("k", "split").distinct().collect()}
     assert first == again  # reproducible
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fingerprint_keyed_split_prevents_duplicate_leakage(spark):
+    """Duplicate documents must share a split. Keyed on the content
+    fingerprint they always do; keyed on doc_id they demonstrably do NOT
+    (some duplicate pair straddles train/val/test), which is the leakage
+    the fingerprint key exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from etl_for_dumdums_spark.catalog.sampling import assign_split
+
+    # 200 duplicate pairs: (2i, 2i+1) carry identical text
+    rows = [(i, f"duplicate content number {i // 2}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "fp", F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    )
+
+    def spanning(keyed):
+        return (
+            keyed.groupBy("fp")
+            .agg(F.count_distinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .count()
+        )
+
+    assert spanning(assign_split(df, "fp")) == 0
+    assert spanning(assign_split(df, "doc_id")) > 0
