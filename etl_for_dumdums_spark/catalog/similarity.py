@@ -613,3 +613,120 @@ def embed_quantize_int8(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining (beyond-reference — embedding-training data
+# prep). For each anchor vector: the POSITIVE is its most-similar same-label
+# neighbor, the NEGATIVE its most-similar different-label neighbor (the
+# "hard negative" — looks close in embedding space but carries the wrong
+# label), both restricted to the anchor's sign-LSH bucket. margin =
+# pos_cos − neg_cos is the quantity a triplet loss trains on; anchors with
+# margin ≤ 0 are the valuable hard cases.
+#
+# Scale design (100 TB): candidate generation is the SAME capped-bucket
+# equi-join as sim_lsh_bucketed — bucket sizes computed once (≤256-row
+# aggregate), buckets above _MAX_SIM_BUCKET excluded, so pair work is
+# hard-bounded at sum(min(bucket, cap)²) no matter the corpus size. The
+# per-anchor argmax is a min-struct aggregation (map-side partial combine),
+# not a window over all candidate rows. Cosines are exact-integer dot/norm
+# math rounded once (module docstring), so pick order is cross-engine
+# deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_contrastive_triplets",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, label, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
+             {_bucket_sql(_IVEC_SQL)} AS bucket
+      FROM embeddings),
+    sizes AS (SELECT bucket, count(*) AS bucket_size FROM iv GROUP BY bucket),
+    small AS (
+      SELECT iv.* FROM iv JOIN sizes s USING (bucket)
+      WHERE s.bucket_size <= {_MAX_SIM_BUCKET}),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS label,
+             b.vec_id AS neighbor_id, b.label = a.label AS is_pos,
+             round({_DOT_SQL.format(a='a.v', b='b.v')} / sqrt(a.nrm * 1.0 * b.nrm), {DP}) AS cosine
+      FROM small a JOIN small b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    best AS (
+      SELECT anchor_id, label, is_pos, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY anchor_id, is_pos
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM cand)
+    SELECT p.anchor_id, p.label,
+           p.neighbor_id AS pos_id, p.cosine AS pos_cos,
+           n.neighbor_id AS neg_id, n.cosine AS neg_cos,
+           round(p.cosine - n.cosine, {DP}) AS margin
+    FROM (SELECT * FROM best WHERE is_pos AND rn = 1) p
+    JOIN (SELECT * FROM best WHERE NOT is_pos AND rn = 1) n USING (anchor_id, label)
+    ORDER BY anchor_id
+    """,
+)
+def sim_contrastive_triplets(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
+    """Hard-negative triplet mining over sign-LSH buckets.
+
+    Beyond-reference (reference has no embedding ops); candidate join shape
+    shared with sim_lsh_bucketed; argmax per (anchor, is_pos) via
+    min-struct aggregation (same equivalence argument as sim_ivf_topk's
+    centroid assignment: struct ordering is lexicographic on the window's
+    ORDER BY key, cosine is the same rounded IEEE value both engines)."""
+    t = Tables(spark, sf_dir)
+    iv = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.expr(_IVEC_SPARK).alias("v"),
+        F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
+        F.expr(_bucket_spark(_IVEC_SPARK)).alias("bucket"),
+    )
+    small, _hot = _cap_buckets(iv, max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        (F.col("b.label") == F.col("a.label")).alias("is_pos"),
+        F.round(
+            F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+            / F.sqrt(F.col("a.nrm") * 1.0 * F.col("b.nrm")),
+            DP,
+        ).alias("cosine"),
+    )
+    # argmax by (cosine DESC, neighbor_id ASC) == max(struct(cosine, -id))
+    best = (
+        cand.groupBy("anchor_id", "label", "is_pos")
+        .agg(F.max(F.struct(F.col("cosine"), (-F.col("neighbor_id")).alias("nid"))).alias("m"))
+        .select(
+            "anchor_id",
+            "label",
+            "is_pos",
+            (-F.col("m.nid")).alias("neighbor_id"),
+            F.col("m.cosine").alias("cosine"),
+        )
+    )
+    pos = best.filter(F.col("is_pos")).select(
+        "anchor_id", "label", F.col("neighbor_id").alias("pos_id"), F.col("cosine").alias("pos_cos")
+    )
+    neg = best.filter(~F.col("is_pos")).select(
+        "anchor_id", "label", F.col("neighbor_id").alias("neg_id"), F.col("cosine").alias("neg_cos")
+    )
+    return (
+        pos.join(neg, ["anchor_id", "label"])
+        .select(
+            "anchor_id",
+            "label",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), DP).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
