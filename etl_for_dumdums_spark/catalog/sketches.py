@@ -445,3 +445,186 @@ def sketch_histogram_quantile(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (hypertable pattern): HLL register partials are
+# computed ONCE per day, then re-aggregated to coarser grains by register
+# max — week = max over its days, month = max over its weeks — without
+# ever rescanning raw rows. That two-hop merge is exactly how a continuous
+# aggregate / rollup table serves month-level distincts from stored daily
+# partials at 100 TB: the merge input is (days × 1024) register rows, not
+# events. Associativity is PROVEN in-query: registers merged day→week→month
+# are full-outer-joined against registers computed directly from raw rows
+# at each grain, and the mismatch count (always 0) is part of the output.
+# Week key = (day_of_month-1)/7, engine-neutral (ISO week rules differ
+# between engines).
+# ---------------------------------------------------------------------------
+
+
+def _hll_est_sql(regs: str, keys: str) -> str:
+    """Estimator CTE body over a register relation (same math as
+    sketch_hll_distinct: exact-integer harmonic sum + linear counting)."""
+    return f"""
+      SELECT {keys},
+             CASE WHEN {_HLL_A} / (CAST(sum(CAST(power(2, 51 - mx) AS BIGINT)) AS BIGINT)
+                        + ({_HLL_M} - count(*)) * {_HLL_POW}) <= 2.5 * {_HLL_M}
+                       AND {_HLL_M} - count(*) > 0
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - count(*)))
+                  ELSE {_HLL_A} / (CAST(sum(CAST(power(2, 51 - mx) AS BIGINT)) AS BIGINT)
+                        + ({_HLL_M} - count(*)) * {_HLL_POW}) END AS e
+      FROM {regs} GROUP BY {keys}"""
+
+
+def _hll_rollup_sql() -> str:
+    h = _h_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+      SELECT strftime(ts, '%Y-%m') AS mon,
+             CAST((day(ts) - 1) // 7 AS INT) AS wk,
+             strftime(ts, '%Y-%m-%d') AS d,
+             user_id,
+             {h} % {_HLL_M} AS reg,
+             CASE WHEN {h} // {_HLL_M} > 0
+                  THEN 51 - length(bin({h} // {_HLL_M})) ELSE 51 END AS rho
+      FROM events),
+    regs_day AS (
+      SELECT mon, wk, d, reg, max(rho) AS mx FROM hashed GROUP BY mon, wk, d, reg),
+    regs_week AS (
+      SELECT mon, wk, reg, max(mx) AS mx FROM regs_day GROUP BY mon, wk, reg),
+    regs_month AS (
+      SELECT mon, reg, max(mx) AS mx FROM regs_week GROUP BY mon, reg),
+    direct_week AS (
+      SELECT mon, wk, reg, max(rho) AS mx FROM hashed GROUP BY mon, wk, reg),
+    direct_month AS (
+      SELECT mon, reg, max(rho) AS mx FROM hashed GROUP BY mon, reg),
+    mm_week AS (
+      SELECT a.mon, a.wk, CAST(count_if(a.mx IS DISTINCT FROM b.mx) AS BIGINT) AS n_mismatch
+      FROM regs_week a FULL JOIN direct_week b
+        ON a.mon = b.mon AND a.wk = b.wk AND a.reg = b.reg
+      GROUP BY a.mon, a.wk),
+    mm_month AS (
+      SELECT a.mon, CAST(count_if(a.mx IS DISTINCT FROM b.mx) AS BIGINT) AS n_mismatch
+      FROM regs_month a FULL JOIN direct_month b
+        ON a.mon = b.mon AND a.reg = b.reg
+      GROUP BY a.mon),
+    est_week AS ({_hll_est_sql("regs_week", "mon, wk")}),
+    est_month AS ({_hll_est_sql("regs_month", "mon")}),
+    exact_week AS (
+      SELECT mon, wk, count(DISTINCT d) AS n_days, count(DISTINCT user_id) AS n_exact
+      FROM hashed GROUP BY mon, wk),
+    exact_month AS (
+      SELECT mon, count(DISTINCT d) AS n_days, count(DISTINCT user_id) AS n_exact
+      FROM hashed GROUP BY mon)
+    SELECT 'week' AS grain, x.mon || '-w' || CAST(x.wk AS VARCHAR) AS period,
+           x.n_days, x.n_exact, round(e.e, {DP}) AS n_hll,
+           round(100.0 * abs(e.e - x.n_exact) / x.n_exact, 2) AS err_pct,
+           m.n_mismatch AS n_register_mismatch
+    FROM exact_week x
+    JOIN est_week e ON x.mon = e.mon AND x.wk = e.wk
+    JOIN mm_week m ON x.mon = m.mon AND x.wk = m.wk
+    UNION ALL
+    SELECT 'month' AS grain, x.mon AS period,
+           x.n_days, x.n_exact, round(e.e, {DP}) AS n_hll,
+           round(100.0 * abs(e.e - x.n_exact) / x.n_exact, 2) AS err_pct,
+           m.n_mismatch AS n_register_mismatch
+    FROM exact_month x
+    JOIN est_month e ON x.mon = e.mon
+    JOIN mm_month m ON x.mon = m.mon
+    ORDER BY grain DESC, period
+    """
+
+
+def _hll_estimate(regs, keys: list[str]):
+    """Spark estimator over a register frame — same math as the SQL body."""
+    sums = regs.groupBy(*keys).agg(
+        F.sum(F.expr("CAST(power(2, 51 - mx) AS BIGINT)")).cast("bigint").alias("s_ne"),
+        F.count("*").alias("n_reg"),
+    )
+    est = sums.select(
+        *keys,
+        (F.lit(_HLL_M) - F.col("n_reg")).alias("v"),
+        (
+            F.lit(float(_HLL_A))
+            / (F.col("s_ne") + (F.lit(_HLL_M) - F.col("n_reg")) * F.lit(_HLL_POW))
+        ).alias("e_raw"),
+    )
+    return est.select(
+        *keys,
+        F.when(
+            (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("e"),
+    )
+
+
+def _mismatch_count(merged, direct, keys: list[str]):
+    """Count registers whose merged value differs from the direct-from-raw
+    value (full outer on keys+reg; always 0 — max is associative)."""
+    a = merged.select(*keys, "reg", F.col("mx").alias("mx_a"))
+    b = direct.select(*keys, "reg", F.col("mx").alias("mx_b"))
+    return (
+        a.join(b, [*keys, "reg"], "full_outer")
+        .groupBy(*keys)
+        .agg(
+            F.count_if(~F.col("mx_a").eqNullSafe(F.col("mx_b"))).cast("bigint").alias("n_mismatch")
+        )
+    )
+
+
+@register("sketch_hll_rollup", extra=True, sql=_hll_rollup_sql())
+def sketch_hll_rollup(spark, sf_dir):
+    """Daily HLL partials merged day→week→month (see block comment)."""
+    t = Tables(spark, sf_dir)
+    h = _h_spark("CAST(user_id AS STRING)")
+    hashed = t.events.select(
+        F.date_format("ts", "yyyy-MM").alias("mon"),
+        ((F.dayofmonth("ts") - 1) / 7).cast("int").alias("wk"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        "user_id",
+        F.expr(f"{h} % {_HLL_M}").alias("reg"),
+        F.when(
+            F.expr(f"{h} DIV {_HLL_M}") > 0,
+            F.lit(51) - F.length(F.bin(F.expr(f"{h} DIV {_HLL_M}"))),
+        )
+        .otherwise(51)
+        .alias("rho"),
+    )
+    regs_day = hashed.groupBy("mon", "wk", "d", "reg").agg(F.max("rho").alias("mx"))
+    regs_week = regs_day.groupBy("mon", "wk", "reg").agg(F.max("mx").alias("mx"))
+    regs_month = regs_week.groupBy("mon", "reg").agg(F.max("mx").alias("mx"))
+    direct_week = hashed.groupBy("mon", "wk", "reg").agg(F.max("rho").alias("mx"))
+    direct_month = hashed.groupBy("mon", "reg").agg(F.max("rho").alias("mx"))
+
+    def grain(regs, direct, exact_keys, period_col, grain_name):
+        exact = hashed.groupBy(*exact_keys).agg(
+            F.countDistinct("d").alias("n_days"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        return (
+            exact.join(_hll_estimate(regs, exact_keys), exact_keys)
+            .join(_mismatch_count(regs, direct, exact_keys), exact_keys)
+            .select(
+                F.lit(grain_name).alias("grain"),
+                period_col.alias("period"),
+                "n_days",
+                "n_exact",
+                F.round("e", DP).alias("n_hll"),
+                F.round(
+                    100.0 * F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 2
+                ).alias("err_pct"),
+                F.col("n_mismatch").alias("n_register_mismatch"),
+            )
+        )
+
+    weeks = grain(
+        regs_week,
+        direct_week,
+        ["mon", "wk"],
+        F.concat(F.col("mon"), F.lit("-w"), F.col("wk").cast("string")),
+        "week",
+    )
+    months = grain(regs_month, direct_month, ["mon"], F.col("mon"), "month")
+    return weeks.unionByName(months).orderBy(F.col("grain").desc(), "period")

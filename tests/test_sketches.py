@@ -89,3 +89,28 @@ def test_histogram_quantile_envelope(spark):
         # value range; these quantiles sit in well-populated territory
         assert r["err_pct"] < 10.0, (r["q"], r["err_pct"])
         assert r["est_value"] > 0 and r["exact_value"] > 0
+
+
+def test_hll_rollup_merge_is_lossless(spark):
+    """Two-hop register merge (day->week->month) must be byte-identical to
+    direct computation at every grain (associativity of register max), and
+    estimates must stay within the HLL error envelope."""
+    from etl_for_dumdums_spark.catalog.sketches import sketch_hll_rollup
+
+    rows = sketch_hll_rollup(spark, SF_SMOKE).collect()
+    weeks = [r for r in rows if r["grain"] == "week"]
+    months = [r for r in rows if r["grain"] == "month"]
+    assert len(weeks) >= 2 and len(months) >= 1, "fixture must span several weeks"
+
+    for r in rows:
+        assert r["n_register_mismatch"] == 0, f"merge lost information at {r['period']}"
+        # 3-sigma envelope: sigma = 1.04/sqrt(m); small-range linear counting
+        # is tighter still, so this bound holds for both estimator branches
+        assert abs(r["n_hll"] - r["n_exact"]) / r["n_exact"] <= 3 * 1.04 / (_HLL_M**0.5)
+
+    # the month merges exactly the days its weeks carry, and distinct users
+    # at month grain can never exceed the sum over weeks
+    for m in months:
+        mw = [w for w in weeks if w["period"].startswith(m["period"])]
+        assert m["n_days"] == sum(w["n_days"] for w in mw)
+        assert m["n_exact"] <= sum(w["n_exact"] for w in mw)
