@@ -127,3 +127,27 @@ def test_chunking_is_map_only_with_pruned_scan(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     op_plan = _formatted(chunk_by_tokens(docs))
     assert "Exchange" not in op_plan
+
+
+def test_contrastive_triplets_plan_is_bucket_equi_join(spark):
+    """Candidate generation must be an equi-join on the bucket key (never a
+    cartesian/BNLJ over all vector pairs), and the per-anchor argmax must be
+    an aggregate with map-side partial combine, not a window sort."""
+    from etl_for_dumdums_spark.catalog.similarity import sim_contrastive_triplets
+
+    plan = _plan(sim_contrastive_triplets(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_max" in plan  # min-struct argmax combines map-side
+
+
+def test_hll_rollup_merges_partials_not_raw_rows(spark):
+    """The week/month register merges must aggregate the (already partial)
+    register frames — partial_max map-side combine — and the query must
+    carry no window operator at all: rollup is pure re-aggregation."""
+    from etl_for_dumdums_spark.catalog.sketches import sketch_hll_rollup
+
+    plan = _plan(sketch_hll_rollup(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
