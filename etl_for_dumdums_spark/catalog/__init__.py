@@ -169,4 +169,5 @@ def load_all() -> None:
         contamination,
         behavior,
         privacy,
+        incremental,
     )

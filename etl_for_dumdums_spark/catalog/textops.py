@@ -926,3 +926,102 @@ def text_chunk_tokens(spark, sf_dir):
         "n_tok",
         F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Self-trained bigram coverage: an LM-fluency quality proxy (beyond-reference;
+# the CCNet/Gopher pipelines use LM perplexity for this gate). Corpus bigram
+# counts are trained on the corpus itself; a document's score is the fraction
+# of its bigram occurrences whose corpus frequency reaches _MIN_BG_N — fluent
+# text re-uses common word transitions, gibberish doesn't. Everything is
+# integer arithmetic (counts, and a coverage decile via integer division), so
+# both engines agree bit-for-bit with no libm log in sight (same reasoning as
+# text_tfidf_topterms' rational idf).
+#
+# Scale design (100 TB): the bigram explode is map-side; corpus counting is
+# one shuffle on the bigram key with map-side partial aggregation (hot
+# bigrams like "of the" partial-combine before the exchange); the
+# occurrences⋈known join is the second shuffle — at extreme scale the known
+# set (corpus_count ≥ K) is the natural Bloom-filter broadcast, with this
+# exact join as the correctness path. Docs under 2 tokens have no bigrams and
+# are excluded (they're the length-gate's job, text_quality_score).
+# ---------------------------------------------------------------------------
+_MIN_BG_N = 3  # corpus occurrences for a bigram to count as "known"
+
+
+@register(
+    "text_bigram_coverage",
+    extra=True,
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 2),
+    bgs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM toks),
+    known AS (
+      SELECT bg FROM bgs GROUP BY bg HAVING count(*) >= {_MIN_BG_N}),
+    per_doc AS (
+      SELECT b.doc_id, b.lang,
+             count(*) AS n_total,
+             count(k.bg) AS n_known
+      FROM bgs b LEFT JOIN known k ON b.bg = k.bg
+      GROUP BY b.doc_id, b.lang)
+    SELECT lang,
+           (10 * n_known) // n_total AS coverage_decile,
+           count(*) AS n_docs,
+           CAST(sum(n_total) AS BIGINT) AS n_bigrams,
+           CAST(sum(n_known) AS BIGINT) AS n_known_bigrams,
+           round(100.0 * sum(n_known) / sum(n_total), 2) AS pct_known
+    FROM per_doc
+    GROUP BY lang, coverage_decile
+    ORDER BY lang, coverage_decile
+    """,
+)
+def text_bigram_coverage(spark, sf_dir):
+    """Known-bigram coverage per (lang, decile): corpus-trained bigram
+    frequencies, integer-exact scoring, decile 10 = every transition known."""
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = t.documents.select("doc_id", "lang", ws.alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bgs = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    known = (
+        bgs.groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= _MIN_BG_N)
+        .select("bg", F.lit(1).alias("k"))
+    )
+    per_doc = (
+        bgs.join(known, "bg", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("k").alias("n_known"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            "lang", F.expr("(10 * n_known) div n_total").alias("coverage_decile")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_total").cast("bigint").alias("n_bigrams"),
+            F.sum("n_known").cast("bigint").alias("n_known_bigrams"),
+            F.round(100.0 * F.sum("n_known") / F.sum("n_total"), 2).alias("pct_known"),
+        )
+        .orderBy("lang", "coverage_decile")
+    )

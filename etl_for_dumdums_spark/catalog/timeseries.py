@@ -147,3 +147,84 @@ def ts_gapfill_interpolate(spark, sf_dir):
         .otherwise(lerp_exact)
         .alias("revenue_filled"),
     ).orderBy("region", "day")
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling: the stocks-page resample (reference pages/2_Stock_
+# Market.py charts daily closes; sources/stocks.py ships raw OHLC rows)
+# generalized to any (series, time-bucket) grid — open/high/low/close of
+# `value` per (event_type, week) plus the week-over-week close delta.
+#
+# Determinism: open/close are exact row picks via lexicographic struct
+# min/max on (ts, value) — ties on ts resolve to the smaller value in BOTH
+# engines, no arg_min tie ambiguity. high/low/close-delta are exact; only
+# avg is rounded. Scale design (100 TB): one shuffle (groupBy the composite
+# key, map-side partial min/max structs); the close-delta window partitions
+# by event_type over calendar-bounded weekly rows — the same
+# "calendar-bounded window" class as stats_timeseries (docs/PLANS.md).
+# ---------------------------------------------------------------------------
+@register(
+    "ts_resample_ohlc",
+    extra=True,
+    sql=f"""
+    WITH ohlc AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             count(*) AS n_events,
+             (min({{'ts': ts, 'v': value}}))['v'] AS open,
+             max(value) AS high,
+             min(value) AS low,
+             (max({{'ts': ts, 'v': value}}))['v'] AS close,
+             (CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) >= 0 THEN 1 ELSE -1 END
+              * ((200 * abs(sum(CAST(round(value * 100) AS BIGINT))) + count(*))
+                 // (2 * count(*)))) / 10000.0 AS avg_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, week, n_events, open, high, low, close, avg_value,
+           close - lag(close) OVER (PARTITION BY event_type ORDER BY week)
+             AS close_delta_wow
+    FROM ohlc ORDER BY event_type, week
+    """,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Weekly OHLC bars per event_type with week-over-week close delta;
+    open/close picked by exact (ts, value) struct extremes."""
+    from ..functions import week_start
+
+    t = Tables(spark, sf_dir)
+    ohlc = (
+        t.events.groupBy(
+            "event_type", week_start(F.col("ts")).alias("week")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.struct("ts", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "value"))["value"].alias("close"),
+            # exact integer-cents mean via the signed half-away floor-division
+            # identity (tests/test_exact_rounding.py): no double round() near
+            # a representability boundary, both engines agree bit-for-bit
+            (
+                F.when(F.sum(F.round(F.col("value") * 100).cast("long")) >= 0, 1)
+                .otherwise(-1)
+                .cast("long")
+                * F.expr(
+                    "(200 * abs(sum(CAST(round(value * 100) AS BIGINT))) + count(*))"
+                    " DIV (2 * count(*))"
+                )
+                / F.lit(10000.0)
+            ).alias("avg_value"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    return ohlc.select(
+        "event_type",
+        "week",
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+        "avg_value",
+        (F.col("close") - F.lag("close").over(w)).alias("close_delta_wow"),
+    ).orderBy("event_type", "week")

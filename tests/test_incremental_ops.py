@@ -1,0 +1,130 @@
+"""Session-5 catalog additions: incremental batch dedup, bigram coverage,
+OHLC resample. Each test pins a semantic property the oracle's value-hash
+alone wouldn't localize on failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_for_dumdums_spark.catalog import Tables
+from etl_for_dumdums_spark.catalog.incremental import (
+    _BASE_BUCKETS,
+    dedup_incremental_batch,
+    _fp_spark,
+)
+from etl_for_dumdums_spark.catalog.sketches import _h_spark
+from etl_for_dumdums_spark.catalog.textops import text_bigram_coverage
+from etl_for_dumdums_spark.catalog.timeseries import ts_resample_ohlc
+
+from .conftest import SF_SMOKE
+
+
+def test_incremental_counts_are_a_partition_of_the_batch(spark):
+    rows = dedup_incremental_batch(spark, SF_SMOKE).collect()
+    assert rows, "non-vacuous: fixture has batch docs in every source"
+    for r in rows:
+        assert r["n_batch"] == r["n_dup_vs_base"] + r["n_dup_within_batch"] + r["n_kept"]
+        assert r["n_kept"] >= 0
+
+
+def test_incremental_base_precedence_over_within_batch(spark):
+    """A batch fingerprint that exists in the base corpus is ALWAYS a
+    dup_vs_base drop — duplication within the batch never reclassifies it."""
+    t = Tables(spark, SF_SMOKE)
+    tagged = t.documents.select(
+        "doc_id",
+        _fp_spark().alias("fp"),
+        (
+            F.expr(_h_spark("concat('incr:', CAST(doc_id AS STRING))")) % 10
+            < _BASE_BUCKETS
+        ).alias("is_base"),
+    )
+    base_fps = {r["fp"] for r in tagged.filter("is_base").select("fp").distinct().collect()}
+    batch = tagged.filter(~F.col("is_base")).collect()
+    assert batch, "fixture must produce a non-empty batch"
+    n_vs_base = sum(1 for r in batch if r["fp"] in base_fps)
+    total_vs_base = sum(
+        r["n_dup_vs_base"] for r in dedup_incremental_batch(spark, SF_SMOKE).collect()
+    )
+    assert total_vs_base == n_vs_base
+
+
+def test_incremental_survivor_per_fingerprint_is_unique(spark):
+    """n_kept counts exactly one survivor per distinct non-base fingerprint."""
+    t = Tables(spark, SF_SMOKE)
+    tagged = t.documents.select(
+        "doc_id",
+        _fp_spark().alias("fp"),
+        (
+            F.expr(_h_spark("concat('incr:', CAST(doc_id AS STRING))")) % 10
+            < _BASE_BUCKETS
+        ).alias("is_base"),
+    )
+    base_fps = tagged.filter("is_base").select("fp").distinct()
+    fresh_fps = (
+        tagged.filter(~F.col("is_base"))
+        .join(base_fps, "fp", "left_anti")
+        .select("fp")
+        .distinct()
+        .count()
+    )
+    total_kept = sum(
+        r["n_kept"] for r in dedup_incremental_batch(spark, SF_SMOKE).collect()
+    )
+    assert total_kept == fresh_fps
+
+
+def test_bigram_coverage_decile_bounds_and_doc_total(spark):
+    rows = text_bigram_coverage(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["coverage_decile"] <= 10
+        assert r["n_known_bigrams"] <= r["n_bigrams"]
+        # decile 10 ⇔ every doc in the bucket has full coverage, which forces
+        # the bucket aggregate to 100% known
+        if r["coverage_decile"] == 10:
+            assert r["n_known_bigrams"] == r["n_bigrams"]
+    t = Tables(spark, SF_SMOKE)
+    n_eligible = (
+        t.documents.select(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n")
+        )
+        .filter(F.col("n") >= 2)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_eligible
+
+
+def test_ohlc_bar_invariants_and_wow_delta(spark):
+    rows = ts_resample_ohlc(spark, SF_SMOKE).collect()
+    assert rows
+    prev = {}
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        key = r["event_type"]
+        if key in prev:
+            assert r["close_delta_wow"] == r["close"] - prev[key]
+        else:
+            assert r["close_delta_wow"] is None
+        prev[key] = r["close"]
+
+
+def test_ohlc_open_pick_is_deterministic_under_ts_ties(spark):
+    """The (ts, value) struct-min rule resolves equal timestamps to the
+    smaller value — pin it on a hand-built frame with a tie."""
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 5.0),
+            ("a", "2024-01-01 00:00:00", 3.0),
+            ("a", "2024-01-02 00:00:00", 9.0),
+        ],
+        ["event_type", "ts", "value"],
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+    got = df.groupBy("event_type").agg(
+        F.min(F.struct("ts", "value"))["value"].alias("open"),
+        F.max(F.struct("ts", "value"))["value"].alias("close"),
+    ).collect()[0]
+    assert got["open"] == 3.0
+    assert got["close"] == 9.0
