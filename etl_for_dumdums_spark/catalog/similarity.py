@@ -730,3 +730,148 @@ def sim_contrastive_triplets(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
         )
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + cosine-preservation audit
+# (beyond-reference — the dimensionality-reduction step a 100 TB embedding
+# pipeline runs BEFORE LSH/IVF so bucket hashing touches 16 dims instead of
+# 768). The projection matrix is ±1 signs derived from md5('rp:i:j') — the
+# Achlioptas construction, deterministic and engine-neutral, never
+# materialized outside the query. Because inputs are the integer-quantized
+# vectors (module docstring), every projected component is an exact BIGINT
+# dot product — no float summation order anywhere until the final cosines,
+# and those divide/sqrt identical integer operands in both engines. The
+# audit compares original vs projected cosine over the bounded pair set
+# (vec_id < _RP_PAIR_MAX_ID, same bound as sim_label_cohesion) and buckets
+# |Δcosine| in 0.05 steps — all output columns are exact integers.
+#
+# Scale design (100 TB): the sign matrix is a ≤(128·16)-row broadcast; the
+# projection is explode → broadcast-join → integer groupBy-sum (map-side
+# partial combine), i.e. a matmul-by-join whose shuffle carries k=16 longs
+# per vector. The audit's pair join is hard-bounded by the id cap; the
+# production matmul path is operators/vector.py's Arrow-batch kernel.
+# ---------------------------------------------------------------------------
+_RP_K = 16  # projected dimensions
+_RP_MAX_DIM = 128  # sign matrix covers input dims up to this (data has 64)
+_RP_PAIR_MAX_ID = 200  # bounded audit pair set
+
+
+def _rp_sign_sql() -> str:
+    h = "(('0x' || substr(md5(concat('rp:', CAST(i AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15))::UBIGINT::BIGINT)"
+    return f"CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END"
+
+
+def _rp_sign_spark() -> str:
+    h = "CAST(conv(substr(md5(concat('rp:', CAST(i AS STRING), ':', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    return f"CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END"
+
+
+@register(
+    "embed_random_projection",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
+      FROM embeddings WHERE vec_id < {_RP_PAIR_MAX_ID}),
+    ivp AS (SELECT * FROM iv WHERE nrm > 0),
+    signs AS (
+      SELECT i, j, {_rp_sign_sql()} AS s
+      FROM generate_series(1, {_RP_MAX_DIM}) t(i), generate_series(1, {_RP_K}) u(j)),
+    comps AS (
+      SELECT vec_id, t.i, v[t.i] AS x
+      FROM ivp, unnest(generate_series(1, len(v))) AS t(i)),
+    proj AS (
+      SELECT c.vec_id, s.j, CAST(sum(s.s * c.x) AS BIGINT) AS p
+      FROM comps c JOIN signs s ON c.i = s.i
+      GROUP BY c.vec_id, s.j),
+    pnorm AS (
+      SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS pn FROM proj GROUP BY vec_id),
+    pdot AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.p * b.p) AS BIGINT) AS dp
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    err AS (
+      SELECT CAST(floor(abs(
+               CAST({_DOT_SQL.format(a="a.v", b="b.v")} AS DOUBLE)
+                 / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))
+               - CASE WHEN pa.pn = 0 OR pb.pn = 0 THEN 0.0
+                      ELSE CAST(d.dp AS DOUBLE)
+                             / sqrt(CAST(pa.pn AS DOUBLE) * CAST(pb.pn AS DOUBLE))
+                 END) * 1000000.0) AS BIGINT) AS err_ppm
+      FROM ivp a
+      JOIN ivp b ON a.vec_id < b.vec_id
+      JOIN pdot d ON d.va = a.vec_id AND d.vb = b.vec_id
+      JOIN pnorm pa ON pa.vec_id = a.vec_id
+      JOIN pnorm pb ON pb.vec_id = b.vec_id)
+    SELECT err_ppm // 50000 AS err_bucket,
+           count(*) AS n_pairs,
+           CAST(sum(err_ppm) AS BIGINT) AS sum_err_ppm,
+           max(err_ppm) AS max_err_ppm
+    FROM err GROUP BY err_bucket ORDER BY err_bucket
+    """,
+)
+def embed_random_projection(spark, sf_dir):
+    """±1 JL projection to _RP_K dims over integer-quantized embeddings;
+    output is a |Δcosine| histogram (0.05 buckets) over the bounded pair
+    set — integer-exact in both engines."""
+    t = Tables(spark, sf_dir)
+    iv = (
+        _ivecs(t)
+        .filter(F.col("vec_id") < _RP_PAIR_MAX_ID)
+        .filter(F.col("nrm") > 0)
+        .select("vec_id", "v", "nrm")
+    )
+    signs = (
+        spark.range(1, _RP_MAX_DIM + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(1, _RP_K + 1).select(F.col("id").alias("j")))
+        .select("i", "j", F.expr(_rp_sign_spark()).alias("s"))
+    )
+    comps = iv.select(
+        "vec_id", F.posexplode("v").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "x")
+    proj = (
+        comps.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).cast("bigint").alias("p"))
+    )
+    pnorm = proj.groupBy("vec_id").agg(
+        F.sum(F.col("p") * F.col("p")).cast("bigint").alias("pn")
+    )
+    pa, pb = proj.alias("pa"), proj.alias("pb")
+    pdot = (
+        pa.join(
+            pb,
+            (F.col("pa.j") == F.col("pb.j"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .groupBy(F.col("pa.vec_id").alias("va"), F.col("pb.vec_id").alias("vb"))
+        .agg(F.sum(F.col("pa.p") * F.col("pb.p")).cast("bigint").alias("dp"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    cos_o = F.expr(_DOT_SPARK.format(a="a.v", b="b.v")).cast("double") / F.sqrt(
+        F.col("a.nrm").cast("double") * F.col("b.nrm").cast("double")
+    )
+    cos_p = F.when((F.col("pa.pn") == 0) | (F.col("pb.pn") == 0), F.lit(0.0)).otherwise(
+        F.col("dp").cast("double")
+        / F.sqrt(F.col("pa.pn").cast("double") * F.col("pb.pn").cast("double"))
+    )
+    err = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .join(pdot, (F.col("va") == F.col("a.vec_id")) & (F.col("vb") == F.col("b.vec_id")))
+        .join(pnorm.alias("pa"), F.col("pa.vec_id") == F.col("a.vec_id"))
+        .join(pnorm.alias("pb"), F.col("pb.vec_id") == F.col("b.vec_id"))
+        .select(
+            F.floor(F.abs(cos_o - cos_p) * 1000000.0).cast("bigint").alias("err_ppm")
+        )
+    )
+    return (
+        err.groupBy(F.expr("err_ppm div 50000").alias("err_bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("err_ppm").cast("bigint").alias("sum_err_ppm"),
+            F.max("err_ppm").alias("max_err_ppm"),
+        )
+        .orderBy("err_bucket")
+    )

@@ -128,3 +128,38 @@ def test_ohlc_open_pick_is_deterministic_under_ts_ties(spark):
     ).collect()[0]
     assert got["open"] == 3.0
     assert got["close"] == 9.0
+
+
+def test_random_projection_audit_invariants(spark):
+    from etl_for_dumdums_spark.catalog.similarity import (
+        _RP_PAIR_MAX_ID,
+        _ivecs,
+        embed_random_projection,
+    )
+
+    rows = embed_random_projection(spark, SF_SMOKE).collect()
+    assert rows
+    n_vecs = (
+        _ivecs(Tables(spark, SF_SMOKE))
+        .filter(F.col("vec_id") < _RP_PAIR_MAX_ID)
+        .filter(F.col("nrm") > 0)
+        .count()
+    )
+    # every unordered pair lands in exactly one error bucket
+    assert sum(r["n_pairs"] for r in rows) == n_vecs * (n_vecs - 1) // 2
+    for r in rows:
+        assert 0 <= r["err_bucket"] <= 40  # |Δcos| ≤ 2 ⇒ bucket ≤ 40
+        assert r["max_err_ppm"] < (r["err_bucket"] + 1) * 50000
+    # JL sanity: k=16 gives E|Δcos| ≈ 0.2; require the mean comfortably
+    # below chance (uniform over [0,2] would be 1.0)
+    total = sum(r["n_pairs"] for r in rows)
+    mean_err = sum(r["sum_err_ppm"] for r in rows) / total / 1e6
+    assert mean_err < 0.5
+
+
+def test_random_projection_is_deterministic(spark):
+    from etl_for_dumdums_spark.catalog.similarity import embed_random_projection
+
+    r1 = embed_random_projection(spark, SF_SMOKE).collect()
+    r2 = embed_random_projection(spark, SF_SMOKE).collect()
+    assert r1 == r2
