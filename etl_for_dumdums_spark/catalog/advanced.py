@@ -518,3 +518,62 @@ def agg_quantile_counting(spark, sf_dir):
         for q in _QUANTILE_QS
     ]
     return spark.createDataFrame(rows, "q double, quantile_price double").orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Per-column table profile (beyond-reference — the dbt-docs/Great-Expectations
+# style summary): null count, exact distinct count, min/max per column of
+# `orders`, computed in ONE aggregate over one scan (checks.profile_table).
+# Monotone reprs keep min/max cross-engine exact: ids as decimal strings,
+# price as integer cents, timestamp day-truncated to ISO date. The oracle is
+# the explicit per-column UNION ALL a SQL engine would write.
+# ---------------------------------------------------------------------------
+def _profile_branch_sql(col: str, mn: str, mx: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name, count(*) AS n_rows,
+           count(*) - count({col}) AS n_null,
+           count(DISTINCT {col}) AS n_distinct,
+           {mn} AS min_repr, {mx} AS max_repr
+    FROM orders"""
+
+
+@register(
+    "profile_table",
+    extra=True,
+    sql=" UNION ALL ".join(
+        [
+            _profile_branch_sql(
+                "o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"
+            ),
+            _profile_branch_sql(
+                "o_custkey", "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"
+            ),
+            _profile_branch_sql("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+            _profile_branch_sql(
+                "o_totalprice",
+                "CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR)",
+                "CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)",
+            ),
+            _profile_branch_sql(
+                "o_orderdate",
+                "CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR)",
+                "CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)",
+            ),
+            _profile_branch_sql(
+                "o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"
+            ),
+        ]
+    )
+    + " ORDER BY col_name",
+)
+def profile_table(spark, sf_dir):
+    """orders profiled column-by-column in a single pass; price repr is
+    integer cents, timestamp repr is the ISO date."""
+    from ..checks import profile_table as _profile
+
+    t = Tables(spark, sf_dir)
+    reprs = {
+        "o_totalprice": lambda c: F.round(c * 100).cast("bigint").cast("string"),
+        "o_orderdate": lambda c: c.cast("date").cast("string"),
+    }
+    return _profile(t.orders, reprs)

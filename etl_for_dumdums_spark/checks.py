@@ -83,3 +83,45 @@ class CheckSuite:
 
     def run(self, df: DataFrame) -> list[CheckResult]:
         return [fn(df, *args, **kwargs) for fn, args, kwargs in self.checks]
+
+
+def profile_table(df: DataFrame, reprs: dict[str, "callable"] | None = None) -> DataFrame:
+    """One-pass per-column profile: (col_name, n_rows, n_null, n_distinct,
+    min_repr, max_repr) — the dbt-style table summary as a SINGLE aggregate
+    over one scan (no per-column jobs; Spark plans the multi-distinct via one
+    Expand). min/max are taken on the NATIVE column and converted to string
+    afterwards by `reprs[col]` (must be monotone; default CAST AS STRING) —
+    never min/max of the string form, which would order "10" < "9".
+
+    Scale (100 TB): one scan + one Expand-shuffle aggregate regardless of
+    column count; swap count_distinct for approx_count_distinct when exact
+    cardinality isn't required (the oracle needs exact).
+    """
+    cols = df.columns
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nv"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).alias(f"{c}__mn"),
+            F.max(F.col(c)).alias(f"{c}__mx"),
+        ]
+    row = df.agg(*aggs)
+    to_repr = lambda c, x: (reprs or {}).get(c, lambda y: y.cast("string"))(x)  # noqa: E731
+    stacked = []
+    for c in cols:
+        stacked.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"{c}__nv")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                to_repr(c, F.col(f"{c}__mn")).alias("min_repr"),
+                to_repr(c, F.col(f"{c}__mx")).alias("max_repr"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*stacked)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )

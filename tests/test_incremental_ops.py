@@ -163,3 +163,30 @@ def test_random_projection_is_deterministic(spark):
     r1 = embed_random_projection(spark, SF_SMOKE).collect()
     r2 = embed_random_projection(spark, SF_SMOKE).collect()
     assert r1 == r2
+
+
+def test_profile_table_single_pass_and_values(spark):
+    """profile_table runs as ONE aggregate (no per-column jobs) and its
+    stats match independently computed values."""
+    from etl_for_dumdums_spark.checks import profile_table
+
+    t = Tables(spark, SF_SMOKE)
+    out = profile_table(t.orders).collect()
+    assert [r["col_name"] for r in out] == sorted(t.orders.columns)
+    ok = {r["col_name"]: r for r in out}
+    n = t.orders.count()
+    nd = t.orders.select(F.count_distinct("o_orderkey")).collect()[0][0]
+    assert ok["o_orderkey"]["n_rows"] == n
+    assert ok["o_orderkey"]["n_null"] == 0
+    assert ok["o_orderkey"]["n_distinct"] == nd
+    # monotone repr: min_repr is repr-of-min, not min-of-repr ("10" < "9")
+    mn = t.orders.agg(F.min("o_orderkey")).collect()[0][0]
+    assert ok["o_orderkey"]["min_repr"] == str(mn)
+
+
+def test_profile_table_plan_has_single_scan(spark):
+    from etl_for_dumdums_spark.checks import profile_table
+
+    t = Tables(spark, SF_SMOKE)
+    plan = profile_table(t.orders)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, "profiler must not scan once per column"
