@@ -577,3 +577,70 @@ def profile_table(spark, sf_dir):
         "o_orderdate": lambda c: c.cast("date").cast("string"),
     }
     return _profile(t.orders, reprs)
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic (beyond-reference): the report you run BEFORE
+# deciding broadcast / salting / AQE-skew-join for a 100 TB join. For each
+# candidate key: distinct-key count, max and p99 group size, exact mean
+# group size (floor-division rounding identity — no float sum), and the
+# share of all rows held by the single hottest key. skew_ratio =
+# max_group / mean_group is the number that picks the strategy
+# (operators/skew.py salts when it's high). Each branch is one groupBy +
+# one tiny aggregate; the union is 5 independent single-shuffle jobs.
+# ---------------------------------------------------------------------------
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("documents", "lang"),
+]
+
+
+def _skew_branch_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS key_col,
+           count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           max(n) AS max_group,
+           round(quantile_cont(n, 0.99), {DP}) AS p99_group,
+           ((2 * 10000 * CAST(sum(n) AS BIGINT) + count(*)) // (2 * count(*))) / 10000.0
+             AS avg_group,
+           round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT), {DP}) AS top1_share
+    FROM (SELECT {col} AS k, count(*) AS n FROM {table} GROUP BY {col}) g"""
+
+
+@register(
+    "ops_skew_report",
+    extra=True,
+    sql=" UNION ALL ".join(_skew_branch_sql(t, c) for t, c in _SKEW_KEYS)
+    + " ORDER BY key_col",
+)
+def ops_skew_report(spark, sf_dir):
+    """Group-size distribution per candidate join key — the pre-join skew
+    diagnostic. Exact integer stats; mean via the floor-division identity."""
+    t = Tables(spark, sf_dir)
+    branches = []
+    for table, col in _SKEW_KEYS:
+        g = getattr(t, table).groupBy(col).agg(F.count("*").alias("n"))
+        branches.append(
+            g.agg(
+                F.count("*").alias("n_keys"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.max("n").alias("max_group"),
+                F.round(F.percentile("n", F.lit(0.99)), DP).alias("p99_group"),
+                (
+                    F.expr(
+                        "(2 * 10000 * CAST(sum(n) AS BIGINT) + count(*))"
+                        " DIV (2 * count(*))"
+                    )
+                    / 10000.0
+                ).alias("avg_group"),
+                F.round(F.max("n").cast("double") / F.sum("n"), DP).alias("top1_share"),
+            ).select(F.lit(f"{table}.{col}").alias("key_col"), "*")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("key_col")

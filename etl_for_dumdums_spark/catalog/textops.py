@@ -1025,3 +1025,74 @@ def text_bigram_coverage(spark, sf_dir):
         )
         .orderBy("lang", "coverage_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust length-outlier gate (beyond-reference): median/MAD per language
+# instead of mean/stddev, so the gate itself isn't dragged by the outliers
+# it's hunting (the standard robust-quality move; 3×MAD ≈ 2σ for normal
+# data). Exact cross-engine: lengths are integers, the two medians are
+# percentile interpolations over identical integer multisets (at most one
+# half-fraction — exactly representable), and the comparison threshold is
+# the same IEEE expression in both engines.
+#
+# Scale design (100 TB): exact medians need a per-group sort — at corpus
+# scale swap percentile for approx_percentile/t-digest (sketch_histogram_
+# quantile demonstrates the bucketed alternative); the two aggregation
+# passes + broadcast join-back shapes are unchanged. Groups are languages
+# (bounded cardinality), so no group outgrows its executor.
+# ---------------------------------------------------------------------------
+_MAD_K = 3  # flag docs beyond 3 MADs from the median
+
+
+@register(
+    "text_length_outliers",
+    extra=True,
+    sql=f"""
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med_len
+      FROM documents GROUP BY lang),
+    dev AS (
+      SELECT d.lang, d.n_chars, m.med_len,
+             abs(CAST(d.n_chars AS DOUBLE) - m.med_len) AS adev
+      FROM documents d JOIN med m ON d.lang = m.lang),
+    mad AS (
+      SELECT lang, quantile_cont(adev, 0.5) AS mad_len FROM dev GROUP BY lang)
+    SELECT v.lang,
+           count(*) AS n_docs,
+           round(any_value(v.med_len), {{dp}}) AS median_len,
+           round(any_value(a.mad_len), {{dp}}) AS mad_len,
+           CAST(count_if(v.adev > {_MAD_K} * a.mad_len) AS BIGINT) AS n_outliers,
+           round(100.0 * count_if(v.adev > {_MAD_K} * a.mad_len) / count(*), 2)
+             AS pct_outliers
+    FROM dev v JOIN mad a ON v.lang = a.lang
+    GROUP BY v.lang ORDER BY v.lang
+    """.replace("{dp}", str(DP)),
+)
+def text_length_outliers(spark, sf_dir):
+    """Per-language robust length gate: docs beyond 3 MADs of the median
+    n_chars are outliers (truncation/concatenation artifacts)."""
+    t = Tables(spark, sf_dir)
+    med = t.documents.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med_len")
+    )
+    dev = t.documents.join(F.broadcast(med), "lang").select(
+        "lang",
+        "n_chars",
+        "med_len",
+        F.abs(F.col("n_chars").cast("double") - F.col("med_len")).alias("adev"),
+    )
+    mad = dev.groupBy("lang").agg(F.percentile("adev", F.lit(0.5)).alias("mad_len"))
+    is_out = F.col("adev") > _MAD_K * F.col("mad_len")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.any_value("med_len"), DP).alias("median_len"),
+            F.round(F.any_value("mad_len"), DP).alias("mad_len"),
+            F.count_if(is_out).cast("bigint").alias("n_outliers"),
+            F.round(100.0 * F.count_if(is_out) / F.count("*"), 2).alias("pct_outliers"),
+        )
+        .orderBy("lang")
+    )

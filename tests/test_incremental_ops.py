@@ -190,3 +190,39 @@ def test_profile_table_plan_has_single_scan(spark):
     t = Tables(spark, SF_SMOKE)
     plan = profile_table(t.orders)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1, "profiler must not scan once per column"
+
+
+def test_skew_report_accounts_for_every_row(spark):
+    from etl_for_dumdums_spark.catalog.advanced import _SKEW_KEYS, ops_skew_report
+
+    rows = {r["key_col"]: r for r in ops_skew_report(spark, SF_SMOKE).collect()}
+    t = Tables(spark, SF_SMOKE)
+    assert set(rows) == {f"{tb}.{c}" for tb, c in _SKEW_KEYS}
+    for tb, c in _SKEW_KEYS:
+        r = rows[f"{tb}.{c}"]
+        assert r["n_rows"] == getattr(t, tb).count()
+        assert r["max_group"] >= r["p99_group"] >= 1.0
+        # mean consistency: avg_group is n_rows/n_keys at 4 dp
+        assert abs(r["avg_group"] - r["n_rows"] / r["n_keys"]) <= 1e-4
+        assert 0 < r["top1_share"] <= 1
+
+
+def test_length_outliers_match_numpy_median_mad(spark):
+    import numpy as np
+
+    from etl_for_dumdums_spark.catalog.textops import _MAD_K, text_length_outliers
+
+    t = Tables(spark, SF_SMOKE)
+    lens = {}
+    for row in t.documents.select("lang", "n_chars").collect():
+        lens.setdefault(row["lang"], []).append(row["n_chars"])
+    got = {r["lang"]: r for r in text_length_outliers(spark, SF_SMOKE).collect()}
+    assert set(got) == set(lens)
+    for lang, xs in lens.items():
+        xs = np.array(xs, dtype="float64")
+        med = float(np.median(xs))
+        mad = float(np.median(np.abs(xs - med)))
+        r = got[lang]
+        assert abs(r["median_len"] - med) <= 1e-4
+        assert abs(r["mad_len"] - mad) <= 1e-4
+        assert r["n_outliers"] == int((np.abs(xs - med) > _MAD_K * mad).sum())
