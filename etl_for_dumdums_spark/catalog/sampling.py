@@ -349,3 +349,99 @@ def sample_split_leakage_safe(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling, τ = 1/2 (the multilingual-LM mixing
+# rule: sample language l with p_l ∝ n_l^τ, flattening the head so tail
+# languages aren't drowned). τ = 1/2 is chosen deliberately: sqrt is
+# correctly rounded in IEEE 754, so floor(sqrt(n)·1e6) is the IDENTICAL
+# BIGINT weight in both engines — no libm pow anywhere (same reasoning as
+# tfidf's rational idf). From there everything is the rebalancer's exact
+# integer arithmetic: S = Σw, budget = min_l (S·n_l) // w_l (largest
+# no-upsampling corpus), target_l = w_l·budget // S, selection by
+# deterministic hash rank. Same 100 TB shape as mix_rebalance_langs: at
+# scale the rank window is replaced by the hash-threshold pre-filter
+# (module docstring) with identical membership.
+# ---------------------------------------------------------------------------
+@register(
+    "mix_temperature_sample",
+    extra=True,
+    sql=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+    wts AS (
+      SELECT lang, n_before,
+             CAST(floor(sqrt(CAST(n_before AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM counts),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM wts),
+    budget AS (SELECT min((SELECT s FROM tot) * n_before // w) AS b FROM wts),
+    targets AS (
+      SELECT lang, n_before, w,
+             (w * (SELECT b FROM budget)) // (SELECT s FROM tot) AS n_after
+      FROM wts),
+    ranked AS (
+      SELECT d.lang,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY {_h_sql("concat('temp:', CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS rnk
+      FROM documents d),
+    kept AS (
+      SELECT r.lang, count(*) AS n_kept
+      FROM ranked r JOIN targets t ON r.lang = t.lang AND r.rnk <= t.n_after
+      GROUP BY r.lang)
+    SELECT t.lang, t.n_before, t.w AS weight_ppm, t.n_after, k.n_kept,
+           round(100.0 * k.n_kept / sum(k.n_kept) OVER (), 2) AS actual_pct
+    FROM targets t JOIN kept k USING (lang)
+    ORDER BY lang
+    """,
+)
+def mix_temperature_sample(spark, sf_dir):
+    """τ=1/2 temperature mix: integer sqrt-weights, exact no-upsampling
+    budget, deterministic hash-rank selection."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(F.count("*").alias("n_before"))
+    wts = counts.select(
+        "lang",
+        "n_before",
+        F.floor(F.sqrt(F.col("n_before").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = wts.agg(F.sum("w").cast("bigint").alias("s"))
+    budget = (
+        wts.crossJoin(F.broadcast(tot))
+        .agg(F.min(F.expr("(s * n_before) DIV w")).alias("b"))
+    )
+    targets = (
+        wts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(budget))
+        .select("lang", "n_before", "w", F.expr("(w * b) DIV s").alias("n_after"))
+    )
+    h = F.expr(_h_spark("concat('temp:', CAST(doc_id AS STRING))"))
+    ranked = t.documents.select(
+        "lang",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc()))
+        .alias("rnk"),
+    )
+    kept = (
+        ranked.join(F.broadcast(targets.select("lang", "n_after")), "lang")
+        .filter(F.col("rnk") <= F.col("n_after"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    out = targets.join(kept, "lang")
+    total = out.agg(F.sum("n_kept").alias("tot"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_before",
+            F.col("w").alias("weight_ppm"),
+            "n_after",
+            "n_kept",
+            F.round(100.0 * F.col("n_kept") / F.col("tot"), 2).alias("actual_pct"),
+        )
+        .orderBy("lang")
+    )

@@ -226,3 +226,36 @@ def test_length_outliers_match_numpy_median_mad(spark):
         assert abs(r["median_len"] - med) <= 1e-4
         assert abs(r["mad_len"] - mad) <= 1e-4
         assert r["n_outliers"] == int((np.abs(xs - med) > _MAD_K * mad).sum())
+
+
+def test_minhash_audit_confusion_identities(spark):
+    from etl_for_dumdums_spark.catalog.dedup import dedup_minhash_audit
+
+    r = dedup_minhash_audit(spark, SF_SMOKE).collect()[0]
+    assert r["n_truth"] > 0 and r["n_cand"] > 0, "audit must be non-vacuous"
+    assert r["n_tp"] + r["n_fp"] == r["n_cand"]
+    assert r["n_tp"] + r["n_fn"] == r["n_truth"]
+    assert 0 <= r["precision"] <= 1 and 0 <= r["recall"] <= 1
+
+
+def test_temperature_mix_flattens_toward_tail_without_upsampling(spark):
+    import math
+
+    from etl_for_dumdums_spark.catalog.sampling import mix_temperature_sample
+
+    rows = mix_temperature_sample(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == r["n_after"] <= r["n_before"], "never upsamples"
+        assert r["weight_ppm"] == math.floor(math.sqrt(r["n_before"]) * 1e6)
+    # τ=1/2 property: kept-share ratio between any two langs is the sqrt of
+    # their size ratio (within integer-floor slack of 1 doc per lang)
+    big = max(rows, key=lambda r: r["n_before"])
+    small = min(rows, key=lambda r: r["n_before"])
+    if big["n_before"] > small["n_before"]:
+        expect = math.sqrt(big["n_before"] / small["n_before"])
+        got = big["n_after"] / max(small["n_after"], 1)
+        assert abs(got - expect) < 0.05 * expect + 1
+    # the budget's binding minimum keeps (nearly) everything — the two
+    # nested integer floors can each shave at most one doc
+    assert any(r["n_after"] >= r["n_before"] - 2 for r in rows)
