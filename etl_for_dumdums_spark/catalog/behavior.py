@@ -311,3 +311,127 @@ def events_markov_transitions(spark, sf_dir):
             "p_transition"
         ),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day active users (WAU) per observed day, plus DAU and the
+# DAU/WAU stickiness ratio. The reference's dashboards chart weekly
+# aggregates (fct_hn_weekly_stats, SURVEY.md §2.5) but never a ROLLING
+# distinct-user window — this is the standard product-analytics extension.
+#
+# Scale design (100 TB): rolling COUNT(DISTINCT) cannot ride an ordinary
+# window frame (distinct isn't frame-decomposable). The scale-safe shape is
+# the bounded contribution explode: each (user, day) pair contributes to
+# exactly 7 trailing window days — a constant ×7 map-side fan-out, NOT a
+# range self-join — then one hash aggregate per (window_day). Two shuffles
+# total ((user, day) dedup; window_day agg), both on high-cardinality keys.
+# The oracle states the same semantics as a range join, which is fine at
+# oracle SF but would be O(days × users) at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_wau",
+    extra=True,
+    sql=f"""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT d.day, count(DISTINCT ud.user_id) AS wau
+      FROM days d JOIN ud ON ud.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+    SELECT d.day, dau.dau, wau.wau,
+           round(dau.dau * 100.0 / wau.wau, {DP}) AS stickiness_pct
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY d.day
+    """,
+)
+def events_rolling_wau(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ud = (
+        t.events.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    # bounded ×7 fan-out: (user, day) → the 7 window days it contributes to
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+    )
+    wau = (
+        contrib.join(days, "day")  # only emit observed days
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            R(F.col("dau") * 100.0 / F.col("wau")).alias("stickiness_pct"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily user accounting: active / new / returning users per day plus the
+# cumulative registered-user curve. "New" = the user's first-ever event day
+# (one min-aggregate per user — the cohort anchor events_cohort_retention
+# already uses); cumulative = running sum of new users over the calendar.
+#
+# Scale design (100 TB): two hash shuffles (user_id for first-day; day for
+# the daily rollup). The running sum's unpartitioned window is over ONE ROW
+# PER CALENDAR DAY — the same "calendar-bounded window" class as
+# stats_timeseries (docs/PLANS.md) — so its single-task sort is
+# data-volume-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_user_accounting",
+    extra=True,
+    sql="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    first_seen AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+    daily AS (
+      SELECT ud.day,
+             count(*) AS active_users,
+             CAST(count_if(f.first_day = ud.day) AS BIGINT) AS new_users
+      FROM ud JOIN first_seen f ON ud.user_id = f.user_id
+      GROUP BY ud.day)
+    SELECT day, active_users, new_users,
+           active_users - new_users AS returning_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+)
+def events_daily_user_accounting(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ud = (
+        t.events.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum((F.col("first_day") == F.col("day")).cast("bigint")).alias(
+                "new_users"
+            ),
+        )
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(wcum).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")

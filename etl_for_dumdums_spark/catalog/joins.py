@@ -653,3 +653,82 @@ def join_skew_salted(spark, sf_dir):
         )
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep star join (TPC-H Q5 shape): local-supplier revenue by nation — the
+# canonical 6-table join the reference's widest mart chains approximate
+# (fct_issues.sql's 4-way enrichment + dim filters). lineitem⋈orders is the
+# one fact-fact shuffle; customer/supplier join on the nation co-location
+# predicate; nation/region are broadcast. Revenue is summed in exact 1e-4
+# dollar units (cents × (100 − discount_cents)) so the cross-engine hash
+# can't drift on float summation order.
+#
+# Scale design (100 TB): Catalyst orders the joins from the filtered region
+# side; lineitem shuffles once on l_orderkey and once on (suppkey) — AQE
+# handles the rest. The c_nationkey = s_nationkey predicate is applied as a
+# post-join filter on two broadcast dims, not an extra shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "join_star_local_supplier",
+    extra=True,
+    sql=f"""
+    SELECT n.n_name AS nation,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 10000.0, {DP}) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name ORDER BY revenue DESC, nation
+    """,
+)
+def join_star_local_supplier(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rev_units = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
+    li = t.lineitem.select("l_orderkey", "l_suppkey", rev_units.alias("rev_units"))
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    # suppliers/customers restricted to the filtered region BEFORE the fact
+    # join — partition pruning's semantic twin for dimension filters
+    supp = t.supplier.join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = t.customer.join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            R(F.sum("rev_units").cast("bigint") / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )

@@ -128,3 +128,74 @@ def privacy_k_anonymity(spark, sf_dir):
         at_risk.alias("n_rows_at_risk"),
         F.round(at_risk * 100.0 / F.sum("k"), DP).alias("pct_rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's companion: a group can be large (k-safe)
+# yet still leak if everyone in it shares the same SENSITIVE value. Here the
+# quasi-identifier tuple is (nation, market segment) and the sensitive
+# attribute is the account-balance band (negative / low / high). Reports,
+# per quasi-id group: size k, l = distinct sensitive values, the modal
+# sensitive share (a high share is the probabilistic-inference risk even
+# when l >= threshold), and the diversity verdict.
+#
+# Scale design (100 TB): two chained hash aggregates on (quasi-id, sensitive)
+# then (quasi-id) — the same skew-free shuffle shape as privacy_k_anonymity;
+# banding is a per-row CASE inside the scan's codegen. All arithmetic is
+# integer except the one rounded share.
+# ---------------------------------------------------------------------------
+_L_THRESHOLD = 3
+_BAND_SQL = """CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END"""
+
+
+@register(
+    "privacy_l_diversity",
+    extra=True,
+    sql=f"""
+    WITH banded AS (
+      SELECT c_nationkey, c_mktsegment, {_BAND_SQL} AS band
+      FROM customer),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, band, count(*) AS n
+      FROM banded GROUP BY c_nationkey, c_mktsegment, band),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(sum(n) AS BIGINT) AS k,
+             count(*) AS l_distinct,
+             max(n) AS modal_n
+      FROM cells GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, k, l_distinct,
+           round(modal_n * 100.0 / k, {DP}) AS modal_share_pct,
+           CASE WHEN l_distinct >= {_L_THRESHOLD} THEN 1 ELSE 0 END AS is_l_diverse
+    FROM groups ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    cells = (
+        t.customer.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").alias("n"))
+    )
+    groups = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("k"),
+        F.count("*").alias("l_distinct"),
+        F.max("n").alias("modal_n"),
+    )
+    return groups.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "l_distinct",
+        F.round(F.col("modal_n") * 100.0 / F.col("k"), DP).alias("modal_share_pct"),
+        F.when(F.col("l_distinct") >= _L_THRESHOLD, 1).otherwise(0).alias(
+            "is_l_diverse"
+        ),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -30,8 +30,13 @@ from . import ROUND_DP as DP
 from . import Tables, register
 
 # integer quantization: exact cross-engine arithmetic (see module docstring)
-_IVEC_SQL = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
-_IVEC_SPARK = "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+# The embedding column is float32; both lambdas must promote to DOUBLE
+# BEFORE the ×1000, or the engines disagree on round-half boundaries
+# (DuckDB's list_transform multiplies in float32: 0.3195f × 1000 is exactly
+# 319.5f → 320, while double math gives 319.4999… → 319). vector.py's
+# numpy kernel uses the same float64-promote-then-half-away rule.
+_IVEC_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_IVEC_SPARK = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 _NORM_SQL = "list_sum(list_transform({v}, x -> x * x))"
 _DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
@@ -874,4 +879,210 @@ def embed_random_projection(spark, sf_dir):
             F.max("err_ppm").alias("max_err_ppm"),
         )
         .orderBy("err_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: recall@K of the sign-LSH-bucketed search against the
+# exact brute-force top-K, computed IN-QUERY for the fixed query workload
+# (vec_id < 10, the same bounded set sim_topk_cosine serves). The bucketed
+# candidate set is "same bucket as the query" — exactly what
+# sim_lsh_bucketed's pair join sees — so the recall number measures the real
+# production trade-off of that plan, per query, on THIS corpus (the same
+# measured-not-assumed philosophy as dedup_minhash_audit).
+#
+# All comparison arithmetic is integer: neighbor sets are compared by id
+# after ranking on (rounded cosine desc, neighbor_id), and recall_pct =
+# overlap × 100 / K is exact integer division (K = 5 divides 100).
+#
+# Scale design (100 TB): brute truth is |q| × n work (the bounded-query
+# broadcast shape, vectorizable via operators/vector.py); the ANN side is
+# |q| × bucket_size. The intersect joins are on (query_id, neighbor_id) —
+# tiny (≤ K rows per query). No all-pairs anything.
+# ---------------------------------------------------------------------------
+@register(
+    "sim_ann_recall",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
+             {_bucket_sql(_IVEC_SQL)} AS bucket
+      FROM embeddings),
+    q AS (SELECT * FROM iv WHERE vec_id < 10),
+    brute AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_DOT_SQL.format(a='q.v', b='c.v')}
+                                / sqrt(q.nrm * 1.0 * c.nrm), {DP}) DESC,
+                          c.vec_id) AS rnk
+        FROM q JOIN iv c ON c.vec_id != q.vec_id)
+      WHERE rnk <= {_TOPK}),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_DOT_SQL.format(a='q.v', b='c.v')}
+                                / sqrt(q.nrm * 1.0 * c.nrm), {DP}) DESC,
+                          c.vec_id) AS rnk
+        FROM q JOIN iv c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+      WHERE rnk <= {_TOPK}),
+    hits AS (
+      SELECT b.query_id,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_overlap
+      FROM brute b LEFT JOIN ann a
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id)
+    SELECT query_id, n_overlap,
+           n_overlap * 100 // {_TOPK} AS recall_pct
+    FROM hits ORDER BY query_id
+    """,
+)
+def sim_ann_recall(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = _bucketed_ivecs(t)
+    q = iv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="qv", b="v"))
+        / F.sqrt(F.col("qnrm") * 1.0 * F.col("nrm")),
+        DP,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+
+    def topk(joined):
+        return (
+            joined.select(
+                "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOPK)
+        )
+
+    brute = topk(F.broadcast(q).join(iv, F.col("vec_id") != F.col("query_id")))
+    ann = topk(
+        F.broadcast(q).join(
+            iv,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+    )
+    hits = (
+        brute.select("query_id", "neighbor_id", "rnk")
+        .join(
+            ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("n_overlap"))
+    )
+    return hits.select(
+        "query_id",
+        "n_overlap",
+        F.expr(f"n_overlap * 100 div {_TOPK}").alias("recall_pct"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic centroid assignment: every vector assigned to its nearest of
+# K = 8 fixed centroids (the vectors with vec_id < 8 — a deterministic seed
+# set, the same role k-means|| initialization plays in operators/ivf.py,
+# which owns the TRAINED path). Nearest-by-L2 reduces to argmin over the
+# exact integer quantity nrm_c − 2·dot (the ‖v‖² term is constant per row),
+# so assignment is pure BIGINT math — the oracle-able twin of the float
+# k-means assignment. Per-cluster stats: size, label purity (share of the
+# modal label), and mean scaled distance — integer sums divided once.
+#
+# Scale design (100 TB): centroids broadcast (K rows); assignment is
+# map-side argmin via min-struct aggregation over the K-way fan-out — one
+# ×K explode, one hash shuffle on vec_id, one on centroid_id. The same
+# shape operators/ivf.py uses for its assignment step.
+# ---------------------------------------------------------------------------
+@register(
+    "embed_centroid_assign",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, label, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
+      FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM iv WHERE vec_id < 8),
+    scored AS (
+      -- argmin with the centroid_id tie-break folded into ONE integer key
+      -- (DuckDB's min_by rejects struct ordering keys): centroid_id < 8,
+      -- so key = score*8 + id orders exactly like (score, id), and the
+      -- winning score is recovered EXACTLY as (key - id) / 8
+      SELECT iv.vec_id, iv.label,
+             CAST(min_by(c.centroid_id,
+                  (c.cnrm - 2 * {_DOT_SQL.format(a='iv.v', b='c.cv')}) * 8 + c.centroid_id)
+               AS BIGINT) AS centroid_id,
+             CAST(min((c.cnrm - 2 * {_DOT_SQL.format(a='iv.v', b='c.cv')}) * 8 + c.centroid_id)
+               AS BIGINT) AS skey
+      FROM iv CROSS JOIN cents c
+      GROUP BY iv.vec_id, iv.label),
+    by_label AS (
+      SELECT centroid_id, label, count(*) AS n
+      FROM scored GROUP BY centroid_id, label),
+    modal AS (
+      SELECT centroid_id, max(n) AS modal_n FROM by_label GROUP BY centroid_id),
+    stats AS (
+      SELECT centroid_id, count(*) AS n_assigned,
+             CAST(sum((skey - centroid_id) // 8) AS BIGINT) AS sum_score
+      FROM scored GROUP BY centroid_id)
+    SELECT s.centroid_id, s.n_assigned,
+           round(m.modal_n * 100.0 / s.n_assigned, {DP}) AS purity_pct,
+           round(s.sum_score * 1.0 / s.n_assigned, {DP}) AS mean_score
+    FROM stats s JOIN modal m ON s.centroid_id = m.centroid_id
+    ORDER BY s.centroid_id
+    """,
+)
+def embed_centroid_assign(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = _ivecs(t)
+    cents = F.broadcast(
+        iv.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    # combined integer argmin key (see oracle SQL comment): score*8 + id
+    skey = (
+        F.col("cnrm") - 2 * F.expr(_DOT_SPARK.format(a="v", b="cv"))
+    ) * 8 + F.col("centroid_id")
+    scored = (
+        iv.crossJoin(cents)
+        .select("vec_id", "label", "centroid_id", skey.alias("skey"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min_by("centroid_id", F.col("skey")).cast("bigint").alias("centroid_id"),
+            F.min("skey").cast("bigint").alias("skey"),
+        )
+    )
+    by_label = scored.groupBy("centroid_id", "label").agg(F.count("*").alias("n"))
+    modal = by_label.groupBy("centroid_id").agg(F.max("n").alias("modal_n"))
+    # (skey - centroid_id) is divisible by 8, so truncating div == exact div
+    stats = scored.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum(F.expr("(skey - centroid_id) div 8")).cast("bigint").alias("sum_score"),
+    )
+    return (
+        stats.join(modal, "centroid_id")
+        .select(
+            "centroid_id",
+            "n_assigned",
+            F.round(F.col("modal_n") * 100.0 / F.col("n_assigned"), DP).alias(
+                "purity_pct"
+            ),
+            F.round(F.col("sum_score") * 1.0 / F.col("n_assigned"), DP).alias(
+                "mean_score"
+            ),
+        )
+        .orderBy("centroid_id")
     )

@@ -1096,3 +1096,79 @@ def text_length_outliers(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (rows-only oracle: DuckDB has no
+# compression function, so the driver records the weaker rows+schema check;
+# tests/test_compression_ratio.py pins the VALUES against an in-process
+# zlib computation of the same bytes). Highly compressible text (low
+# compressed/raw ratio) is the classic repetitive-boilerplate signal used
+# alongside the Gopher repetition gates (text_repetition_gopher); nearly
+# incompressible text is often binary junk mislabeled as text.
+#
+# Scale design (100 TB): the compressor runs inside mapInPandas over Arrow
+# batches — per-row Python cost is one zlib.compress call (C speed), no
+# shuffle until the tiny per-language aggregate. Ratios are aggregated as
+# exact integer byte sums and divided once (ppm via integer floor division),
+# so re-partitioning cannot change the output.
+# ---------------------------------------------------------------------------
+_COMPRESS_LEVEL = 6
+_LOW_RATIO_PPM = 400_000  # < 0.4 compressed/raw → "repetitive" flag
+
+
+def compression_lengths(docs):
+    """(doc frame with text, lang) -> (lang, raw_len, comp_len) via zlib."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("comp_len", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"].astype(str)]
+            yield pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "raw_len": [len(b) for b in raw],
+                    "comp_len": [
+                        len(zlib.compress(b, _COMPRESS_LEVEL)) for b in raw
+                    ],
+                }
+            )
+
+    return docs.select("lang", "text").mapInPandas(kernel, schema)
+
+
+@register("text_compression_ratio", extra=True, sql=None)
+def text_compression_ratio(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    lens = compression_lengths(t.documents)
+    low = F.col("comp_len") * 1_000_000 < F.col("raw_len") * F.lit(_LOW_RATIO_PPM)
+    return (
+        lens.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("raw_len").cast("bigint").alias("raw_bytes"),
+            F.sum("comp_len").cast("bigint").alias("comp_bytes"),
+            F.count_if(low).cast("bigint").alias("n_repetitive"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "raw_bytes",
+            "comp_bytes",
+            F.expr("comp_bytes * 1000000 div raw_bytes").alias("ratio_ppm"),
+            "n_repetitive",
+        )
+        .orderBy("lang")
+    )

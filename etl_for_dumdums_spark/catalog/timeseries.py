@@ -228,3 +228,81 @@ def ts_resample_ohlc(spark, sf_dir):
         "avg_value",
         (F.col("close") - F.lag("close").over(w)).alias("close_delta_wow"),
     ).orderBy("event_type", "week")
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection over daily event counts per event_type.
+# The trailing-14-day window EXCLUDES the current day (rows -14..-1) so a
+# spike can't suppress its own baseline. The anomaly flag is decided in
+# EXACT integer arithmetic: with n window days, S = Σc, Q = Σc², the test
+# |z| > 3 is equivalent to (c·n − S)²·(n−1) > 9·n·(n·Q − S²) — pure BIGINT
+# cross-multiplication, no float threshold to diverge cross-engine. The
+# reported z itself is the usual rounded double (identical expression tree
+# in both engines: one divide inside one sqrt, then one divide).
+#
+# Scale design (100 TB): the windows partition by event_type over ONE ROW
+# PER (type, day) — calendar-bounded partitions (docs/PLANS.md class), so
+# the sort inside each window task is data-volume-independent; the only
+# data-sized work is the first daily-count hash aggregate. Overflow bound:
+# with daily counts up to ~2^31, (c·n−S)² stays under 2^63 for n ≤ 14 only
+# if c ≲ 3·10^8 per (type, day) — beyond that, pre-scale counts to
+# thousands before the window (the flag is scale-invariant in c).
+# ---------------------------------------------------------------------------
+@register(
+    "ts_anomaly_zscore",
+    extra=True,
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    win AS (
+      SELECT event_type, day, c,
+             count(c) OVER w AS n,
+             sum(c)   OVER w AS s,
+             sum(c * c) OVER w AS q
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, c AS n_events,
+           CASE WHEN n >= 7 AND n * q - s * s > 0
+                THEN round((c * n - s) / sqrt(n * 1.0 * (n * q - s * s) / (n - 1)), {DP})
+           END AS z,
+           CASE WHEN n >= 7 AND n * q - s * s > 0
+                     AND (c * n - s) * (c * n - s) * (n - 1) > 9 * n * (n * q - s * s)
+                THEN CASE WHEN c * n - s > 0 THEN 1 ELSE -1 END
+                ELSE 0 END AS anomaly_sign
+    FROM win ORDER BY event_type, day
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-14, -1)
+    win = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+    )
+    n, s, q, c = F.col("n"), F.col("s"), F.col("q"), F.col("c")
+    varnum = n * q - s * s  # n(n-1) × sample variance, exact BIGINT
+    dev = c * n - s  # n × (c − mean), exact BIGINT
+    ok = (n >= 7) & (varnum > 0)
+    return win.select(
+        "event_type",
+        "day",
+        c.alias("n_events"),
+        F.when(ok, F.round(dev / F.sqrt(n * 1.0 * varnum / (n - 1)), DP)).alias("z"),
+        F.when(
+            ok & (dev * dev * (n - 1) > 9 * n * varnum),
+            F.when(dev > 0, 1).otherwise(-1),
+        )
+        .otherwise(0)
+        .alias("anomaly_sign"),
+    ).orderBy("event_type", "day")

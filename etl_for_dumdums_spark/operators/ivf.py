@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 _NORM = "aggregate(transform({v}, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-_IVEC = "transform({c}, x -> CAST(round(x * 1000) AS BIGINT))"
+# promote float32 components to DOUBLE before the ×1000 so quantization
+# matches catalog/similarity.py and vector.py's float64 numpy kernel
+_IVEC = "transform({c}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 def train_ivf_index(
