@@ -644,3 +644,73 @@ def ops_skew_report(spark, sf_dir):
     for b in branches[1:]:
         out = out.unionByName(b)
     return out.orderBy("key_col")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity orphan audit across every FK edge of the schema —
+# the query form of the reference's dbt relationship tests (SURVEY.md §5's
+# schema tests; checks.py runs these per-model, this runs the whole graph
+# in one result). Per edge: referencing rows, distinct FK values, orphan
+# rows (FK value absent from the referenced PK column), and distinct orphan
+# keys.
+#
+# Scale design (100 TB): each fact table is aggregated to (fk, count)
+# FIRST, so the orphan join touches ≤ |distinct keys| rows, not the fact
+# table — the distinct-key frame joins the dimension PK (broadcast for the
+# small dims, shuffle for orders) and sums counts. One scan per edge's fact
+# side; no edge ever shuffles raw fact rows twice.
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ri_edge_sql(fact, fk, dim, pk):
+    return f"""
+    SELECT '{fact}.{fk}->{dim}' AS edge,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT f.{fk}) AS BIGINT) AS n_distinct_fk,
+           CAST(count_if(d.{pk} IS NULL) AS BIGINT) AS n_orphan_rows,
+           CAST(count(DISTINCT CASE WHEN d.{pk} IS NULL THEN f.{fk} END)
+             AS BIGINT) AS n_orphan_keys
+    FROM {fact} f LEFT JOIN {dim} d ON f.{fk} = d.{pk}
+    WHERE f.{fk} IS NOT NULL"""
+
+
+@register(
+    "ops_ri_orphans",
+    extra=True,
+    sql=" UNION ALL ".join(_ri_edge_sql(*e) for e in _FK_EDGES) + " ORDER BY edge",
+)
+def ops_ri_orphans(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    out = None
+    for fact, fk, dim, pk in _FK_EDGES:
+        # aggregate-first: the join input is the distinct-FK frame, never raw rows
+        keys = (
+            getattr(t, fact)
+            .filter(F.col(fk).isNotNull())
+            .groupBy(fk)
+            .agg(F.count("*").alias("cnt"))
+        )
+        dimkeys = getattr(t, dim).select(F.col(pk).alias("__pk")).distinct()
+        if dim != "orders":
+            dimkeys = F.broadcast(dimkeys)
+        joined = keys.join(dimkeys, F.col(fk) == F.col("__pk"), "left")
+        edge = joined.agg(
+            F.lit(f"{fact}.{fk}->{dim}").alias("edge"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_distinct_fk"),
+            F.sum(F.when(F.col("__pk").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+            F.count_if(F.col("__pk").isNull()).cast("bigint").alias("n_orphan_keys"),
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.orderBy("edge")

@@ -393,3 +393,59 @@ def agg_winsorized_stats(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix across the lineitem measures — the
+# EDA step before any modeling (the reference's notebook pages chart these
+# from collected pandas frames; here the 6 pairwise correlations are ONE
+# distributed aggregate over ONE scan). Output is long-form (measure_x,
+# measure_y, corr, n) for the upper triangle — the melt-shaped result
+# reshape_melt consumers expect.
+#
+# Scale design (100 TB): a single hash-free global aggregate (partial
+# merge per task → one reduce); corr's accumulator is O(1) per pair. The
+# stack() reshape runs on the single result row.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+]
+
+
+@register(
+    "agg_corr_matrix",
+    extra=True,
+    sql=f"""
+    WITH c AS (
+      SELECT {', '.join(f'''round(corr({a}, {b}), {DP}) AS c_{i}'''
+                        for i, (a, b) in enumerate(_CORR_PAIRS))},
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem)
+    {' UNION ALL '.join(
+        f"SELECT '{a}' AS measure_x, '{b}' AS measure_y, c_{i} AS corr, n FROM c"
+        for i, (a, b) in enumerate(_CORR_PAIRS))}
+    ORDER BY measure_x, measure_y
+    """,
+)
+def agg_corr_matrix(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    wide = t.lineitem.agg(
+        *[
+            R(F.corr(a, b)).alias(f"c_{i}")
+            for i, (a, b) in enumerate(_CORR_PAIRS)
+        ],
+        F.count("*").cast("bigint").alias("n"),
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_CORR_PAIRS)}, {stack}) AS (measure_x, measure_y, corr)"
+            ),
+            "n",
+        )
+        .orderBy("measure_x", "measure_y")
+    )

@@ -435,3 +435,75 @@ def events_daily_user_accounting(spark, sf_dir):
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(wcum).cast("bigint").alias("cumulative_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: per user, the first 'view' and the first 'purchase'
+# that FOLLOWS it; reports the viewer→converter funnel rate and the p50/p90
+# time-to-convert. The lag is computed in exact epoch MICROSECONDS (BIGINT
+# difference) and only converted to minutes at the rounded edge;
+# percentiles use the interpolating percentile/quantile_cont pair whose
+# cross-engine identity agg_global_summary already relies on.
+#
+# Scale design (100 TB): two shuffles, both on user_id — one aggregate for
+# each user's first view, one for the first qualifying purchase (the filter
+# `ts > first_view` is applied pre-aggregate after a broadcast-free
+# user_id equi-join). The final percentile aggregate buffers one value per
+# CONVERTED USER in a single task — bounded by the user population, and the
+# documented exact-quantile scale path (operators/quantile.py's counting
+# selection) applies when even that is too big.
+# ---------------------------------------------------------------------------
+@register(
+    "events_conversion_lag",
+    extra=True,
+    sql=f"""
+    WITH first_view AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    first_purchase AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN first_view v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+      GROUP BY e.user_id),
+    lags AS (
+      SELECT v.user_id,
+             epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us
+      FROM first_view v LEFT JOIN first_purchase p ON v.user_id = p.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+           CAST(count(lag_us) AS BIGINT) AS n_converted,
+           round(count(lag_us) * 100.0 / count(*), {DP}) AS conversion_pct,
+           round(quantile_cont(lag_us, 0.5) / 60000000.0, {DP}) AS p50_lag_min,
+           round(quantile_cont(lag_us, 0.9) / 60000000.0, {DP}) AS p90_lag_min
+    FROM lags
+    """,
+)
+def events_conversion_lag(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lags = first_view.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        # events.ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+    return lags.agg(
+        F.count("*").cast("bigint").alias("n_viewers"),
+        F.count("lag_us").cast("bigint").alias("n_converted"),
+        R(F.count("lag_us") * 100.0 / F.count("*")).alias("conversion_pct"),
+        R(F.percentile("lag_us", F.lit(0.5)) / 60000000.0).alias("p50_lag_min"),
+        R(F.percentile("lag_us", F.lit(0.9)) / 60000000.0).alias("p90_lag_min"),
+    )

@@ -339,3 +339,178 @@ def stats_period_over_period(spark, sf_dir):
         .agg(R(F.avg(F.col("smooth_rev") - F.col("prev_rev"))).alias("avg_pop_change"))
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (event_type × props.k band) + Cramér's V —
+# the categorical companion to stats_group_tests' ANOVA/Welch (the reference
+# runs scipy tests over collected frames, SURVEY.md §2.11; chi-square is the
+# standard next test in that family). Wholly distributed: one hash aggregate
+# builds the contingency cells, everything after runs on the ≤(types×bands)
+# row frame.
+#
+# Cross-engine float discipline: the per-cell term (O−E)²/E is one identical
+# IEEE expression tree in both engines, then ROUNDED TO INTEGER MILLIONTHS
+# per cell BEFORE the sum — so the cross-cell addition is exact BIGINT and
+# summation order cannot drift the hash (the same rounded-then-summed trick
+# as ts_resample_ohlc's mean). Cramér's V is recomputed from the summed
+# integer, so it is identical by construction.
+#
+# Scale design (100 TB): the only data-sized work is the first
+# groupBy(type, band) count — map-side partial aggregation makes the shuffle
+# ≤ |types×bands| rows per mapper. Row/column totals are window sums over
+# the tiny cell frame (bounded by the category-domain product, not the data).
+# ---------------------------------------------------------------------------
+_BAND_WIDTH = 25  # props.k ∈ [0,99] → 4 bands
+
+
+@register(
+    "stats_chisq_cramers",
+    extra=True,
+    sql=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) // {_BAND_WIDTH} AS band,
+             count(*) AS o
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT sum(o) AS n,
+             count(DISTINCT event_type) AS n_types,
+             count(DISTINCT band) AS n_bands
+      FROM cells),
+    terms AS (
+      SELECT CAST(round(
+               (c.o - (r.r * 1.0 * b.c / tot.n)) * (c.o - (r.r * 1.0 * b.c / tot.n))
+                 / (r.r * 1.0 * b.c / tot.n) * 1000000) AS BIGINT) AS term_e6
+      FROM cells c
+      JOIN (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1) r
+        ON c.event_type = r.event_type
+      JOIN (SELECT band, sum(o) AS c FROM cells GROUP BY 1) b
+        ON c.band = b.band
+      CROSS JOIN tot),
+    chi AS (SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6 FROM terms)
+    SELECT CAST(tot.n AS BIGINT) AS n_events,
+           CAST(tot.n_types AS BIGINT) AS n_types,
+           CAST(tot.n_bands AS BIGINT) AS n_bands,
+           CAST((tot.n_types - 1) * (tot.n_bands - 1) AS BIGINT) AS df,
+           round(chi.chi2_e6 / 1000000.0, {DP}) AS chi2,
+           round(sqrt(chi.chi2_e6 / 1000000.0
+                      / (tot.n * least(tot.n_types - 1, tot.n_bands - 1))), {DP})
+             AS cramers_v
+    FROM tot CROSS JOIN chi
+    """,
+)
+def stats_chisq_cramers(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    cells = (
+        t.events.select("event_type", (k / _BAND_WIDTH).cast("long").alias("band"))
+        .filter(F.col("band").isNotNull())
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("o"))
+    )
+    # totals as window sums over the tiny cell frame (≤ types×bands rows)
+    cells = cells.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(W.partitionBy("band")).alias("c"),
+    )
+    e = F.col("r") * 1.0 * F.col("c") / F.col("n")
+    term_e6 = F.round(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1000000
+    ).cast("bigint")
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("band").cast("bigint").alias("n_bands"),
+    )
+    chi = (
+        cells.crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(term_e6).cast("bigint").alias("chi2_e6"))
+    )
+    return tot.crossJoin(F.broadcast(chi)).select(
+        F.col("n").alias("n_events"),
+        "n_types",
+        "n_bands",
+        ((F.col("n_types") - 1) * (F.col("n_bands") - 1)).cast("bigint").alias("df"),
+        R(F.col("chi2_e6") / 1000000.0).alias("chi2"),
+        R(
+            F.sqrt(
+                F.col("chi2_e6")
+                / 1000000.0
+                / (F.col("n") * F.least(F.col("n_types") - 1, F.col("n_bands") - 1))
+            )
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals — the classic anomaly screen
+# for monetary columns (fabricated/synthetic numbers rarely follow Benford's
+# law). The first significant digit is taken from the DECIMAL STRING of
+# floor(o_totalprice) (prices are ≥ 1), so no engine computes a log10 at
+# runtime; the expected Benford shares are the published log10(1+1/d)
+# constants, hardcoded in ppm in BOTH engines (a constant table is the
+# semantics here, like models/fda.py's CASE tables). All output arithmetic
+# is integer: observed share in ppm by floor division, deviation in ppm by
+# subtraction.
+#
+# Scale design (100 TB): one scan → hash aggregate with a 9-value key
+# domain — map-side partials collapse to ≤ 9 rows per task; the expected
+# table is a 9-row broadcast. Nothing else touches data.
+# ---------------------------------------------------------------------------
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "stats_benford_digits",
+    extra=True,
+    sql=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT d AS digit, n,
+           CAST(n * 1000000 // tot.total AS BIGINT) AS share_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+           CAST(n * 1000000 // tot.total - ({_BENFORD_CASE}) AS BIGINT) AS dev_ppm
+    FROM counts CROSS JOIN tot ORDER BY d
+    """,
+)
+def stats_benford_digits(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    d = F.expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+    )
+    counts = (
+        t.orders.filter(F.col("o_totalprice") >= 1)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    benford = F.expr(_BENFORD_CASE).cast("bigint")
+    share = F.expr("CAST(n * 1000000 div total AS BIGINT)")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            share.alias("share_ppm"),
+            benford.alias("benford_ppm"),
+            (share - benford).cast("bigint").alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -1172,3 +1172,63 @@ def text_compression_ratio(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics: the corpus-wide adjacent-character-pair counts inside
+# letter words — exactly the frequency table the FIRST iteration of
+# byte-pair-encoding training maximizes over (Sennrich et al. 2016). Reports
+# the top-20 pairs with exact integer counts and corpus share in ppm
+# (integer floor division — no float anywhere).
+#
+# Scale design (100 TB): the pair explode is a bounded map-side fan-out
+# (≤ chars-per-doc rows) feeding a hash aggregate whose key domain is ≤ 26²
+# — partial (map-side) aggregation collapses each task's output to ≤ 676
+# rows before the shuffle, so the exchange is executor-count-sized, not
+# data-sized. Top-k is a TakeOrdered over ≤ 676 rows.
+# ---------------------------------------------------------------------------
+_BPE_TOPN = 20
+_PAIRS_SPARK = (
+    "flatten(transform("
+    "  filter(regexp_extract_all(lower(text), '[a-z]+', 0), w -> length(w) >= 2),"
+    "  w -> transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))))"
+)
+_PAIRS_DUCK = (
+    "flatten(list_transform("
+    "  list_filter(regexp_extract_all(lower(text), '[a-z]+'), w -> length(w) >= 2),"
+    "  w -> list_transform(range(1, length(w)), i -> substring(w, i, 2))))"
+)
+
+
+@register(
+    "text_bpe_pairs",
+    extra=True,
+    sql=f"""
+    WITH pairs AS (
+      SELECT unnest({_PAIRS_DUCK}) AS pair FROM documents),
+    counts AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT pair, n, CAST(n * 1000000 // tot.total AS BIGINT) AS share_ppm
+    FROM counts CROSS JOIN tot
+    ORDER BY n DESC, pair LIMIT {_BPE_TOPN}
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    counts = (
+        t.documents.select(F.explode(F.expr(_PAIRS_SPARK)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "pair",
+            "n",
+            F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOPN)
+    )
