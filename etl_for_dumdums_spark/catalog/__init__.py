@@ -170,4 +170,5 @@ def load_all() -> None:
         behavior,
         privacy,
         incremental,
+        graph,
     )

@@ -507,3 +507,57 @@ def events_conversion_lag(spark, sf_dir):
         R(F.percentile("lag_us", F.lit(0.5)) / 60000000.0).alias("p50_lag_min"),
         R(F.percentile("lag_us", F.lit(0.9)) / 60000000.0).alias("p90_lag_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks (gaps-and-islands): consecutive-day runs per user, folded
+# to the corpus-wide streak-length distribution. The island key is the
+# classic date − row_number() anchor (two consecutive days share an anchor;
+# a gap shifts it), so the whole operator is one user_id window plus two
+# hash aggregates — all integer arithmetic.
+#
+# Scale design (100 TB): the window partitions by user_id over the DISTINCT
+# (user, day) frame — per-partition size is bounded by the calendar span,
+# not event volume (the dedup collapses raw events first). The distribution
+# output is bounded by the longest streak.
+# ---------------------------------------------------------------------------
+@register(
+    "events_activity_streaks",
+    extra=True,
+    sql="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM ud),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len
+      FROM anchored GROUP BY user_id, anchor)
+    SELECT streak_len,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM streaks GROUP BY streak_len ORDER BY streak_len
+    """,
+)
+def events_activity_streaks(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ud = (
+        t.events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    anchored = ud.select(
+        "user_id", "day", F.date_sub(F.col("day"), rn).alias("anchor")
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("bigint").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("streak_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("streak_len")
+    )

@@ -1,0 +1,159 @@
+"""Graph analytics over relational edges: integer-exact PageRank.
+
+The reference has no graph operators; this is the standard extension once a
+schema induces an entity graph (here: the nation-to-nation trade graph —
+an edge supplier-nation → customer-nation weighted by how many lineitems
+flowed that way). ``dedup_cc_groups`` (catalog/dedup.py) already covers
+connected components; PageRank is the other canonical iterative graph
+primitive, and the interesting part is making a FIXED-ITERATION power
+method bit-reproducible across engines:
+
+  * ranks live in integer PARTS-PER-BILLION;
+  * every per-edge contribution is ``(rank_src × w) div out_w`` — exact
+    BIGINT floor division;
+  * the damping update is ``base + (85 × inflow) div 100`` — again exact.
+
+So iteration k's rank vector is a pure integer function of iteration k−1,
+and the DuckDB oracle (the same three unrolled iterations as CTEs) must
+match bit-for-bit. Floor-division rank leakage (a few ppb per node per
+iteration) is part of the spec, exactly like the integer-cents revenue
+convention everywhere else in the catalog.
+
+Scale design (100 TB): the expensive step is building the EDGE AGGREGATE
+(lineitem ⋈ orders ⋈ customer + broadcast supplier — the same join shape
+as join_star_local_supplier, one fact shuffle each side); after that every
+iteration runs on ≤ |nations|² edge rows and |nations| rank rows — the
+iterate-on-the-aggregate shape (same philosophy as sketch_hll_rollup:
+never rescan raw data inside the loop). The edge frame is cached across
+iterations. At a larger node domain the per-iteration join is a standard
+hash join on src/dst — PageRank's production shape (Pregel-style
+message-sum) is exactly this groupBy(dst).sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import Tables, register
+
+_DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+_PPB = 1_000_000_000
+_ITERS = 3
+
+
+def _edges_sql() -> str:
+    return """
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    """
+
+
+def _iter_sql(prev: str, it: str) -> str:
+    """One unrolled integer power-method iteration as a CTE body."""
+    return f"""
+    {it} AS (
+      SELECT n.node,
+             CAST(n.base + ({_DAMP_NUM} * coalesce(inf.inflow, 0)) // {_DAMP_DEN}
+               AS BIGINT) AS rank_ppb
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               sum((p.rank_ppb * e.w) // ow.out_w) AS inflow
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN outw ow ON e.src = ow.src
+        GROUP BY e.dst) inf ON n.node = inf.node)
+    """
+
+
+@register(
+    "graph_pagerank_nations",
+    extra=True,
+    sql=f"""
+    WITH edges AS ({_edges_sql()}),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    inw AS (SELECT dst, CAST(sum(w) AS BIGINT) AS in_w FROM edges GROUP BY dst),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
+    nodes AS (
+      SELECT n_nationkey AS node, n_name,
+             CAST({_PPB} // nn.n AS BIGINT) AS rank0,
+             CAST({_PPB - _DAMP_NUM * _PPB // _DAMP_DEN} // nn.n AS BIGINT) AS base
+      FROM nation CROSS JOIN nn),
+    it0 AS (SELECT node, rank0 AS rank_ppb FROM nodes),
+    {','.join(_iter_sql(f'it{k}', f'it{k + 1}') for k in range(_ITERS))}
+    SELECT nodes.n_name AS nation,
+           it{_ITERS}.rank_ppb,
+           coalesce(inw.in_w, 0) AS in_w,
+           coalesce(outw.out_w, 0) AS out_w
+    FROM nodes
+    JOIN it{_ITERS} ON nodes.node = it{_ITERS}.node
+    LEFT JOIN inw ON nodes.node = inw.dst
+    LEFT JOIN outw ON nodes.node = outw.src
+    ORDER BY rank_ppb DESC, nation
+    """,
+)
+def graph_pagerank_nations(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_suppkey")
+    orders = t.orders.select("o_orderkey", "o_custkey")
+    cust = t.customer.select("c_custkey", "c_nationkey")
+    supp = F.broadcast(t.supplier.select("s_suppkey", "s_nationkey"))
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .cache()  # ≤ |nations|² rows, read by every iteration + degree sums
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
+    inw = edges.groupBy("dst").agg(F.sum("w").cast("bigint").alias("in_w"))
+    n_nations = t.nation.count()  # tiny dim; the one intentional action
+    base = (_PPB - _DAMP_NUM * _PPB // _DAMP_DEN) // n_nations
+    nodes = t.nation.select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    ranks = nodes.select("node", F.lit(_PPB // n_nations).cast("bigint").alias("rank_ppb"))
+    emsg = edges.join(outw, "src")
+    for _ in range(_ITERS):
+        inflow = (
+            emsg.join(F.broadcast(ranks), emsg["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank_ppb * w) div out_w").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(inflow), nodes["node"] == inflow["dst"], "left")
+            .select(
+                nodes["node"],
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({_DAMP_NUM} * coalesce(inflow, 0)) div {_DAMP_DEN}"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_ppb"),
+            )
+        )
+    return (
+        nodes.join(F.broadcast(ranks), "node")
+        .join(F.broadcast(inw), nodes["node"] == inw["dst"], "left")
+        .join(F.broadcast(outw), nodes["node"] == outw["src"], "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            "rank_ppb",
+            F.coalesce("in_w", F.lit(0)).cast("bigint").alias("in_w"),
+            F.coalesce("out_w", F.lit(0)).cast("bigint").alias("out_w"),
+        )
+        .orderBy(F.col("rank_ppb").desc(), "nation")
+    )

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from . import ROUND_DP as DP
 from . import Tables, register
 
+R = lambda c: F.round(c, DP)  # noqa: E731
+
 _Y0, _Y1 = "1995-01-01", "1995-12-31"
 
 
@@ -306,3 +308,155 @@ def ts_anomaly_zscore(spark, sf_dir):
         .otherwise(0)
         .alias("anomaly_sign"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) of event values per event_type: each value is
+# weighted by the MICROSECONDS until the same user's next event of that type
+# (the classic sensor/price integration rule; the last observation per
+# (type, user) has no forward interval and drops out). All accumulation is
+# exact BIGINT — value in rounded cents × interval in WHOLE SECONDS
+# (micros floor-divided by 10^6, identical in both engines) — divided once
+# at the rounded edge, so partitioning cannot drift the hash. Overflow
+# bound: intervals tile the observation span per (type, user) series, so
+# Σ(v·w) ≤ v_max_cents × seconds-per-month × n_users ≈ 10^5 × 2.6×10^6 ×
+# n_users — safe past 10^7 users (micros-weighted sums overflowed at sf0.1
+# already; sub-second intervals flooring to weight 0 is part of the spec).
+#
+# Scale design (100 TB): the lead() window partitions by (event_type,
+# user_id) — per-partition size is one user's activity in one type, which
+# is bounded by user behavior, not corpus size. One shuffle, one tiny agg.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_time_weighted_avg",
+    extra=True,
+    sql=f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             (epoch_us(lead(ts) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id))
+               - epoch_us(ts)) // 1000000 AS w_s
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             CAST(count(w_s) AS BIGINT) AS n_intervals,
+             CAST(sum(v_cents * w_s) AS BIGINT) AS vw_sum,
+             CAST(sum(w_s) AS BIGINT) AS w_sum,
+             CAST(sum(v_cents) FILTER (WHERE w_s IS NOT NULL) AS BIGINT)
+               AS v_sum
+      FROM seq GROUP BY event_type)
+    SELECT event_type, n_intervals,
+           round(vw_sum * 1.0 / w_sum / 100.0, {DP}) AS twap,
+           round(v_sum * 1.0 / n_intervals / 100.0, {DP}) AS plain_avg
+    FROM agg ORDER BY event_type
+    """,
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    seq = t.events.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+        # integer `div`, not float `/`: a double quotient can truncate one
+        # off from the exact floor at micro boundaries
+        F.expr(
+            "(unix_micros(CAST(lead(ts) OVER (PARTITION BY event_type, user_id "
+            "ORDER BY ts, event_id) AS TIMESTAMP)) "
+            "- unix_micros(CAST(ts AS TIMESTAMP))) div 1000000"
+        ).alias("w_s"),
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.count("w_s").cast("bigint").alias("n_intervals"),
+        F.sum(F.col("v_cents") * F.col("w_s")).cast("bigint").alias("vw_sum"),
+        F.sum("w_s").cast("bigint").alias("w_sum"),
+        F.sum(F.when(F.col("w_s").isNotNull(), F.col("v_cents")))
+        .cast("bigint")
+        .alias("v_sum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        R(F.col("vw_sum") * 1.0 / F.col("w_sum") / 100.0).alias("twap"),
+        R(F.col("v_sum") * 1.0 / F.col("n_intervals") / 100.0).alias("plain_avg"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 14-day Pearson correlation between daily revenue and daily order
+# count — the co-movement diagnostic behind "are big days driven by volume
+# or by ticket size?". The correlation is recomputed PER ROW from six
+# exact-integer trailing window sums (n, Σx, Σy, Σxy, Σx², Σy²) in one
+# closed-form double expression — never from a float accumulator — so both
+# engines evaluate the identical IEEE tree on identical BIGINTs. Revenue is
+# pre-rounded to integer THOUSANDS of dollars (corr is scale-invariant;
+# thousands keep Σx² ≤ ~10^14·14 per window, far from BIGINT overflow even
+# at a 100× scale-up).
+#
+# Scale design (100 TB): both windows run over ONE ROW PER CALENDAR DAY —
+# the data-volume-independent "calendar-bounded window" class
+# (docs/PLANS.md); the only data-sized work is the first daily aggregate.
+# ---------------------------------------------------------------------------
+_ROLL_CORR_DAYS = 14
+
+
+@register(
+    "ts_rolling_corr",
+    extra=True,
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(sum(o_totalprice) / 1000) AS BIGINT) AS rev_k,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1),
+    win AS (
+      SELECT day, rev_k, n_orders,
+             count(*)              OVER w AS n,
+             sum(rev_k)            OVER w AS sx,
+             sum(n_orders)         OVER w AS sy,
+             sum(rev_k * n_orders) OVER w AS sxy,
+             sum(rev_k * rev_k)    OVER w AS sxx,
+             sum(n_orders * n_orders) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {_ROLL_CORR_DAYS - 1} PRECEDING AND CURRENT ROW))
+    SELECT day, rev_k, n_orders,
+           CASE WHEN n >= {_ROLL_CORR_DAYS}
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                           {DP})
+           END AS roll_corr
+    FROM win ORDER BY day
+    """,
+)
+def ts_rolling_corr(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr("CAST(round(sum(o_totalprice) / 1000) AS BIGINT)").alias("rev_k"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = W.orderBy("day").rowsBetween(-(_ROLL_CORR_DAYS - 1), 0)
+    win = daily.select(
+        "day",
+        "rev_k",
+        "n_orders",
+        F.count("*").over(w).alias("n"),
+        F.sum("rev_k").over(w).alias("sx"),
+        F.sum("n_orders").over(w).alias("sy"),
+        F.sum(F.col("rev_k") * F.col("n_orders")).over(w).alias("sxy"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).over(w).alias("sxx"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).over(w).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    ok = (n >= _ROLL_CORR_DAYS) & (vx > 0) & (vy > 0)
+    return win.select(
+        "day",
+        "rev_k",
+        "n_orders",
+        F.when(ok, R((n * sxy - sx * sy) / F.sqrt(vx * 1.0 * vy))).alias(
+            "roll_corr"
+        ),
+    ).orderBy("day")
