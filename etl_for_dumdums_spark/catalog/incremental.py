@@ -127,3 +127,110 @@ def dedup_incremental_batch(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-aggregate maintenance with an IN-QUERY proof:
+# the daily revenue rollup is maintained as base-partial ⊕ delta-partial
+# (the lambda/incremental-refresh shape — new batches merge into the
+# materialized partials, raw history is never rescanned), and the query
+# joins the merged result against a direct full recompute, reporting the
+# mismatch count (must be 0) alongside the month-grain rollup. Same
+# self-proving pattern as sketch_hll_rollup's associativity check: the
+# correctness claim is IN the oracled output, not just in a test.
+#
+# Revenue accumulates in exact integer cents — partial-merge equality for
+# float sums would be summation-order-dependent; for integer sums it is an
+# identity, which is precisely why the engine's MERGE-maintained marts use
+# integer units.
+#
+# Scale design (100 TB): base and delta each aggregate map-side to one row
+# per day before any shuffle; the merge is a full-outer join on the day key
+# (calendar-bounded). The "direct" recompute exists only to state the
+# proof; production maintains the partial and never rescans.
+# ---------------------------------------------------------------------------
+_ROLLUP_BASE_BUCKETS = 8  # hash(o_orderkey) % 10 → 0-7 base, 8-9 delta
+
+
+@register(
+    "agg_incremental_rollup",
+    extra=True,
+    sql=f"""
+    WITH tagged AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {_h_sql("CAST(o_orderkey AS VARCHAR)")} % 10 < {_ROLLUP_BASE_BUCKETS}
+               AS in_base
+      FROM orders),
+    base AS (
+      SELECT day, sum(cents) AS rev, count(*) AS n FROM tagged
+      WHERE in_base GROUP BY day),
+    delta AS (
+      SELECT day, sum(cents) AS rev, count(*) AS n FROM tagged
+      WHERE NOT in_base GROUP BY day),
+    merged AS (
+      SELECT coalesce(b.day, d.day) AS day,
+             coalesce(b.rev, 0) + coalesce(d.rev, 0) AS rev,
+             coalesce(b.n, 0) + coalesce(d.n, 0) AS n
+      FROM base b FULL OUTER JOIN delta d ON b.day = d.day),
+    direct AS (
+      SELECT day, sum(cents) AS rev, count(*) AS n FROM tagged GROUP BY day)
+    SELECT CAST(date_trunc('month', m.day) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(m.n) AS BIGINT) AS n_orders,
+           round(CAST(sum(m.rev) AS BIGINT) / 100.0, 2) AS revenue,
+           CAST(count_if(m.rev != x.rev OR m.n != x.n) AS BIGINT) AS n_mismatch_days
+    FROM merged m JOIN direct x ON m.day = x.day
+    GROUP BY 1 ORDER BY month
+    """,
+)
+def agg_incremental_rollup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    tagged = t.orders.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (
+            F.expr(_h_spark("CAST(o_orderkey AS STRING)")) % 10
+            < _ROLLUP_BASE_BUCKETS
+        ).alias("in_base"),
+    )
+
+    def part(df):
+        return df.groupBy("day").agg(
+            F.sum("cents").alias("rev"), F.count("*").alias("n")
+        )
+
+    base = part(tagged.filter(F.col("in_base")))
+    delta = part(tagged.filter(~F.col("in_base")))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), F.col("b.day") == F.col("d.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.day"), F.col("d.day")).alias("day"),
+            (
+                F.coalesce(F.col("b.rev"), F.lit(0))
+                + F.coalesce(F.col("d.rev"), F.lit(0))
+            ).alias("rev"),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    direct = part(tagged)
+    return (
+        merged.alias("m")
+        .join(direct.alias("x"), F.col("m.day") == F.col("x.day"))
+        .groupBy(F.date_trunc("month", F.col("m.day")).cast("date").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("m.n").cast("bigint").alias("n_orders"),
+            F.round(F.sum("m.rev").cast("bigint") / 100.0, 2).alias("revenue"),
+            F.count_if(
+                (F.col("m.rev") != F.col("x.rev")) | (F.col("m.n") != F.col("x.n"))
+            )
+            .cast("bigint")
+            .alias("n_mismatch_days"),
+        )
+        .orderBy("month")
+    )
