@@ -714,3 +714,66 @@ def ops_ri_orphans(spark, sf_dir):
         )
         out = edge if out is None else out.unionByName(edge)
     return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# Migration checksum: an ORDER-INDEPENDENT content fingerprint per table —
+# the standard cross-system validation when a pipeline is re-platformed
+# (exactly this repo's situation vs the reference warehouse): each row is
+# canonicalized to a string of integer/text columns (floats enter as
+# rounded integer cents, so formatting can't diverge), hashed to the shared
+# 60-bit md5 prefix, and folded two ways: XOR (order- and partition-proof)
+# and an additive component mod 10^9 (catches even-multiplicity duplicates,
+# which XOR alone cancels). n_rows completes the triple.
+#
+# Scale design (100 TB): one scan per table, zero shuffles before the
+# single-row partial-merge aggregate (XOR/sum/count are all commutative
+# monoids — map-side combine collapses each task to one row). This is the
+# cheapest full-content audit a warehouse can run.
+# ---------------------------------------------------------------------------
+_CK_TABLES = {
+    "lineitem": (
+        "concat_ws('|', l_orderkey, l_linenumber, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT), "
+        "CAST(round(l_discount * 100) AS BIGINT), l_returnflag)"
+    ),
+    "orders": (
+        "concat_ws('|', o_orderkey, o_custkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus)"
+    ),
+    "customer": "concat_ws('|', c_custkey, c_nationkey, c_mktsegment)",
+}
+_CK_MOD = 1_000_000_000
+
+
+def _ck_sql(table: str, canon: str) -> str:
+    # DuckDB concat_ws casts args to VARCHAR like Spark; the 60-bit hash is
+    # the shared md5-prefix integer (catalog/sketches.py)
+    h = f"(('0x' || substr(md5({canon}), 1, 15))::UBIGINT::BIGINT)"
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({h}) AS BIGINT) AS xor_checksum,
+           CAST(sum({h} % {_CK_MOD}) AS BIGINT) AS add_checksum
+    FROM {table}"""
+
+
+@register(
+    "ops_migration_checksum",
+    extra=True,
+    sql=" UNION ALL ".join(_ck_sql(t, c) for t, c in _CK_TABLES.items())
+    + " ORDER BY table_name",
+)
+def ops_migration_checksum(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    out = None
+    for table, canon in _CK_TABLES.items():
+        h = F.expr(f"CAST(conv(substr(md5({canon}), 1, 15), 16, 10) AS BIGINT)")
+        part = getattr(t, table).agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.bit_xor(h).cast("bigint").alias("xor_checksum"),
+            F.sum(h % _CK_MOD).cast("bigint").alias("add_checksum"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("table_name")

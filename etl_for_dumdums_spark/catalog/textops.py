@@ -1101,7 +1101,7 @@ def text_length_outliers(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Compression-ratio quality signal (rows-only oracle: DuckDB has no
 # compression function, so the driver records the weaker rows+schema check;
-# tests/test_compression_ratio.py pins the VALUES against an in-process
+# tests/test_session6_ops.py pins the VALUES against an in-process
 # zlib computation of the same bytes). Highly compressible text (low
 # compressed/raw ratio) is the classic repetitive-boilerplate signal used
 # alongside the Gopher repetition gates (text_repetition_gopher); nearly

@@ -460,3 +460,87 @@ def ts_rolling_corr(spark, sf_dir):
             "roll_corr"
         ),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA technical indicator: exponentially-weighted moving average
+# of the daily mean event value per event_type, α = 3/4 decay, truncated at
+# K=8 trailing days. True EWMA is recursive (not frame-decomposable); the
+# truncated form IS — and it is made cross-engine-exact by using INTEGER
+# weights w_i = round((3/4)^i · 10^6) as hardcoded constants over K lag
+# columns: the smoothed value is an exact BIGINT dot product (lag value in
+# cents × constant weight) divided once at the rounded edge. The α^K tail
+# that truncation drops is ≤ 10% of the mass — stated, not hidden.
+# The reference charts SMA bands over stock closes (fct_stock_analysis,
+# SURVEY.md W8/W11); EWMA is the standard companion indicator.
+#
+# Scale design (100 TB): daily means reduce the events table first (hash
+# agg with map-side combine); the lag windows then run over one row per
+# (type, day) — calendar-bounded partitions. Weights are literals inside
+# whole-stage codegen.
+# ---------------------------------------------------------------------------
+_EWMA_K = 8
+_EWMA_W = [round((3 / 4) ** i * 1_000_000) for i in range(_EWMA_K)]  # ppm
+
+
+@register(
+    "ts_ewma_truncated",
+    extra=True,
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    means AS (
+      SELECT event_type, day, cents // n AS mean_c
+      FROM daily),
+    lagged AS (
+      SELECT event_type, day, mean_c,
+             {', '.join(f'lag(mean_c, {i}) OVER w AS l{i}' for i in range(1, _EWMA_K))}
+      FROM means
+      WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day,
+           round(mean_c / 100.0, 2) AS mean_value,
+           CASE WHEN l{_EWMA_K - 1} IS NOT NULL THEN
+             round((mean_c * {_EWMA_W[0]}
+                    + {' + '.join(f'l{i} * {_EWMA_W[i]}' for i in range(1, _EWMA_K))})
+                   * 1.0 / {sum(_EWMA_W)} / 100.0, {DP})
+           END AS ewma
+    FROM lagged ORDER BY event_type, day
+    """,
+)
+def ts_ewma_truncated(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"), F.count("*").alias("n"))
+    )
+    # integer floor-division daily mean: exact in both engines
+    means = daily.select(
+        "event_type", "day", F.expr("cents div n").alias("mean_c")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = means.select(
+        "event_type",
+        "day",
+        "mean_c",
+        *[F.lag("mean_c", i).over(w).alias(f"l{i}") for i in range(1, _EWMA_K)],
+    )
+    dot = F.col("mean_c") * _EWMA_W[0]
+    for i in range(1, _EWMA_K):
+        dot = dot + F.col(f"l{i}") * _EWMA_W[i]
+    return lagged.select(
+        "event_type",
+        "day",
+        F.round(F.col("mean_c") / 100.0, 2).alias("mean_value"),
+        F.when(
+            F.col(f"l{_EWMA_K - 1}").isNotNull(),
+            R(dot * 1.0 / sum(_EWMA_W) / 100.0),
+        ).alias("ewma"),
+    ).orderBy("event_type", "day")
