@@ -170,3 +170,100 @@ def resize_images(
         .select("media_id", "payload")
         .mapInPandas(run, schema=RESIZE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL kernels for RAW payloads (no codec needed): a self-describing
+# uncompressed RGB format — b"RGB8" magic + uint32-BE width + uint32-BE
+# height + w·h·3 interleaved RGB bytes. Compressed formats (JPEG/PNG/…)
+# stay behind the honest NotImplementedError gates above; for raw frames
+# (exactly what a production video-decode stage emits) decode, feature
+# extraction, and resize below are the real thing, in numpy, over Arrow
+# batches — proving the "swap the kernel in production" claim end-to-end.
+# ---------------------------------------------------------------------------
+RAW_RGB_MAGIC = b"RGB8"
+_HDR = len(RAW_RGB_MAGIC) + 8
+
+
+def encode_rgb_raw(arr) -> bytes:
+    """(h, w, 3) uint8 numpy array → self-describing raw payload."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "RGB8 payloads are 3-channel"
+    return RAW_RGB_MAGIC + w.to_bytes(4, "big") + h.to_bytes(4, "big") + a.tobytes()
+
+
+def decode_rgb_raw(payload: bytes):
+    """Raw payload → (h, w, 3) uint8 array. Real decode — numpy only.
+
+    Raises NotImplementedError for non-raw payloads (codec formats), the
+    same honest gate as decode_image."""
+    import numpy as np
+
+    if payload is None or payload[: len(RAW_RGB_MAGIC)] != RAW_RGB_MAGIC:
+        raise NotImplementedError(
+            "not a raw RGB8 payload — codec formats need PIL/opencv"
+        )
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    a = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=_HDR)
+    return a.reshape(h, w, 3)
+
+
+def resize_rgb_raw(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a raw RGB8 payload — deterministic
+    integer index maps (src_i = i·src/dst floored), so every engine/run
+    produces identical bytes."""
+    import numpy as np
+
+    a = decode_rgb_raw(payload)
+    sh, sw = a.shape[:2]
+    yi = (np.arange(height, dtype=np.int64) * sh) // height
+    xi = (np.arange(width, dtype=np.int64) * sw) // width
+    return encode_rgb_raw(a[yi][:, xi])
+
+
+def rgb_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL feature extraction for raw RGB8 rows: decoded
+    dimensions + per-channel means + brightness, one vectorized numpy
+    reduction per image. Non-raw payloads pass through with NULLs (they
+    belong to the codec-gated path)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("dec_width", T.IntegerType(), True),
+            T.StructField("dec_height", T.IntegerType(), True),
+            T.StructField("mean_r", T.DoubleType(), True),
+            T.StructField("mean_g", T.DoubleType(), True),
+            T.StructField("mean_b", T.DoubleType(), True),
+            T.StructField("brightness", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or bytes(p[:4]) != RAW_RGB_MAGIC:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                a = decode_rgb_raw(bytes(p))
+                means = a.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        mid,
+                        a.shape[1],
+                        a.shape[0],
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        float(means.mean()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)

@@ -1,0 +1,71 @@
+"""Real raw-RGB8 kernels: round-trip, deterministic resize, Spark-side
+feature extraction, and the preserved codec gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _gradient(h, w):
+    a = np.zeros((h, w, 3), dtype=np.uint8)
+    a[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    a[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    a[..., 2] = 7
+    return a
+
+
+def test_raw_rgb_roundtrip():
+    from etl_for_dumdums_spark.operators.multimodal import (
+        decode_rgb_raw,
+        encode_rgb_raw,
+    )
+
+    a = _gradient(12, 9)
+    assert np.array_equal(decode_rgb_raw(encode_rgb_raw(a)), a)
+
+
+def test_raw_resize_nearest_exact():
+    from etl_for_dumdums_spark.operators.multimodal import (
+        decode_rgb_raw,
+        encode_rgb_raw,
+        resize_rgb_raw,
+    )
+
+    a = _gradient(8, 8)
+    out = decode_rgb_raw(resize_rgb_raw(encode_rgb_raw(a), 4, 4))
+    # nearest-neighbor with floored integer maps: out[y,x] = a[y*2, x*2]
+    assert np.array_equal(out, a[::2, ::2])
+    # upscale is deterministic too
+    up = decode_rgb_raw(resize_rgb_raw(encode_rgb_raw(a), 16, 16))
+    yi = (np.arange(16) * 8) // 16
+    assert np.array_equal(up, a[yi][:, yi])
+
+
+def test_codec_gate_preserved():
+    from etl_for_dumdums_spark.operators.multimodal import decode_rgb_raw
+
+    with pytest.raises(NotImplementedError):
+        decode_rgb_raw(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_rgb_stats_spark_pipeline(spark):
+    from etl_for_dumdums_spark.operators.multimodal import (
+        encode_rgb_raw,
+        rgb_stats,
+    )
+
+    imgs = [
+        (1, encode_rgb_raw(np.full((4, 6, 3), 10, dtype=np.uint8))),
+        (2, encode_rgb_raw(_gradient(5, 5))),
+        (3, b"\x89PNG not raw"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(imgs, "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in rgb_stats(media).collect()}
+    assert rows[1]["dec_width"] == 6 and rows[1]["dec_height"] == 4
+    assert rows[1]["mean_r"] == rows[1]["brightness"] == 10.0
+    g = _gradient(5, 5).reshape(-1, 3).mean(axis=0)
+    assert abs(rows[2]["mean_g"] - g[1]) < 1e-9
+    # codec / null rows fall through with NULLs, not errors
+    assert rows[3]["dec_width"] is None and rows[4]["brightness"] is None
