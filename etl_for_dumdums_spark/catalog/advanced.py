@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from . import ROUND_DP as DP
 from . import Tables, register
+from .sketches import _h_spark, _h_sql
 
 R = lambda c: F.round(c, DP)  # noqa: E731
 
@@ -777,3 +778,83 @@ def ops_migration_checksum(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimate — the planner diagnostic run BEFORE a big join:
+# |A ⋈ B| on key k is EXACTLY Σ_k cnt_A(k)·cnt_B(k), computable from two
+# cheap per-key count aggregates without materializing the join. The query
+# reports that predicted size next to the ACTUAL join count (the in-query
+# proof: predicted − actual must be 0 — and it is exact, not an estimate,
+# because the histograms are complete) plus the sampled-histogram estimate
+# a real planner would use (hash-sampled 1-in-16 keys, scaled ×16 on the
+# product), so the output shows prediction, truth, and the sampling error
+# side by side for the lineitem⋈orders key.
+#
+# Scale design (100 TB): the exact predictor costs two hash aggregates on
+# the join key (map-side combined) + one tiny join of the two count
+# frames — strictly cheaper than the join it predicts, which is the point.
+# The sampled variant reads the same aggregates filtered to 1/16 of keys.
+# ---------------------------------------------------------------------------
+_CARD_SAMPLE_MOD = 16
+
+
+@register(
+    "ops_join_cardinality",
+    extra=True,
+    sql=f"""
+    WITH ca AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+    cb AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
+    exact AS (
+      SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS predicted
+      FROM ca JOIN cb ON ca.k = cb.k),
+    sampled AS (
+      SELECT CAST(sum(ca.n * cb.n) * {_CARD_SAMPLE_MOD} AS BIGINT) AS est
+      FROM ca JOIN cb ON ca.k = cb.k
+      WHERE {_h_sql('CAST(ca.k AS VARCHAR)')} % {_CARD_SAMPLE_MOD} = 0),
+    actual AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT exact.predicted, actual.actual,
+           exact.predicted - actual.actual AS prediction_error,
+           sampled.est AS sampled_estimate,
+           CAST((sampled.est - actual.actual) * 1000000 // actual.actual
+             AS BIGINT) AS sample_err_ppm
+    FROM exact CROSS JOIN actual CROSS JOIN sampled
+    """,
+)
+def ops_join_cardinality(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ca = t.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("na")
+    )
+    cb = t.orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("nb")
+    )
+    hist = ca.join(cb, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("prod")
+    ).cache()  # read by the exact AND sampled predictors
+    exact = hist.agg(F.sum("prod").cast("bigint").alias("predicted"))
+    sampled = (
+        hist.filter(
+            F.expr(_h_spark("CAST(k AS STRING)")) % _CARD_SAMPLE_MOD == 0
+        ).agg((F.sum("prod") * _CARD_SAMPLE_MOD).cast("bigint").alias("est"))
+    )
+    actual = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).agg(F.count("*").cast("bigint").alias("actual"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(actual))
+        .crossJoin(F.broadcast(sampled))
+        .select(
+            "predicted",
+            "actual",
+            (F.col("predicted") - F.col("actual")).alias("prediction_error"),
+            F.col("est").alias("sampled_estimate"),
+            F.expr(
+                "CAST((est - actual) * 1000000 div actual AS BIGINT)"
+            ).alias("sample_err_ppm"),
+        )
+    )

@@ -91,3 +91,13 @@ def test_migration_checksum_detects_value_and_duplicate_changes(spark):
     n2, x2, a2 = fold(doubled)
     assert x2 == 0  # every hash XORs with itself
     assert n2 == 2 * n0 and a2 == 2 * a0 != a0
+
+
+def test_join_cardinality_prediction_is_exact(spark):
+    from etl_for_dumdums_spark.catalog.advanced import ops_join_cardinality
+
+    row = ops_join_cardinality(spark, SF_SMOKE).collect()[0]
+    assert row["prediction_error"] == 0
+    assert row["predicted"] == row["actual"] > 0
+    # the 1-in-16 sampled estimate should land within 25% on this data
+    assert abs(row["sample_err_ppm"]) < 250_000
