@@ -701,7 +701,9 @@ def ops_ri_orphans(spark, sf_dir):
             .agg(F.count("*").alias("cnt"))
         )
         dimkeys = getattr(t, dim).select(F.col(pk).alias("__pk")).distinct()
-        if dim != "orders":
+        # only the FIXED-SIZE dims get a broadcast hint; part/supplier/
+        # customer/orders grow with SF, so AQE decides for them (r01 lesson)
+        if dim in ("nation", "region"):
             dimkeys = F.broadcast(dimkeys)
         joined = keys.join(dimkeys, F.col(fk) == F.col("__pk"), "left")
         edge = joined.agg(

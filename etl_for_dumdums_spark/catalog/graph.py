@@ -101,7 +101,8 @@ def graph_pagerank_nations(spark, sf_dir):
     li = t.lineitem.select("l_orderkey", "l_suppkey")
     orders = t.orders.select("o_orderkey", "o_custkey")
     cust = t.customer.select("c_custkey", "c_nationkey")
-    supp = F.broadcast(t.supplier.select("s_suppkey", "s_nationkey"))
+    # supplier grows with SF — no broadcast hint, AQE decides (r01 lesson)
+    supp = t.supplier.select("s_suppkey", "s_nationkey")
     edges = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))

@@ -717,11 +717,13 @@ def join_star_local_supplier(spark, sf_dir):
         F.broadcast(asia_nations.select("n_nationkey")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("c_custkey", "c_nationkey")
+    # supplier GROWS with SF — no broadcast hint (the r01 lesson); AQE
+    # picks broadcast while it fits and falls back to shuffle beyond
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
