@@ -171,4 +171,5 @@ def load_all() -> None:
         privacy,
         incremental,
         graph,
+        mining,
     )
