@@ -172,4 +172,5 @@ def load_all() -> None:
         incremental,
         graph,
         mining,
+        features,
     )

@@ -561,3 +561,74 @@ def events_activity_streaks(spark, sf_dir):
         )
         .orderBy("streak_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_abtest_srm: A/B experiment readout with a sample-ratio-mismatch
+# guard — the first two numbers any experimentation platform computes.
+# Variant = user_id parity (deterministic hash split); exposure = any event;
+# conversion = ≥1 purchase. The SRM chi-square against the designed 50/50
+# split collapses algebraically to (2·n_A − T)² / T (both variants
+# contribute the same squared deviation), kept in integer MILLIONTHS so no
+# float crosses engines; srm_pass compares against the χ²(1df, 0.05)
+# critical value 3.841459 in the same integer units. Conversion is integer
+# ppm per variant.
+# Scale: two distinct-user hash aggregates (one user_id shuffle each) over
+# a 2-row output — nothing grows with events volume except the scans.
+# ---------------------------------------------------------------------------
+_SRM_CRIT_MILLIONTHS = 3_841_459  # χ²(1df) at p = 0.05
+
+
+@register(
+    "events_abtest_srm",
+    extra=True,
+    sql=f"""
+    WITH exposed AS (
+      SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
+    converted AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    per_variant AS (
+      SELECT e.variant,
+             count(*) AS n_users,
+             CAST(count(c.user_id) AS BIGINT) AS n_converted
+      FROM exposed e LEFT JOIN converted c ON e.user_id = c.user_id
+      GROUP BY e.variant),
+    tot AS (
+      SELECT *, sum(n_users) OVER () AS t_users FROM per_variant)
+    SELECT CAST(variant AS BIGINT) AS variant, n_users, n_converted,
+           CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_ppm,
+           CAST((2 * n_users - t_users) * (2 * n_users - t_users) * 1000000
+                // t_users AS BIGINT) AS srm_stat_millionths,
+           ((2 * n_users - t_users) * (2 * n_users - t_users) * 1000000
+                // t_users) < {_SRM_CRIT_MILLIONTHS} AS srm_pass
+    FROM tot ORDER BY variant
+    """,
+)
+def events_abtest_srm(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    exposed = t.events.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    converted = (
+        t.events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    per_variant = (
+        exposed.join(converted.withColumn("_c", F.lit(1)), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("_c").cast("long").alias("n_converted"),
+        )
+    )
+    tot = per_variant.withColumn(
+        "t_users", F.sum("n_users").over(W.partitionBy())
+    )
+    srm = F.expr("(2 * n_users - t_users) * (2 * n_users - t_users) * 1000000 DIV t_users")
+    return tot.select(
+        F.col("variant").cast("long").alias("variant"),
+        "n_users",
+        "n_converted",
+        F.expr("CAST(n_converted * 1000000 DIV n_users AS BIGINT)").alias("conv_ppm"),
+        srm.cast("long").alias("srm_stat_millionths"),
+        (srm < _SRM_CRIT_MILLIONTHS).alias("srm_pass"),
+    ).orderBy("variant")
