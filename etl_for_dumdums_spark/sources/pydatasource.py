@@ -30,19 +30,31 @@ import json
 import os
 from typing import Iterable, List, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # field order is the schema contract; ts is epoch micros (JSONL carries no
 # native timestamp type)
 _FIELDS = ("event_id", "ts_us", "user_id", "event_type", "value")
 _SCHEMA = "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+
+
+def _layout_key(filename: str) -> str:
+    """event_type encoded in the filename: ``<etype>.jsonl`` (export layout)
+    or ``<etype>-part<n>.jsonl`` (writer layout) — both prunable."""
+    stem = filename[: -len(".jsonl")]
+    return stem.split("-part")[0] if "-part" in stem else stem
 
 
 class JsonlFilePartition(InputPartition):
@@ -77,7 +89,7 @@ class JsonlEventsReader(DataSourceReader):
         for name in sorted(os.listdir(self._dir)):
             if not name.endswith(".jsonl"):
                 continue
-            etype = name[: -len(".jsonl")]
+            etype = _layout_key(name)
             if self._allowed is not None and etype not in self._allowed:
                 continue
             parts.append(JsonlFilePartition(os.path.join(self._dir, name)))
@@ -93,8 +105,129 @@ class JsonlEventsReader(DataSourceReader):
                 yield tuple(rec.get(k) for k in _FIELDS)
 
 
+# ---------------------------------------------------------------------------
+# Writer: executor tasks write invisible ``*.jsonl.tmp`` files (the batch
+# reader only lists ``*.jsonl``), split per event_type so the written layout
+# keeps the pruning contract; the DRIVER's commit() renames them into
+# visibility atomically-enough for the listing reader and abort() deletes
+# them — the standard two-phase commit of a Spark sink, in Python.
+# ---------------------------------------------------------------------------
+@dataclass
+class JsonlCommitMessage(WriterCommitMessage):
+    tmp_files: tuple  # ((tmp_path, final_name, n_rows), ...)
+
+
+class JsonlEventsWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self._dir = options["path"]
+        self._overwrite = overwrite
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> JsonlCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        handles: dict[str, object] = {}
+        counts: dict[str, int] = {}
+        for row in iterator:
+            et = row["event_type"]
+            fh = handles.get(et)
+            if fh is None:
+                tmp = os.path.join(self._dir, f"{et}-part{pid:05d}.jsonl.tmp")
+                fh = open(tmp, "w", encoding="utf-8")
+                handles[et] = fh
+                counts[et] = 0
+            fh.write(json.dumps({k: row[k] for k in _FIELDS}) + "\n")
+            counts[et] += 1
+        for fh in handles.values():
+            fh.close()
+        return JsonlCommitMessage(
+            tmp_files=tuple(
+                (
+                    os.path.join(self._dir, f"{et}-part{pid:05d}.jsonl.tmp"),
+                    f"{et}-part{pid:05d}.jsonl",
+                    counts[et],
+                )
+                for et in handles
+            )
+        )
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for name in os.listdir(self._dir):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self._dir, name))
+        total = 0
+        committed = []
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, final, n in m.tmp_files:
+                os.replace(tmp, os.path.join(self._dir, final))
+                committed.append({"file": final, "rows": n})
+                total += n
+        with open(os.path.join(self._dir, "_MANIFEST.json"), "w", encoding="utf-8") as fh:
+            json.dump({"files": committed, "total_rows": total}, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _final, _n in m.tmp_files:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader: tails the directory's committed .jsonl files with a
+# per-file line-count offset — new lines (and new files) appearing between
+# micro-batches are exactly the next batch, and readBetweenOffsets replays
+# any batch deterministically for failure recovery. The Simple variant reads
+# on the driver (right for this demo volume); the partitioned
+# DataSourceStreamReader is the same offset contract fanned out per file
+# when throughput demands it.
+# ---------------------------------------------------------------------------
+class JsonlEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self._dir = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _lines(self, name: str) -> list:
+        with open(os.path.join(self._dir, name), encoding="utf-8") as fh:
+            return [ln for ln in fh if ln.strip()]
+
+    def read(self, start: dict):
+        seen = dict(start.get("files", {}))
+        rows = []
+        for name in sorted(os.listdir(self._dir)):
+            if not name.endswith(".jsonl"):
+                continue
+            lines = self._lines(name)
+            done = int(seen.get(name, 0))
+            for ln in lines[done:]:
+                rec = json.loads(ln)
+                rows.append(tuple(rec.get(k) for k in _FIELDS))
+            seen[name] = len(lines)
+        return iter(rows), {"files": seen}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s = start.get("files", {})
+        e = end.get("files", {})
+        rows = []
+        for name in sorted(e):
+            lines = self._lines(name)
+            for ln in lines[int(s.get(name, 0)) : int(e[name])]:
+                rec = json.loads(ln)
+                rows.append(tuple(rec.get(k) for k in _FIELDS))
+        return iter(rows)
+
+
 class JsonlEventsDataSource(DataSource):
-    """``spark.read.format("jsonl_events").option("path", dir).load()``."""
+    """``spark.read.format("jsonl_events").option("path", dir).load()`` /
+    ``df.write.format("jsonl_events")`` / ``spark.readStream.format(...)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -105,6 +238,12 @@ class JsonlEventsDataSource(DataSource):
 
     def reader(self, schema) -> JsonlEventsReader:
         return JsonlEventsReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonlEventsWriter:
+        return JsonlEventsWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema) -> JsonlEventsStreamReader:
+        return JsonlEventsStreamReader(self.options)
 
 
 def register_python_datasources(spark) -> None:
