@@ -173,4 +173,5 @@ def load_all() -> None:
         graph,
         mining,
         features,
+        warehouse,
     )
