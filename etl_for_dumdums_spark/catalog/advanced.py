@@ -860,3 +860,77 @@ def ops_join_cardinality(spark, sf_dir):
             ).alias("sample_err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-distribution window family — rank / dense_rank / row_number plus
+# percent_rank and cume_dist in their EXACT integer-ppm forms:
+# percent_rank = (rank−1)/(n−1) → (rank−1)·10⁶ DIV (n−1), and cume_dist's
+# numerator (peers-inclusive row count ≤ current) comes from a RANGE
+# unbounded-preceding frame — no float rank function crosses the engines.
+# The output row per segment reports the median row's measures (median by
+# row_number over the fully tie-broken (acctbal, custkey) order), so the
+# result stays 5 rows while exercising the whole §2.6 rank family.
+# Scale note: segment-partitioned windows sort-spill per segment — same
+# class as win_pick_per_group; the salted two-stage rewrite applies when a
+# single group outgrows a task.
+# ---------------------------------------------------------------------------
+@register(
+    "win_rank_distributions",
+    extra=True,
+    sql="""
+    WITH ranked AS (
+      SELECT c_mktsegment,
+             row_number() OVER w2 AS rn,
+             rank()       OVER w1 AS rnk,
+             dense_rank() OVER w1 AS drnk,
+             count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_le,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+      WINDOW w1 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal),
+             w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+    SELECT c_mktsegment AS segment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(drnk) AS BIGINT) AS n_distinct_bal,
+           CAST(max(rnk) AS BIGINT) AS max_rank,
+           CAST(max(CASE WHEN rn = (n + 1) // 2
+                         THEN (CAST(rnk AS BIGINT) - 1) * 1000000 // (CAST(n AS BIGINT) - 1) END) AS BIGINT)
+             AS median_pct_rank_ppm,
+           CAST(max(CASE WHEN rn = (n + 1) // 2
+                         THEN CAST(n_le AS BIGINT) * 1000000 // CAST(n AS BIGINT) END) AS BIGINT)
+             AS median_cume_ppm
+    FROM ranked GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def win_rank_distributions(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w1 = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w2 = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wle = w1.rangeBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.partitionBy("c_mktsegment")
+    ranked = t.customer.select(
+        "c_mktsegment",
+        F.row_number().over(w2).alias("rn"),
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w1).alias("drnk"),
+        F.count("*").over(wle).alias("n_le"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = F.col("rn") == F.expr("(n + 1) DIV 2")
+    return (
+        ranked.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.max("drnk").cast("long").alias("n_distinct_bal"),
+            F.max("rnk").cast("long").alias("max_rank"),
+            F.max(F.when(med, F.expr("(CAST(rnk AS BIGINT) - 1) * 1000000 DIV (CAST(n AS BIGINT) - 1)")))
+            .cast("long")
+            .alias("median_pct_rank_ppm"),
+            F.max(F.when(med, F.expr("CAST(n_le AS BIGINT) * 1000000 DIV CAST(n AS BIGINT)")))
+            .cast("long")
+            .alias("median_cume_ppm"),
+        )
+        .orderBy("segment")
+    )

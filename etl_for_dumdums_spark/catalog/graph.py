@@ -158,3 +158,74 @@ def graph_pagerank_nations(spark, sf_dir):
         )
         .orderBy(F.col("rank_ppb").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE reachability: ≤3-hop transitive closure of the top-5
+# strongest trade edges per source nation, via Spark 4's WITH RECURSIVE —
+# the SQL-surface twin of the unrolled-iteration PageRank above. ONE SQL
+# string runs on BOTH engines (table names substituted), so the oracle is
+# the literal same query.
+#
+# Scale: like PageRank, the recursion never touches raw rows — the edge
+# list is first reduced to ≤|nations|·5 rows (top-5 out-edges by weight,
+# deterministic (w DESC, dst) order), so every recursive step joins frames
+# whose size is bounded by the nation-count, not the data volume. Spark
+# 4 supports UNION ALL recursion only, so termination is the explicit
+# hop < 3 bound and min-hop dedup happens after (exact, since min() over
+# duplicated paths equals min over distinct ones).
+# ---------------------------------------------------------------------------
+_REACH_TOPK = 5
+_REACH_HOPS = 3
+
+
+def _reach_sql(li: str, orders: str, cust: str, supp: str) -> str:
+    return f"""
+    WITH RECURSIVE raw_edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM {li} l
+      JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+      JOIN {cust} c   ON o.o_custkey = c.c_custkey
+      JOIN {supp} s   ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    strong AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM raw_edges WHERE src <> dst) t
+      WHERE rn <= {_REACH_TOPK}),
+    reach (src, dst, hop) AS (
+      SELECT src, dst, 1 FROM strong
+      UNION ALL
+      SELECT r.src, e.dst, r.hop + 1
+      FROM reach r JOIN strong e ON r.dst = e.src
+      WHERE r.hop < {_REACH_HOPS} AND e.dst <> r.src),
+    minhop AS (
+      SELECT src, dst, CAST(min(hop) AS BIGINT) AS h
+      FROM reach GROUP BY src, dst)
+    SELECT src,
+           CAST(count_if(h <= 1) AS BIGINT) AS n_reach_h1,
+           CAST(count_if(h <= 2) AS BIGINT) AS n_reach_h2,
+           CAST(count(*) AS BIGINT) AS n_reach_h3,
+           CAST(sum(h) AS BIGINT) AS sum_min_hops
+    FROM minhop GROUP BY src ORDER BY src
+    """
+
+
+@register(
+    "graph_reachability_recursive",
+    extra=True,
+    sql=_reach_sql("lineitem", "orders", "customer", "supplier"),
+)
+def graph_reachability_recursive(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("__reach_lineitem")
+    t.orders.createOrReplaceTempView("__reach_orders")
+    t.customer.createOrReplaceTempView("__reach_customer")
+    t.supplier.createOrReplaceTempView("__reach_supplier")
+    return spark.sql(
+        _reach_sql(
+            "__reach_lineitem", "__reach_orders", "__reach_customer", "__reach_supplier"
+        )
+    )

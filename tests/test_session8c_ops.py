@@ -124,3 +124,74 @@ def test_freshness_lag_matches_metadata(spark):
         assert r["n_rows"] == n
         assert r["max_date"] == mx
         assert r["lag_days"] == (asof - mx).days
+
+
+def test_reachability_matches_serial_bfs(spark):
+    """The recursive-CTE closure must equal a serial BFS over the same top-5
+    out-edge graph (min-hop semantics, 3-hop bound)."""
+    from etl_for_dumdums_spark.catalog.graph import (
+        _REACH_HOPS,
+        _REACH_TOPK,
+        graph_reachability_recursive,
+    )
+
+    edges_w = duckdb.sql(
+        f"""SELECT s.s_nationkey, c.c_nationkey, count(*)
+            FROM '{SF_SMOKE}/lineitem.parquet' l
+            JOIN '{SF_SMOKE}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+            JOIN '{SF_SMOKE}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            JOIN '{SF_SMOKE}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    out = defaultdict(list)
+    for src, dst, w in edges_w:
+        if src != dst:
+            out[src].append((-w, dst))
+    adj = {s: [d for _, d in sorted(v)[:_REACH_TOPK]] for s, v in out.items()}
+    rows = {r["src"]: r for r in graph_reachability_recursive(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(adj)
+    for src, nbrs in adj.items():
+        # BFS to min-hop, capped at _REACH_HOPS
+        hop = {d: 1 for d in nbrs}
+        frontier = list(nbrs)
+        for h in range(2, _REACH_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v != src and v not in hop:
+                        hop[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        r = rows[src]
+        assert r["n_reach_h1"] == sum(1 for h in hop.values() if h <= 1)
+        assert r["n_reach_h2"] == sum(1 for h in hop.values() if h <= 2)
+        assert r["n_reach_h3"] == len(hop)
+        assert r["sum_min_hops"] == sum(hop.values())
+
+
+def test_rank_distributions_match_serial(spark):
+    from etl_for_dumdums_spark.catalog.advanced import win_rank_distributions
+
+    cust = duckdb.sql(
+        f"""SELECT c_mktsegment, c_acctbal, c_custkey
+            FROM '{SF_SMOKE}/customer.parquet'
+            ORDER BY c_mktsegment, c_acctbal, c_custkey"""
+    ).fetchall()
+    by_seg = defaultdict(list)
+    for seg, bal, key in cust:
+        by_seg[seg].append((bal, key))
+    rows = {r["segment"]: r for r in win_rank_distributions(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_seg)
+    for seg, vals in by_seg.items():
+        n = len(vals)
+        bals = [b for b, _ in vals]
+        med_idx = (n + 1) // 2 - 1  # row_number (n+1) DIV 2, 0-based
+        med_bal = bals[med_idx]
+        rnk = bals.index(med_bal) + 1  # rank = first position of the peer group
+        n_le = len([b for b in bals if b <= med_bal])
+        r = rows[seg]
+        assert r["n_customers"] == n
+        assert r["n_distinct_bal"] == len(set(bals))
+        assert r["max_rank"] == bals.index(max(bals)) + 1
+        assert r["median_pct_rank_ppm"] == (rnk - 1) * 1_000_000 // (n - 1)
+        assert r["median_cume_ppm"] == n_le * 1_000_000 // n
