@@ -66,13 +66,29 @@ def load_table(
     df.write.mode(mode).parquet(path)
 
 
-def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite") -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *partition_cols: str,
+    mode: str = "overwrite",
+    dynamic: bool = False,
+) -> None:
     """Write a table hive-partitioned by derived period columns (the
     reference derives posted_week/sale_month at ingest for exactly this —
     SURVEY §4 'partition-friendly columns'). Readers filtering on the
     partition column get directory-level pruning (PartitionFilters in the
-    scan, zero data read for pruned partitions)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    scan, zero data read for pruned partitions).
+
+    ``dynamic=True`` switches overwrite to DYNAMIC partition overwrite
+    (per-write option, no session mutation): only the partitions present
+    in ``df`` are replaced, everything else is left untouched — the
+    incremental daily-reload pattern (re-land today's partition without
+    rewriting the year). Static overwrite (the default) replaces the
+    whole table."""
+    w = df.write.mode(mode).partitionBy(*partition_cols)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
 
 
 def write_bucketed(

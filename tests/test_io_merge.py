@@ -51,3 +51,32 @@ def test_load_table_dispositions(spark, tmp_store):
         load_table(_df(spark, [(1, "x")]), tmp_store, "WRITE_EMPTY")
     with pytest.raises(ValueError):
         load_table(_df(spark, [(1, "x")]), tmp_store, "NOT_A_MODE")
+
+
+def test_dynamic_partition_overwrite_touches_only_landed_partitions(spark, tmp_path):
+    """dynamic=True replaces ONLY the partitions present in the incoming
+    frame; static overwrite would drop every other partition."""
+    from pyspark.sql import functions as F
+
+    from etl_for_dumdums_spark.io import write_partitioned
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [(d, i, v) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i, v in ((1, 10), (2, 20))],
+        "day string, id int, v int",
+    )
+    write_partitioned(base, path, "day")
+    assert spark.read.parquet(path).count() == 6
+
+    # re-land ONLY day 2 with corrected values
+    fix = spark.createDataFrame([("2024-01-02", 9, 99)], "day string, id int, v int")
+    write_partitioned(fix, path, "day", dynamic=True)
+    got = spark.read.parquet(path)
+    assert got.count() == 5  # 2+1+2 — days 1 and 3 untouched
+    assert got.where(F.col("day") == "2024-01-02").collect()[0]["v"] == 99
+    assert got.where(F.col("day") == "2024-01-01").count() == 2
+
+    # contrast: static overwrite replaces the whole table
+    write_partitioned(fix, path, "day")
+    assert spark.read.parquet(path).count() == 1
