@@ -632,3 +632,201 @@ def events_abtest_srm(spark, sf_dir):
         srm.cast("long").alias("srm_stat_millionths"),
         (srm < _SRM_CRIT_MILLIONTHS).alias("srm_pass"),
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern mining over per-user event-type strings — the
+# MATCH_RECOGNIZE stand-in: each user's first _SEQ_CAP events (ordered by
+# ts, event_id — a total order) joined into a '>'-separated string, then
+# adjacency patterns counted with non-overlapping regexp semantics and
+# subsequence patterns tested as existence flags. Event-type names share no
+# prefixes and contain no '>', so token-boundary ambiguity cannot occur;
+# patterns are kept regex-trivial (literals + '.*') where RE2 (DuckDB) and
+# Java regex (Spark) provably agree.
+#
+# Scale design (100 TB): one user_id shuffle into a collect_list capped at
+# _SEQ_CAP via slice() — bounded state per user no matter how active the
+# user (the cap is the semantic, stated, not a silent truncation: both
+# engines slice identically). The pattern scans are map-side over one
+# string per user; the final aggregate is one row.
+# ---------------------------------------------------------------------------
+_SEQ_CAP = 200
+_SEQ_ADJ = [
+    ("adj_click_purchase", "click>purchase"),
+    ("adj_error_error", "error>error"),
+]
+_SEQ_SUB = [
+    ("subseq_signup_purchase", "signup.*purchase"),
+    ("subseq_view_click_purchase", "view.*click.*purchase"),
+]
+
+
+@register(
+    "events_sequence_pattern",
+    extra=True,
+    sql=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             array_to_string(list_slice(list(event_type ORDER BY ts, event_id),
+                                        1, {_SEQ_CAP}), '>') AS seq
+      FROM events GROUP BY user_id),
+    per AS (
+      SELECT CAST(len(regexp_extract_all(seq, '{_SEQ_ADJ[0][1]}')) AS BIGINT) AS c1,
+             CAST(len(regexp_extract_all(seq, '{_SEQ_ADJ[1][1]}')) AS BIGINT) AS c2,
+             CASE WHEN regexp_matches(seq, '{_SEQ_SUB[0][1]}') THEN 1 ELSE 0 END AS f3,
+             CASE WHEN regexp_matches(seq, '{_SEQ_SUB[1][1]}') THEN 1 ELSE 0 END AS f4
+      FROM seqs),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count_if(c1 > 0) AS BIGINT) AS u1, CAST(sum(c1) AS BIGINT) AS o1,
+             CAST(count_if(c2 > 0) AS BIGINT) AS u2, CAST(sum(c2) AS BIGINT) AS o2,
+             CAST(sum(f3) AS BIGINT) AS u3, CAST(sum(f4) AS BIGINT) AS u4
+      FROM per)
+    SELECT '{_SEQ_ADJ[0][0]}' AS pattern, u1 AS n_users_matched,
+           CAST(u1 * 1000000 // n_users AS BIGINT) AS share_ppm,
+           o1 AS n_occurrences FROM agg
+    UNION ALL SELECT '{_SEQ_ADJ[1][0]}', u2,
+           CAST(u2 * 1000000 // n_users AS BIGINT), o2 FROM agg
+    UNION ALL SELECT '{_SEQ_SUB[0][0]}', u3,
+           CAST(u3 * 1000000 // n_users AS BIGINT), CAST(NULL AS BIGINT) FROM agg
+    UNION ALL SELECT '{_SEQ_SUB[1][0]}', u4,
+           CAST(u4 * 1000000 // n_users AS BIGINT), CAST(NULL AS BIGINT) FROM agg
+    ORDER BY pattern
+    """,
+)
+def events_sequence_pattern(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    seq = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            1,
+            _SEQ_CAP,
+        ),
+        ">",
+    )
+    seqs = t.events.groupBy("user_id").agg(seq.alias("seq"))
+    per = seqs.select(
+        F.regexp_count("seq", F.lit(_SEQ_ADJ[0][1])).cast("long").alias("c1"),
+        F.regexp_count("seq", F.lit(_SEQ_ADJ[1][1])).cast("long").alias("c2"),
+        F.when(F.col("seq").rlike(_SEQ_SUB[0][1]), 1).otherwise(0).alias("f3"),
+        F.when(F.col("seq").rlike(_SEQ_SUB[1][1]), 1).otherwise(0).alias("f4"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count_if(F.col("c1") > 0).cast("long").alias("u1"),
+        F.sum("c1").cast("long").alias("o1"),
+        F.count_if(F.col("c2") > 0).cast("long").alias("u2"),
+        F.sum("c2").cast("long").alias("o2"),
+        F.sum("f3").cast("long").alias("u3"),
+        F.sum("f4").cast("long").alias("u4"),
+    )
+    share = lambda u: F.expr(f"CAST({u} * 1000000 div n_users AS BIGINT)")  # noqa: E731
+    rows = [
+        agg.select(
+            F.lit(_SEQ_ADJ[0][0]).alias("pattern"),
+            F.col("u1").alias("n_users_matched"),
+            share("u1").alias("share_ppm"),
+            F.col("o1").alias("n_occurrences"),
+        ),
+        agg.select(
+            F.lit(_SEQ_ADJ[1][0]).alias("pattern"),
+            F.col("u2").alias("n_users_matched"),
+            share("u2").alias("share_ppm"),
+            F.col("o2").alias("n_occurrences"),
+        ),
+        agg.select(
+            F.lit(_SEQ_SUB[0][0]).alias("pattern"),
+            F.col("u3").alias("n_users_matched"),
+            share("u3").alias("share_ppm"),
+            F.lit(None).cast("long").alias("n_occurrences"),
+        ),
+        agg.select(
+            F.lit(_SEQ_SUB[1][0]).alias("pattern"),
+            F.col("u4").alias("n_users_matched"),
+            share("u4").alias("share_ppm"),
+            F.lit(None).cast("long").alias("n_occurrences"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("pattern")
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: Spark's built-in session_window() operator (the
+# merge-while-within-gap semantic: a session extends while the next event is
+# strictly less than the gap after the previous; diff >= gap breaks). The
+# oracle states the identical rule as lag/epoch-micro islanding. This is the
+# NATIVE-operator twin of win_sessionize (which demonstrates the manual
+# window-arithmetic construction with a '>' gap rule); the streaming side of
+# session_window is exercised in tests/test_streaming.py with a watermark.
+#
+# Scale design (100 TB): session_window is one user_id shuffle with
+# sort-merge session assembly inside each task (no per-user state beyond the
+# open session); the per-session frame aggregates away before the single-row
+# summary. All durations are exact epoch-micro integers divided once.
+# ---------------------------------------------------------------------------
+_SESS_GAP_MIN = 30
+_SESS_GAP_US = _SESS_GAP_MIN * 60 * 1_000_000
+
+
+@register(
+    "events_session_native",
+    extra=True,
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM ordered),
+    sess AS (
+      SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    per AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(us) - min(us) AS BIGINT) AS dur_us
+      FROM sess GROUP BY user_id, sid)
+    SELECT CAST(count(*) AS BIGINT)                 AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+           CAST(count_if(n = 1) AS BIGINT)          AS n_single_event,
+           CAST(max(n) AS BIGINT)                   AS max_events,
+           round(sum(n) * 1.0 / count(*), {DP})     AS avg_events,
+           round(sum(dur_us) / (count(*) * 1000000.0), {DP}) AS avg_duration_sec,
+           round(max(dur_us) / 1000000.0, {DP})     AS max_duration_sec
+    FROM per
+    """,
+)
+def events_session_native(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    per = (
+        ev.groupBy("user_id", F.session_window("ts", f"{_SESS_GAP_MIN} minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("dur_us"),
+        )
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count_if(F.col("n") == 1).cast("long").alias("n_single_event"),
+        F.max("n").cast("long").alias("max_events"),
+        F.round(F.sum("n") * 1.0 / F.count("*"), DP).alias("avg_events"),
+        F.round(F.sum("dur_us") / (F.count("*") * 1000000.0), DP).alias(
+            "avg_duration_sec"
+        ),
+        F.round(F.max("dur_us") / 1000000.0, DP).alias("max_duration_sec"),
+    )

@@ -229,3 +229,104 @@ def graph_reachability_recursive(spark, sf_dir):
             "__reach_lineitem", "__reach_orders", "__reach_customer", "__reach_supplier"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + global clustering coefficient of the undirected nation
+# trade graph (same edge derivation as graph_pagerank_nations: supplier
+# nation -> customer nation from lineitem/orders). Triangles are counted
+# once each by the canonical a < b < c orientation — the standard
+# distributed triangle-counting shape (order edges, two joins). The
+# clustering coefficient 3*triangles / open_triads stays in integer ppm.
+#
+# Scale design (100 TB): the raw data collapses to the <= |nations|^2 edge
+# frame FIRST (one hash aggregate over the 4-table join); the triangle joins
+# touch only that tiny frame (broadcast). On a billion-node graph the same
+# plan holds with the edge frame shuffled on its join keys instead of
+# broadcast — the a<b<c orientation already halves the join fan-out and
+# avoids double counting without a distinct.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_triangle_count",
+    extra=True,
+    sql=f"""
+    WITH edges AS ({_edges_sql()}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      GROUP BY node),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_open_triads
+      FROM deg),
+    ecount AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+    SELECT stats.n_nodes, ecount.n_edges, tri.n_triangles, stats.n_open_triads,
+           CAST(CASE WHEN stats.n_open_triads = 0 THEN 0
+                ELSE 3 * tri.n_triangles * 1000000 // stats.n_open_triads END
+             AS BIGINT) AS clustering_ppm
+    FROM stats CROSS JOIN ecount CROSS JOIN tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_open_triads"),
+    )
+    ecount = und.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_open_triads",
+            F.expr(
+                "CAST(CASE WHEN n_open_triads = 0 THEN 0"
+                " ELSE 3 * n_triangles * 1000000 div n_open_triads END AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+    )

@@ -517,3 +517,211 @@ def stats_benford_digits(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution tests with EXACT integer machinery: Kolmogorov-
+# Smirnov D and Mann-Whitney U between '1-URGENT' and '5-LOW' order totals
+# (beyond-reference — the reference's scipy page stops at ANOVA/t-test; these
+# are the nonparametric siblings a data-quality pipeline reaches for when
+# normality fails).
+#
+# Exactness: prices quantized to integer cents; the empirical-CDF gap is kept
+# as the integer cross-product |cum1*n2 - cum2*n1| (never a float CDF), the
+# rank-sum uses doubled midranks (2*midrank = 2*below + tie + 1 is always an
+# integer), and the tie-correction term sum(t^3 - t) is integer. Only the
+# final MWU z divides/sqrt-s identical integer operands (one IEEE tree both
+# engines). Integer bounds: |D_num| <= n1*n2 and ks_ppm multiplies by 1e6, so
+# int64 holds to ~3e6 rows per sample (2.25e18 at the 100x dataset) —
+# documented, not silent.
+#
+# Scale design (100 TB): one scan -> distinct-cents hash aggregate; the
+# cumulative counts use operators/ranked.py's range-partition prefix-sum
+# trick (NO single-task global sort window — the oracle's serial window is
+# the semantic statement only). Final stats are two tiny aggregates over the
+# cached distinct-value frame.
+# ---------------------------------------------------------------------------
+_KS_P1, _KS_P2 = "1-URGENT", "5-LOW"
+
+
+@register(
+    "stats_ks_mannwhitney",
+    extra=True,
+    sql=f"""
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '{_KS_P1}' THEN 1 ELSE 0 END AS f1
+      FROM orders WHERE o_orderpriority IN ('{_KS_P1}', '{_KS_P2}')),
+    v AS (SELECT cents, CAST(sum(f1) AS BIGINT) AS c1,
+                 CAST(count(*) - sum(f1) AS BIGINT) AS c2
+          FROM s GROUP BY cents),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+    cum AS (SELECT cents, c1, c2, c1 + c2 AS cnt,
+                   CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+                   CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2,
+                   CAST(sum(c1 + c2) OVER (ORDER BY cents) AS BIGINT) AS cumn
+            FROM v),
+    d AS (SELECT cents, abs(cum1 * tot.n2 - cum2 * tot.n1) AS dnum
+          FROM cum CROSS JOIN tot),
+    ks AS (SELECT CAST(max(dnum) AS BIGINT) AS m FROM d),
+    at AS (SELECT CAST(min(cents) AS BIGINT) AS atc FROM d
+           WHERE dnum = (SELECT m FROM ks)),
+    mwu AS (SELECT CAST(sum(c1 * (2 * (cumn - cnt) + cnt + 1)) AS BIGINT) AS r1x2,
+                   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+            FROM cum)
+    SELECT tot.n1 AS n1, tot.n2 AS n2,
+           ks.m AS ks_d_num,
+           CAST(ks.m * 1000000 // (tot.n1 * tot.n2) AS BIGINT) AS ks_ppm,
+           round(at.atc / 100.0, 2) AS ks_at_price,
+           mwu.r1x2 AS r1_x2,
+           CAST(mwu.r1x2 - tot.n1 * (tot.n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * tot.n1 * tot.n2 - (mwu.r1x2 - tot.n1 * (tot.n1 + 1)) AS BIGINT)
+             AS u2_x2,
+           mwu.tie_cubes AS tie_cubes,
+           round(((mwu.r1x2 - tot.n1 * (tot.n1 + 1)) - tot.n1 * tot.n2)
+                 / (2 * sqrt((tot.n1 * tot.n2 / 12.0)
+                     * ((tot.n1 + tot.n2 + 1)
+                        - mwu.tie_cubes
+                          / ((tot.n1 + tot.n2) * (tot.n1 + tot.n2 - 1.0))))), {DP})
+             AS z_mwu
+    FROM tot CROSS JOIN ks CROSS JOIN at CROSS JOIN mwu
+    """,
+)
+def stats_ks_mannwhitney(spark, sf_dir):
+    from ..operators.ranked import ranged_prefix
+
+    t = Tables(spark, sf_dir)
+    s = t.orders.filter(F.col("o_orderpriority").isin(_KS_P1, _KS_P2)).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == _KS_P1, 1).otherwise(0).alias("f1"),
+    )
+    v = (
+        s.groupBy("cents")
+        .agg(
+            F.sum("f1").cast("long").alias("c1"),
+            (F.count("*") - F.sum("f1")).cast("long").alias("c2"),
+        )
+        .withColumn("cnt", (F.col("c1") + F.col("c2")).cast("long"))
+    )
+    pref, totals = ranged_prefix(spark, v, ["cents"], ["c1", "c2", "cnt"])
+    n1, n2 = totals["c1"], totals["c2"]
+    stats1 = pref.agg(
+        F.max(F.abs(F.col("cum_c1") * F.lit(n2) - F.col("cum_c2") * F.lit(n1)))
+        .cast("long")
+        .alias("m"),
+        F.sum(
+            F.col("c1") * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    at = (
+        pref.crossJoin(F.broadcast(stats1.select("m")))
+        .filter(
+            F.abs(F.col("cum_c1") * F.lit(n2) - F.col("cum_c2") * F.lit(n1))
+            == F.col("m")
+        )
+        .agg(F.min("cents").cast("long").alias("atc"))
+    )
+    z_expr = (
+        f"round(((r1x2 - {n1} * ({n1} + 1)) - {n1} * {n2})"
+        f" / (2 * sqrt(({n1} * {n2} / 12.0)"
+        f" * (({n1} + {n2} + 1)"
+        f" - tie_cubes / (({n1} + {n2}) * ({n1} + {n2} - 1.0))))), {DP})"
+    )
+    return stats1.crossJoin(F.broadcast(at)).select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.col("m").alias("ks_d_num"),
+        F.expr(f"CAST(m * 1000000 div ({n1} * {n2}) AS BIGINT)").alias("ks_ppm"),
+        F.round(F.col("atc") / 100.0, 2).alias("ks_at_price"),
+        F.col("r1x2").alias("r1_x2"),
+        F.expr(f"CAST(r1x2 - {n1} * ({n1} + 1) AS BIGINT)").alias("u1_x2"),
+        F.expr(
+            f"CAST(2 * {n1} * {n2} - (r1x2 - {n1} * ({n1} + 1)) AS BIGINT)"
+        ).alias("u2_x2"),
+        "tie_cubes",
+        F.expr(z_expr).alias("z_mwu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue (beyond-reference — the inequality
+# audit a mixing pipeline runs on source/domain contribution before capping).
+# Gini = sum((2r - n - 1) * x_r) / (n * sum(x)) over revenue ranked ascending
+# with (cents, custkey) as the deterministic total order. The rank-weighted
+# numerator is summed in DECIMAL(38,0)/HUGEINT (rank * cents overflows int64
+# at ~100x); the three final ratios divide identical exact integers, rounded
+# once. Top-decile/percentile shares use the same global rank.
+#
+# Scale design (100 TB): per-customer revenue is one hash aggregate; the
+# global rank comes from operators/ranked.py (range partition + offsets — no
+# single-task sort); everything after is one aggregate over the ranked frame.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_gini_concentration",
+    extra=True,
+    sql=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+            FROM rev),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS r
+      FROM rev),
+    g AS (SELECT sum(CAST(2 * r - tot.n - 1 AS HUGEINT) * cents) AS gnum
+          FROM ranked CROSS JOIN tot),
+    shares AS (
+      SELECT CAST(sum(CASE WHEN r > tot.n - tot.n // 10 THEN cents ELSE 0 END)
+               AS BIGINT) AS s10,
+             CAST(sum(CASE WHEN r > tot.n - tot.n // 100 THEN cents ELSE 0 END)
+               AS BIGINT) AS s1
+      FROM ranked CROSS JOIN tot)
+    SELECT tot.n AS n_customers, tot.t AS total_cents,
+           round(CAST(g.gnum AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * CAST(tot.t AS DOUBLE)), {DP}) AS gini,
+           round(shares.s10 / (1.0 * tot.t), {DP}) AS top10_share,
+           round(shares.s1 / (1.0 * tot.t), {DP}) AS top1_share
+    FROM tot CROSS JOIN g CROSS JOIN shares
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    from ..operators.ranked import ranged_prefix
+
+    t = Tables(spark, sf_dir)
+    rev = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    pref, totals = ranged_prefix(spark, rev, ["cents", "o_custkey"], ["cents"])
+    n, tt = totals["_n"], totals["cents"]
+    thr10, thr1 = n - n // 10, n - n // 100
+    out = pref.agg(
+        F.sum(
+            F.expr(f"CAST(2 * _r - {n} - 1 AS DECIMAL(38,0)) * cents")
+        ).alias("gnum"),
+        F.sum(F.when(F.col("_r") > thr10, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s10"),
+        F.sum(F.when(F.col("_r") > thr1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    return out.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.lit(tt).cast("long").alias("total_cents"),
+        F.round(
+            F.col("gnum").cast("double")
+            / (F.lit(n).cast("double") * F.lit(tt).cast("double")),
+            DP,
+        ).alias("gini"),
+        F.round(F.col("s10") / (1.0 * F.lit(tt)), DP).alias("top10_share"),
+        F.round(F.col("s1") / (1.0 * F.lit(tt)), DP).alias("top1_share"),
+    )

@@ -544,3 +544,103 @@ def ts_ewma_truncated(spark, sf_dir):
             R(dot * 1.0 / sum(_EWMA_W) / 100.0),
         ).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over daily revenue (beyond-reference — the
+# drift monitor a pipeline puts on ingest volume / quality metrics). S_k =
+# sum_{i<=k} (x_i - mean) has its extremum at the most likely single change
+# point; everything here stays in exact integers by cross-multiplying the
+# mean away: n*S_k = n*cum_k - k*T where cum_k is the running daily-cents
+# total, k the day rank, T the grand total. Overflow bound: n*cum <= n*T
+# (~5e17 at the 100x dataset, int64-safe; documented).
+#
+# Scale design (100 TB): orders collapse to ONE row per day first (hash
+# aggregate with map-side partials), so the running window is over the
+# calendar-bounded daily frame — the documented single-partition-window
+# class whose size is data-volume-independent (docs/PLANS.md). Argmax is a
+# two-pass max + min-date filter, both tiny.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_changepoint_cusum",
+    extra=True,
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+            FROM daily),
+    cum AS (SELECT day,
+                   CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cumc,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+            FROM daily),
+    s AS (SELECT day, CAST(tot.n * cumc - k * tot.t AS BIGINT) AS ns
+          FROM cum CROSS JOIN tot),
+    mx AS (SELECT CAST(max(abs(ns)) AS BIGINT) AS m FROM s),
+    at AS (SELECT min(day) AS cp_day FROM s WHERE abs(ns) = (SELECT m FROM mx)),
+    side AS (SELECT CASE WHEN min(ns) = -(SELECT m FROM mx) THEN 'below_mean'
+                         ELSE 'above_mean' END AS regime
+             FROM s WHERE day = (SELECT cp_day FROM at))
+    SELECT tot.n AS n_days, tot.t AS total_cents,
+           mx.m AS max_abs_ns,
+           round(mx.m / (CAST(tot.n AS DOUBLE) * CAST(tot.t AS DOUBLE)), {DP})
+             AS cusum_ratio,
+           at.cp_day AS changepoint_day,
+           side.regime AS regime
+    FROM tot CROSS JOIN mx CROSS JOIN at CROSS JOIN side
+    """,
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").cast("long").alias("t")
+    )
+    w = W.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long").alias("cumc"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    s = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "t",
+        (F.col("n") * F.col("cumc") - F.col("k") * F.col("t")).cast("long").alias("ns"),
+    )
+    mx = s.agg(F.max(F.abs("ns")).cast("long").alias("m"))
+    at = (
+        s.crossJoin(F.broadcast(mx))
+        .filter(F.abs("ns") == F.col("m"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    side = (
+        s.join(F.broadcast(at), F.col("day") == F.col("cp_day"))
+        .crossJoin(F.broadcast(mx))
+        .agg(
+            F.when(F.min("ns") == -F.max("m"), F.lit("below_mean"))
+            .otherwise(F.lit("above_mean"))
+            .alias("regime")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .crossJoin(F.broadcast(side))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("t").alias("total_cents"),
+            F.col("m").alias("max_abs_ns"),
+            F.round(
+                F.col("m") / (F.col("n").cast("double") * F.col("t").cast("double")),
+                DP,
+            ).alias("cusum_ratio"),
+            F.col("cp_day").alias("changepoint_day"),
+            "regime",
+        )
+    )

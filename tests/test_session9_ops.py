@@ -1,0 +1,253 @@
+"""Tests for the session-9 wave: exact KS/Mann-Whitney, Gini concentration,
+and CUSUM changepoint — each pinned against an independent serial-Python
+reimplementation of the textbook definition (the DuckDB oracle is checked
+separately by check_oracle; these guard against both engines agreeing on the
+wrong formula)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from tests.conftest import SF_SMOKE
+
+
+def _orders():
+    return duckdb.sql(
+        f"SELECT o_custkey, o_orderpriority, o_totalprice, CAST(o_orderdate AS DATE) "
+        f"FROM '{SF_SMOKE}/orders.parquet' ORDER BY o_orderkey"
+    ).fetchall()
+
+
+def test_ks_mannwhitney_matches_serial(spark):
+    from etl_for_dumdums_spark.catalog.stats import stats_ks_mannwhitney
+
+    s1, s2 = [], []
+    for _, prio, price, _ in _orders():
+        cents = round(price * 100)
+        if prio == "1-URGENT":
+            s1.append(cents)
+        elif prio == "5-LOW":
+            s2.append(cents)
+    n1, n2 = len(s1), len(s2)
+    values = sorted(set(s1) | set(s2))
+    # serial empirical CDFs on the pooled value grid
+    c1 = c2 = 0
+    best_d, best_at = -1, None
+    from collections import Counter
+
+    cnt1, cnt2 = Counter(s1), Counter(s2)
+    r1x2 = 0
+    tie_cubes = 0
+    below = 0
+    for v in values:
+        c1 += cnt1[v]
+        c2 += cnt2[v]
+        d = abs(c1 * n2 - c2 * n1)
+        if d > best_d:
+            best_d, best_at = d, v
+        t = cnt1[v] + cnt2[v]
+        r1x2 += cnt1[v] * (2 * below + t + 1)
+        tie_cubes += t**3 - t
+        below += t
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    n = n1 + n2
+    z = ((u1x2 - n1 * n2) / (2 * math.sqrt((n1 * n2 / 12.0) * ((n + 1) - tie_cubes / (n * (n - 1.0))))))
+
+    row = stats_ks_mannwhitney(spark, SF_SMOKE).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["ks_d_num"] == best_d
+    assert row["ks_ppm"] == best_d * 1_000_000 // (n1 * n2)
+    assert row["ks_at_price"] == round(best_at / 100.0, 2)
+    assert row["r1_x2"] == r1x2
+    assert row["u1_x2"] == u1x2
+    assert row["u2_x2"] == 2 * n1 * n2 - u1x2
+    assert row["tie_cubes"] == tie_cubes
+    assert abs(row["z_mwu"] - z) < 1e-3
+
+
+def test_gini_matches_serial(spark):
+    from etl_for_dumdums_spark.catalog.stats import agg_gini_concentration
+
+    rev = {}
+    for ck, _, price, _ in _orders():
+        rev[ck] = rev.get(ck, 0) + round(price * 100)
+    xs = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    t = sum(v for _, v in xs)
+    gnum = sum((2 * (i + 1) - n - 1) * v for i, (_, v) in enumerate(xs))
+    s10 = sum(v for _, v in xs[n - n // 10 :])
+    s1 = sum(v for _, v in xs[n - n // 100 :])
+
+    row = agg_gini_concentration(spark, SF_SMOKE).collect()[0]
+    assert row["n_customers"] == n
+    assert row["total_cents"] == t
+    assert row["gini"] == round(gnum / (float(n) * float(t)), 4)
+    assert row["top10_share"] == round(s10 / (1.0 * t), 4)
+    assert row["top1_share"] == round(s1 / (1.0 * t), 4)
+    # sanity: Gini of a nonuniform positive distribution sits strictly in (0,1)
+    assert 0.0 < row["gini"] < 1.0
+
+
+def test_cusum_matches_serial(spark):
+    from etl_for_dumdums_spark.catalog.timeseries import ts_changepoint_cusum
+
+    daily = {}
+    for _, _, price, day in _orders():
+        daily[day] = daily.get(day, 0) + round(price * 100)
+    days = sorted(daily)
+    n, t = len(days), sum(daily.values())
+    cum = 0
+    best_m, best_day, best_ns = -1, None, None
+    for k, d in enumerate(days, start=1):
+        cum += daily[d]
+        ns = n * cum - k * t
+        if abs(ns) > best_m:
+            best_m, best_day, best_ns = abs(ns), d, ns
+
+    row = ts_changepoint_cusum(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert row["total_cents"] == t
+    assert row["max_abs_ns"] == best_m
+    assert row["cusum_ratio"] == round(best_m / (float(n) * float(t)), 4)
+    assert row["changepoint_day"] == best_day
+    assert row["regime"] == ("below_mean" if best_ns < 0 else "above_mean")
+
+
+def test_ranged_prefix_matches_serial_window(spark):
+    """The shared rank/prefix helper must be bit-identical to the serial rule
+    for an adversarial partition count (more partitions than rows included)."""
+    from etl_for_dumdums_spark.operators.ranked import ranged_prefix
+
+    rows = [(i % 7, i, (i * 37) % 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, i long, x long")
+    out, totals = ranged_prefix(spark, df, ["k", "i"], ["x"], nparts=16)
+    got = {(r["k"], r["i"]): (r["_r"], r["cum_x"]) for r in out.collect()}
+    srt = sorted(rows, key=lambda r: (r[0], r[1]))
+    cum = 0
+    for rank, (k, i, x) in enumerate(srt, start=1):
+        cum += x
+        assert got[(k, i)] == (rank, cum)
+    assert totals["_n"] == 50 and totals["x"] == sum(r[2] for r in rows)
+
+
+def test_sequence_pattern_matches_serial(spark):
+    import re
+
+    from etl_for_dumdums_spark.catalog.behavior import (
+        _SEQ_ADJ,
+        _SEQ_CAP,
+        _SEQ_SUB,
+        events_sequence_pattern,
+    )
+
+    evs = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF_SMOKE}/events.parquet' "
+        f"ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seqs = {}
+    for uid, _, _, et in evs:
+        seqs.setdefault(uid, []).append(et)
+    strs = {u: ">".join(v[:_SEQ_CAP]) for u, v in seqs.items()}
+    n_users = len(strs)
+    expected = {}
+    for name, pat in _SEQ_ADJ:
+        occ = sum(len(re.findall(pat, s)) for s in strs.values())
+        users = sum(1 for s in strs.values() if re.search(pat, s))
+        expected[name] = (users, users * 1_000_000 // n_users, occ)
+    for name, pat in _SEQ_SUB:
+        users = sum(1 for s in strs.values() if re.search(pat, s))
+        expected[name] = (users, users * 1_000_000 // n_users, None)
+
+    rows = {r["pattern"]: r for r in events_sequence_pattern(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(expected)
+    for name, (users, ppm, occ) in expected.items():
+        r = rows[name]
+        assert (r["n_users_matched"], r["share_ppm"], r["n_occurrences"]) == (
+            users,
+            ppm,
+            occ,
+        ), name
+    # non-vacuous: at least one adjacency pattern must actually occur
+    assert any(v[2] for v in expected.values() if v[2] is not None)
+
+
+def test_session_native_matches_serial_gap_rule(spark):
+    from etl_for_dumdums_spark.catalog.behavior import (
+        _SESS_GAP_US,
+        events_session_native,
+    )
+
+    evs = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) FROM '{SF_SMOKE}/events.parquet' "
+        f"ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per_user = {}
+    for uid, us in evs:
+        per_user.setdefault(uid, []).append(us)
+    sessions = []  # (n_events, dur_us)
+    for uid, uss in per_user.items():
+        cur = [uss[0]]
+        for us in uss[1:]:
+            if us - cur[-1] >= _SESS_GAP_US:
+                sessions.append((len(cur), cur[-1] - cur[0]))
+                cur = [us]
+            else:
+                cur.append(us)
+        sessions.append((len(cur), cur[-1] - cur[0]))
+    n_sess = len(sessions)
+    row = events_session_native(spark, SF_SMOKE).collect()[0]
+    assert row["n_sessions"] == n_sess
+    assert row["n_users"] == len(per_user)
+    assert row["n_single_event"] == sum(1 for n, _ in sessions if n == 1)
+    assert row["max_events"] == max(n for n, _ in sessions)
+    assert row["avg_events"] == round(sum(n for n, _ in sessions) * 1.0 / n_sess, 4)
+    assert row["avg_duration_sec"] == round(
+        sum(d for _, d in sessions) / (n_sess * 1000000.0), 4
+    )
+    assert row["max_duration_sec"] == round(
+        max(d for _, d in sessions) / 1000000.0, 4
+    )
+    # non-vacuous: multi-event sessions must exist
+    assert row["max_events"] > 1
+
+
+def test_triangle_count_matches_serial(spark):
+    from itertools import combinations
+
+    from etl_for_dumdums_spark.catalog.graph import graph_triangle_count
+
+    und = set(
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+        SELECT DISTINCT least(s.s_nationkey, c.c_nationkey),
+                        greatest(s.s_nationkey, c.c_nationkey)
+        FROM '{SF_SMOKE}/lineitem.parquet' l
+        JOIN '{SF_SMOKE}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{SF_SMOKE}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF_SMOKE}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        """
+        ).fetchall()
+    )
+    nodes = sorted({n for e in und for n in e})
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    deg = {n: 0 for n in nodes}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    triads = sum(d * (d - 1) // 2 for d in deg.values())
+
+    row = graph_triangle_count(spark, SF_SMOKE).collect()[0]
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(und)
+    assert row["n_triangles"] == tri
+    assert row["n_open_triads"] == triads
+    assert row["clustering_ppm"] == (3 * tri * 1_000_000 // triads if triads else 0)
+    assert tri > 0  # non-vacuous on the smoke data
