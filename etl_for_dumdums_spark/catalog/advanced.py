@@ -934,3 +934,112 @@ def win_rank_distributions(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_stats — the audio flavor of the multimodal family, with the REAL
+# numpy kernels under the full value oracle. The testdata ships no audio, so
+# each document deterministically synthesizes a raw PCM16 clip (rate 8 kHz,
+# 200 + doc_id % 57 samples, x_i = ((doc_id*31 + i*17) % 4001 - 2000) * 8 —
+# pure integer arithmetic); the Spark side then runs the honest production
+# path: encode_pcm16 → binary Arrow batches → decode_pcm16 + integer clip
+# stats (operators/multimodal.py pcm_stats) → per-language rollup. The
+# oracle restates the same integers in closed form (lateral generate_series
+# + window lead for zero crossings), so the Python kernel's every output
+# value is hash-checked — the strongest claim we can make for a multimodal
+# kernel without codecs in the container.
+#
+# Scale design (100 TB): payloads never leave the executors; stats reduce
+# each clip to 8 integers inside the Arrow batch; the only shuffle is the
+# per-language hash aggregate. floor(sqrt(k)) == isqrt(k) holds exactly for
+# k <= mean-square bound 2.56e8 (double sqrt is correctly rounded and √k is
+# never within an ulp of an integer below 2^52).
+# ---------------------------------------------------------------------------
+_PCM_RATE = 8000
+_PCM_CLIP = 15000
+
+
+@register(
+    "mm_audio_stats",
+    extra=True,
+    sql=f"""
+    WITH docs AS (SELECT doc_id, lang, 200 + doc_id % 57 AS n FROM documents),
+    samples AS (
+      SELECT d.doc_id, d.lang, d.n, t.i,
+             CAST(((d.doc_id * 31 + t.i * 17) % 4001 - 2000) * 8 AS BIGINT) AS x
+      FROM docs d, unnest(generate_series(0, d.n - 1)) AS t(i)),
+    pairs AS (
+      SELECT doc_id, x, lead(x) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+      FROM samples),
+    per AS (
+      SELECT doc_id, any_value(lang) AS lang, any_value(n) AS n,
+             CAST(any_value(n) * 1000 // {_PCM_RATE} AS BIGINT) AS duration_ms,
+             CAST(sum(x * x) AS BIGINT) AS ssq,
+             CAST(max(abs(x)) AS BIGINT) AS peak,
+             CAST(count_if(abs(x) >= {_PCM_CLIP}) AS BIGINT) AS n_clipped
+      FROM samples GROUP BY doc_id),
+    zc AS (
+      SELECT doc_id, CAST(count_if(x * nx < 0) AS BIGINT) AS zero_cross
+      FROM pairs GROUP BY doc_id),
+    perd AS (
+      SELECT per.lang, per.n, per.duration_ms, per.peak, per.n_clipped,
+             CAST(floor(sqrt(CAST(per.ssq // per.n AS DOUBLE))) AS BIGINT) AS rms_int,
+             zc.zero_cross
+      FROM per JOIN zc USING (doc_id))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(n) AS BIGINT) AS total_samples,
+           CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+           CAST(sum(rms_int) // count(*) AS BIGINT) AS avg_rms_int,
+           CAST(sum(zero_cross) AS BIGINT) AS total_zero_cross,
+           CAST(sum(n_clipped) AS BIGINT) AS total_clipped,
+           CAST(max(peak) AS BIGINT) AS max_peak
+    FROM perd GROUP BY lang ORDER BY lang
+    """,
+)
+def mm_audio_stats(spark, sf_dir):
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql import types as T2
+
+    from ..operators.multimodal import encode_pcm16, pcm_stats
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 200 + int(d) % 57
+                i = np.arange(n, dtype=np.int64)
+                x = ((int(d) * 31 + i * 17) % 4001 - 2000) * 8
+                payloads.append(encode_pcm16(x.astype("<i2"), _PCM_RATE))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T2.StructType(
+            [
+                T2.StructField("media_id", T2.LongType(), False),
+                T2.StructField("payload", T2.BinaryType(), True),
+            ]
+        ),
+    )
+    stats = pcm_stats(media, clip_abs=_PCM_CLIP)
+    joined = stats.join(docs, stats["media_id"] == docs["doc_id"])
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("duration_ms").cast("long").alias("total_ms"),
+            F.expr("CAST(sum(rms_int) div count(*) AS BIGINT)").alias("avg_rms_int"),
+            F.sum("zero_cross").cast("long").alias("total_zero_cross"),
+            F.sum("n_clipped").cast("long").alias("total_clipped"),
+            F.max("peak").cast("long").alias("max_peak"),
+        )
+        .orderBy("lang")
+    )

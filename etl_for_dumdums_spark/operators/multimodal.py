@@ -267,3 +267,106 @@ def rgb_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return media.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL kernels for RAW AUDIO payloads — the audio twin of the RGB8 family: a
+# self-describing uncompressed PCM format (b"PCM1" magic + uint32-BE sample
+# rate + uint32-BE sample count + int16-LE samples). Compressed audio
+# (mp3/ogg/…) stays behind the honest NotImplementedError gate; for raw PCM
+# (what a production audio-decode stage emits) encode, decode, clip-level
+# stats, and downsampling below are the real thing, in numpy, over Arrow
+# batches. Every statistic is integer-exact (sum of squares, isqrt RMS,
+# sign-change zero crossings), so the catalog query over these kernels is
+# fully value-checkable by the DuckDB oracle's closed-form restatement.
+# ---------------------------------------------------------------------------
+RAW_PCM_MAGIC = b"PCM1"
+_PCM_HDR = len(RAW_PCM_MAGIC) + 8
+
+
+def encode_pcm16(samples, rate: int) -> bytes:
+    """int16 numpy array + sample rate → self-describing raw PCM payload."""
+    import numpy as np
+
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    return (
+        RAW_PCM_MAGIC
+        + int(rate).to_bytes(4, "big")
+        + int(a.shape[0]).to_bytes(4, "big")
+        + a.tobytes()
+    )
+
+
+def decode_pcm16(payload: bytes):
+    """Raw payload → (rate, int16 numpy array). Real decode — numpy only.
+
+    Raises NotImplementedError for non-raw payloads (codec formats), the
+    same honest gate as decode_image/decode_rgb_raw."""
+    import numpy as np
+
+    if payload is None or payload[: len(RAW_PCM_MAGIC)] != RAW_PCM_MAGIC:
+        raise NotImplementedError("not a raw PCM16 payload — codecs unavailable")
+    rate = int.from_bytes(payload[4:8], "big")
+    n = int.from_bytes(payload[8:12], "big")
+    import numpy as _np
+
+    a = _np.frombuffer(payload, dtype="<i2", count=n, offset=_PCM_HDR)
+    return rate, a
+
+
+def downsample_pcm16(payload: bytes, factor: int) -> bytes:
+    """Every-factor-th-sample decimation (no filter) — deterministic integer
+    index map, rate divided by the factor; the audio analogue of the
+    nearest-neighbor RGB8 resize."""
+    rate, a = decode_pcm16(payload)
+    return encode_pcm16(a[::factor], rate // factor)
+
+
+def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
+    """mapInPandas REAL per-clip stats for raw PCM16 rows: duration (exact
+    integer ms), RMS (isqrt of the mean square — integer), zero crossings
+    (strict sign products < 0), peak amplitude, and samples at/above the
+    clipping threshold. Non-raw payloads pass through with NULLs."""
+    import math
+
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("rms_int", T.LongType(), True),
+            T.StructField("zero_cross", T.LongType(), True),
+            T.StructField("peak", T.LongType(), True),
+            T.StructField("n_clipped", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or bytes(p[:4]) != RAW_PCM_MAGIC:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                rate, a = decode_pcm16(bytes(p))
+                x = a.astype(np.int64)
+                n = int(x.shape[0])
+                ssq = int((x * x).sum())
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        math.isqrt(ssq // n) if n else 0,
+                        int((x[:-1] * x[1:] < 0).sum()) if n > 1 else 0,
+                        int(np.abs(x).max()) if n else 0,
+                        int((np.abs(x) >= clip_abs).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)

@@ -69,3 +69,63 @@ def test_rgb_stats_spark_pipeline(spark):
     assert abs(rows[2]["mean_g"] - g[1]) < 1e-9
     # codec / null rows fall through with NULLs, not errors
     assert rows[3]["dec_width"] is None and rows[4]["brightness"] is None
+
+
+# ---------------------------------------------------------------------------
+# Raw PCM16 audio kernels (the audio twin of the RGB8 family)
+# ---------------------------------------------------------------------------
+def test_pcm16_roundtrip_and_downsample():
+    import numpy as np
+
+    from etl_for_dumdums_spark.operators.multimodal import (
+        decode_pcm16,
+        downsample_pcm16,
+        encode_pcm16,
+    )
+
+    a = np.array([0, 100, -200, 32767, -32768, 15000], dtype=np.int16)
+    payload = encode_pcm16(a, 16000)
+    rate, back = decode_pcm16(payload)
+    assert rate == 16000
+    assert (back == a).all()
+    r2, dec = decode_pcm16(downsample_pcm16(payload, 3))
+    assert r2 == 16000 // 3
+    assert list(dec) == [0, 32767]
+
+
+def test_pcm16_codec_gate():
+    import pytest
+
+    from etl_for_dumdums_spark.operators.multimodal import decode_pcm16
+
+    with pytest.raises(NotImplementedError):
+        decode_pcm16(b"ID3\x04not-actually-raw")
+
+
+def test_pcm_stats_matches_serial(spark):
+    import math
+
+    import numpy as np
+
+    from etl_for_dumdums_spark.operators.multimodal import encode_pcm16, pcm_stats
+
+    rng_clips = {
+        1: np.array([100, -100, 200, -15500, 15000, 0, -1], dtype=np.int16),
+        2: np.array([5, 5, 5], dtype=np.int16),
+    }
+    rows = [(mid, bytearray(encode_pcm16(a, 8000))) for mid, a in rng_clips.items()]
+    rows.append((3, None))  # null payload passes through as NULLs
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in pcm_stats(media, clip_abs=15000).collect()}
+
+    for mid, a in rng_clips.items():
+        x = a.astype(np.int64)
+        r = got[mid]
+        assert r["rate"] == 8000
+        assert r["n_samples"] == len(x)
+        assert r["duration_ms"] == len(x) * 1000 // 8000
+        assert r["rms_int"] == math.isqrt(int((x * x).sum()) // len(x))
+        assert r["zero_cross"] == int((x[:-1] * x[1:] < 0).sum())
+        assert r["peak"] == int(np.abs(x).max())
+        assert r["n_clipped"] == int((np.abs(x) >= 15000).sum())
+    assert got[3]["n_samples"] is None and got[3]["rms_int"] is None
