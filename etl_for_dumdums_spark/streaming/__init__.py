@@ -219,3 +219,40 @@ def merge_stream_sink(
         .option("checkpointLocation", target_path + "_checkpoint")
         .start()
     )
+
+
+def session_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "3 days",
+    query_name: str = "events_sessions",
+) -> StreamingQuery:
+    """Native session windows over a parquet-backed stream — the streaming
+    side of the catalog's ``events_session_native``: sessions extend while
+    the next event arrives within ``gap`` of the previous one; the watermark
+    closes sessions and evicts their state once no on-time event can still
+    merge into them (bounded state on an unbounded stream — without it the
+    open-session map grows with the user population forever).
+    """
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("dur_us"),
+        )
+        .select(
+            "user_id", F.col("win.start").alias("session_start"), "n_events", "dur_us"
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -225,3 +225,40 @@ def test_merge_stream_sink_exactly_once_state(spark, tmp_path):
     stored = spark.read.parquet(target)
     assert stored.count() == src.count()
     assert stored.select("event_id").distinct().count() == src.count()
+
+
+def test_session_event_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window must produce the identical per-session frame
+    as the batch gap rule events_session_native aggregates over."""
+    from etl_for_dumdums_spark.catalog import Tables
+    from etl_for_dumdums_spark.streaming import session_event_stream
+
+    src = Tables(spark, SF_SMOKE).events.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream_dir = str(tmp_path / "events_sessions_src")
+    src.write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    q = session_event_stream(spark, stream_dir, schema, query_name="t_sessions")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], str(r["session_start"]), r["n_events"], r["dur_us"])
+            for r in spark.sql("SELECT * FROM t_sessions").collect()
+        )
+    finally:
+        q.stop()
+
+    batch = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("d"),
+        )
+        .collect()
+    )
+    expected = sorted((r["user_id"], str(r["win"]["start"]), r["n"], r["d"]) for r in batch)
+    assert got == expected
+    assert len(got) > 0
+    assert any(n > 1 for _, _, n, _ in got)  # multi-event sessions exist
