@@ -379,3 +379,84 @@ def events_attribution_linear(spark, sf_dir):
         )
         .orderBy("week_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature assembly (leakage-free): for every purchase event,
+# the user's view count over the PRIOR 7 days — computed with a value-RANGE
+# window ending at 1 microsecond before the event, so nothing at-or-after
+# the label time can leak into the feature (the training-set-assembly rule
+# feature stores enforce). The catalog output is the conversion profile per
+# prior-engagement bucket: how purchase count/value scale with recent views.
+#
+# Scale design (100 TB): one user_id shuffle; the RANGE frame is bounded by
+# the 7-day horizon (state per task = the sliding window, not the user
+# history); the bucket rollup is a 4-key hash aggregate. All value math is
+# exact integer cents with one floor division.
+# ---------------------------------------------------------------------------
+_PIT_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "feat_point_in_time",
+    extra=True,
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    feat AS (
+      SELECT user_id, event_type, cents,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {_PIT_7D_US} PRECEDING AND 1 PRECEDING) AS pv
+      FROM e),
+    p AS (
+      SELECT user_id, cents,
+             CASE WHEN coalesce(pv, 0) >= 3 THEN '3+'
+                  ELSE CAST(coalesce(pv, 0) AS VARCHAR) END AS views_bucket
+      FROM feat WHERE event_type = 'purchase')
+    SELECT views_bucket,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS total_value_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS avg_value_cents
+    FROM p GROUP BY views_bucket ORDER BY views_bucket
+    """,
+)
+def feat_point_in_time(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_PIT_7D_US, -1)
+    )
+    feat = e.select(
+        "user_id",
+        "event_type",
+        "cents",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w).alias("pv"),
+    )
+    p = feat.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "cents",
+        F.when(F.coalesce(F.col("pv"), F.lit(0)) >= 3, F.lit("3+"))
+        .otherwise(F.coalesce(F.col("pv"), F.lit(0)).cast("string"))
+        .alias("views_bucket"),
+    )
+    return (
+        p.groupBy("views_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_value_cents"),
+            F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("avg_value_cents"),
+        )
+        .orderBy("views_bucket")
+    )

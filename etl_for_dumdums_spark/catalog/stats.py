@@ -725,3 +725,68 @@ def agg_gini_concentration(spark, sf_dir):
         F.round(F.col("s10") / (1.0 * F.lit(tt)), DP).alias("top10_share"),
         F.round(F.col("s1") / (1.0 * F.lit(tt)), DP).alias("top1_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact WEIGHTED quantiles: lineitem price quartiles weighted by quantity —
+# "the price at which half the shipped units are cheaper". The lower
+# weighted quantile at q is the smallest value whose cumulative weight
+# reaches q of the total; membership tests stay integer by cross-multiplying
+# (k*cum >= m*W instead of cum/W >= m/k). Weights and values quantize to
+# exact integers; the only float op is the final /100 display rescale.
+#
+# Scale design (100 TB): one scan -> distinct-cents hash aggregate with
+# summed weights, then operators/ranked.py's range-partition prefix sums (no
+# single-task sort window); each quantile is a one-row min() over the cached
+# frame. The counting-selection operator (operators/quantile.py) remains the
+# constant-memory alternative when even the distinct-value frame is huge.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_weighted_median",
+    extra=True,
+    sql=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
+    cum AS (SELECT cents, CAST(sum(w) OVER (ORDER BY cents) AS BIGINT) AS cw FROM v)
+    SELECT tot.tw AS total_weight,
+           round((SELECT min(cents) FROM cum WHERE 4 * cw >= tot.tw) / 100.0, 2)
+             AS p25_weighted,
+           round((SELECT min(cents) FROM cum WHERE 2 * cw >= tot.tw) / 100.0, 2)
+             AS median_weighted,
+           round((SELECT min(cents) FROM cum WHERE 4 * cw >= 3 * tot.tw) / 100.0, 2)
+             AS p75_weighted
+    FROM tot
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    from ..operators.ranked import ranged_prefix
+
+    t = Tables(spark, sf_dir)
+    v = t.lineitem.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    pref, totals = ranged_prefix(spark, v, ["cents"], ["w"])
+    tw = totals["w"]
+
+    def pick(num: int, den: int, alias: str):
+        return (
+            pref.filter(F.col("cum_w") * den >= num * tw)
+            .agg(F.round(F.min("cents") / 100.0, 2).alias(alias))
+        )
+
+    p25 = pick(1, 4, "p25_weighted")
+    p50 = pick(1, 2, "median_weighted")
+    p75 = pick(3, 4, "p75_weighted")
+    return (
+        p25.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p75))
+        .select(
+            F.lit(tw).cast("long").alias("total_weight"),
+            "p25_weighted",
+            "median_weighted",
+            "p75_weighted",
+        )
+    )

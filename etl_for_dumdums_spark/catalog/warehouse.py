@@ -265,3 +265,168 @@ def ops_freshness_lag(spark, sf_dir):
         .unionByName(audit(t.orders, "orders", F.col("o_orderdate")))
         .orderBy("table_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit: for each candidate rule "LHS determines RHS",
+# count determinant groups whose RHS is not single-valued — the profiling
+# step behind normalization decisions, key discovery, and "is this column
+# safe to denormalize" questions. The candidate set deliberately mixes FDs
+# that hold (unique determinants) with ones real data violates, so the
+# report is non-vacuous in both directions.
+#
+# Scale design (100 TB): each FD is one hash aggregate on its LHS with a
+# count(DISTINCT rhs) — map-side partials shrink the shuffle to the group
+# frame; the five tiny result rows union. No joins, no windows.
+# ---------------------------------------------------------------------------
+_FDS = [
+    ("customer_key_to_segment", "customer", "c_custkey", "c_mktsegment"),
+    ("events_user_to_type", "events", "user_id", "event_type"),
+    ("lineitem_order_to_flag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("nation_key_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("orders_cust_to_priority", "orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def _fd_sql(fd_id: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{fd_id}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count_if(nd > 1) AS BIGINT) AS n_violating_groups,
+           CAST(max(nd) AS BIGINT) AS max_distinct_rhs,
+           count_if(nd > 1) = 0 AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM {table} GROUP BY {lhs})
+    """
+
+
+@register(
+    "ops_functional_deps",
+    extra=True,
+    sql=" UNION ALL ".join(_fd_sql(*fd) for fd in _FDS) + " ORDER BY fd",
+)
+def ops_functional_deps(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    outs = []
+    for fd_id, table, lhs, rhs in _FDS:
+        grouped = (
+            getattr(t, table)
+            .groupBy(lhs)
+            .agg(F.count_distinct(rhs).alias("nd"))
+        )
+        outs.append(
+            grouped.agg(
+                F.lit(fd_id).alias("fd"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.count_if(F.col("nd") > 1).cast("long").alias("n_violating_groups"),
+                F.max("nd").cast("long").alias("max_distinct_rhs"),
+                (F.count_if(F.col("nd") > 1) == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations as ONE oracled report — the
+# Great-Expectations/dbt-test shape (checks.py's CheckSuite runs these
+# per-model in pytest; this query surfaces the same rule kinds as a
+# driver-checkable report frame): not-null, key uniqueness, accepted
+# values, numeric range, and referential integrity over orders/customer.
+# The range rule is intentionally tight (total <= $300k) so the report
+# exercises a FAILING rule on real data, not just green rows.
+#
+# Scale design (100 TB): rules 1-4 fold into ONE aggregate over ONE orders
+# scan (uniqueness via count vs count-distinct); the referential rule
+# aggregates fact keys to distinct BEFORE the dim anti-join — the orphan
+# join touches distinct keys, never raw rows (ops_ri_orphans' shape).
+# ---------------------------------------------------------------------------
+_DQ_PRICE_MAX = 300000
+
+
+@register(
+    "ops_dq_report",
+    extra=True,
+    sql=f"""
+    WITH scan AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count_if(o_custkey IS NULL) AS BIGINT) AS v_notnull,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+             CAST(count_if(o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) AS v_vals,
+             CAST(count_if(o_totalprice < 0 OR o_totalprice > {_DQ_PRICE_MAX})
+               AS BIGINT) AS v_range
+      FROM orders),
+    ref AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(count_if(c.c_custkey IS NULL) AS BIGINT) AS v_ref
+      FROM (SELECT DISTINCT o_custkey FROM orders) o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT 'orders.o_custkey not_null' AS rule_id, 'not_null' AS rule_kind,
+           n_rows AS n_checked, v_notnull AS n_violations, v_notnull = 0 AS passed
+    FROM scan
+    UNION ALL SELECT 'orders.o_orderkey unique', 'unique', n_rows, v_unique,
+           v_unique = 0 FROM scan
+    UNION ALL SELECT 'orders.o_orderstatus in (O,F,P)', 'accepted_values', n_rows,
+           v_vals, v_vals = 0 FROM scan
+    UNION ALL SELECT 'orders.o_totalprice in [0, {_DQ_PRICE_MAX}]', 'range', n_rows,
+           v_range, v_range = 0 FROM scan
+    UNION ALL SELECT 'orders.o_custkey -> customer', 'referential', n_keys, v_ref,
+           v_ref = 0 FROM ref
+    ORDER BY rule_id
+    """,
+)
+def ops_dq_report(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    scan = t.orders.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).cast("long").alias("v_notnull"),
+        (F.count("*") - F.count_distinct("o_orderkey")).cast("long").alias("v_unique"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .cast("long")
+        .alias("v_vals"),
+        F.count_if(
+            (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > _DQ_PRICE_MAX)
+        )
+        .cast("long")
+        .alias("v_range"),
+    )
+    keys = t.orders.select("o_custkey").distinct()
+    ref = keys.join(
+        t.customer.select("c_custkey"),
+        keys["o_custkey"] == F.col("c_custkey"),
+        "left",
+    ).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.count_if(F.col("c_custkey").isNull()).cast("long").alias("v_ref"),
+    )
+
+    def rule(src, rid, kind, n_col, v_col):
+        return src.select(
+            F.lit(rid).alias("rule_id"),
+            F.lit(kind).alias("rule_kind"),
+            F.col(n_col).alias("n_checked"),
+            F.col(v_col).alias("n_violations"),
+            (F.col(v_col) == 0).alias("passed"),
+        )
+
+    out = rule(scan, "orders.o_custkey not_null", "not_null", "n_rows", "v_notnull")
+    out = out.unionByName(
+        rule(scan, "orders.o_orderkey unique", "unique", "n_rows", "v_unique")
+    )
+    out = out.unionByName(
+        rule(scan, "orders.o_orderstatus in (O,F,P)", "accepted_values", "n_rows", "v_vals")
+    )
+    out = out.unionByName(
+        rule(
+            scan,
+            f"orders.o_totalprice in [0, {_DQ_PRICE_MAX}]",
+            "range",
+            "n_rows",
+            "v_range",
+        )
+    )
+    out = out.unionByName(
+        rule(ref, "orders.o_custkey -> customer", "referential", "n_keys", "v_ref")
+    )
+    return out.orderBy("rule_id")

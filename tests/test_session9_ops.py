@@ -251,3 +251,108 @@ def test_triangle_count_matches_serial(spark):
     assert row["n_open_triads"] == triads
     assert row["clustering_ppm"] == (3 * tri * 1_000_000 // triads if triads else 0)
     assert tri > 0  # non-vacuous on the smoke data
+
+
+def test_point_in_time_features_leakage_free(spark):
+    """Prior-7d view counts must exclude the label instant and anything
+    after it (strict point-in-time rule), per the serial replay."""
+    from collections import defaultdict
+
+    from etl_for_dumdums_spark.catalog.features import (
+        _PIT_7D_US,
+        feat_point_in_time,
+    )
+
+    evs = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_us(ts), CAST(round(value*100) AS BIGINT) "
+        f"FROM '{SF_SMOKE}/events.parquet' ORDER BY user_id, 3"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for uid, et, us, cents in evs:
+        per_user[uid].append((us, et, cents))
+    buckets = defaultdict(lambda: [0, set(), 0])
+    for uid, rows in per_user.items():
+        views = [us for us, et, _ in rows if et == "view"]
+        for us, et, cents in rows:
+            if et != "purchase":
+                continue
+            pv = sum(1 for v in views if us - _PIT_7D_US <= v <= us - 1)
+            b = "3+" if pv >= 3 else str(pv)
+            buckets[b][0] += 1
+            buckets[b][1].add(uid)
+            buckets[b][2] += cents
+    rows = {r["views_bucket"]: r for r in feat_point_in_time(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(buckets)
+    for b, (n, users, total) in buckets.items():
+        r = rows[b]
+        assert (r["n_purchases"], r["n_users"], r["total_value_cents"]) == (
+            n,
+            len(users),
+            total,
+        )
+        assert r["avg_value_cents"] == total // n
+    assert len(buckets) > 1  # non-vacuous: multiple engagement buckets
+
+
+def test_functional_deps_directions(spark):
+    """The FD audit must report both holding and violated dependencies."""
+    from etl_for_dumdums_spark.catalog.warehouse import ops_functional_deps
+
+    rows = {r["fd"]: r for r in ops_functional_deps(spark, SF_SMOKE).collect()}
+    # unique determinants trivially hold
+    assert rows["customer_key_to_segment"]["holds"] is True
+    assert rows["nation_key_to_region"]["holds"] is True
+    # real event streams violate user->type determinism
+    assert rows["events_user_to_type"]["holds"] is False
+    assert rows["events_user_to_type"]["n_violating_groups"] > 0
+    serial = duckdb.sql(
+        f"SELECT count(*), count_if(nd > 1), max(nd) FROM ("
+        f"SELECT user_id, count(DISTINCT event_type) AS nd "
+        f"FROM '{SF_SMOKE}/events.parquet' GROUP BY user_id)"
+    ).fetchone()
+    r = rows["events_user_to_type"]
+    assert (r["n_groups"], r["n_violating_groups"], r["max_distinct_rhs"]) == serial
+
+
+def test_dq_report_rules(spark):
+    from etl_for_dumdums_spark.catalog.warehouse import _DQ_PRICE_MAX, ops_dq_report
+
+    rows = {r["rule_id"]: r for r in ops_dq_report(spark, SF_SMOKE).collect()}
+    assert len(rows) == 5
+    # clean columns pass
+    assert rows["orders.o_custkey not_null"]["passed"] is True
+    assert rows["orders.o_orderkey unique"]["passed"] is True
+    assert rows["orders.o_custkey -> customer"]["passed"] is True
+    # the tight range rule must FAIL on real data (non-vacuous report)
+    r = rows[f"orders.o_totalprice in [0, {_DQ_PRICE_MAX}]"]
+    expected = duckdb.sql(
+        f"SELECT count_if(o_totalprice > {_DQ_PRICE_MAX}) "
+        f"FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchone()[0]
+    assert r["passed"] is False and r["n_violations"] == expected > 0
+
+
+def test_weighted_median_matches_serial(spark):
+    from etl_for_dumdums_spark.catalog.stats import agg_weighted_median
+
+    li = duckdb.sql(
+        f"SELECT CAST(round(l_extendedprice*100) AS BIGINT), CAST(l_quantity AS BIGINT) "
+        f"FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchall()
+    agg = {}
+    for cents, w in li:
+        agg[cents] = agg.get(cents, 0) + w
+    tw = sum(agg.values())
+
+    def lower_q(num, den):
+        cum = 0
+        for c in sorted(agg):
+            cum += agg[c]
+            if cum * den >= num * tw:
+                return round(c / 100.0, 2)
+
+    row = agg_weighted_median(spark, SF_SMOKE).collect()[0]
+    assert row["total_weight"] == tw
+    assert row["p25_weighted"] == lower_q(1, 4)
+    assert row["median_weighted"] == lower_q(1, 2)
+    assert row["p75_weighted"] == lower_q(3, 4)
