@@ -449,3 +449,65 @@ def agg_corr_matrix(spark, sf_dir):
         )
         .orderBy("measure_x", "measure_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini impurity of categorical columns (beyond-reference — the split-quality
+# / class-balance diagnostic): 1 - sum(p_i^2), kept exact by
+# cross-multiplication — impurity_ppm = (n^2 - sum(c^2)) * 1e6 // n^2 in
+# DECIMAL(38,0)/HUGEINT (n^2 * 1e6 exceeds int64 beyond ~3M rows). This is
+# the log-free twin of Shannon entropy: same ordering, no libm call to
+# diverge cross-engine.
+#
+# Scale design (100 TB): each column is one hash aggregate to its category
+# frame (map-side partials; key domains are tiny) and a single-row fold —
+# four scans total, no joins, no windows.
+# ---------------------------------------------------------------------------
+_GINI_COLS = [
+    ("documents.lang", "documents", "lang"),
+    ("events.event_type", "events", "event_type"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("orders.o_orderstatus", "orders", "o_orderstatus"),
+]
+
+
+def _gini_sql(name: str, table: str, col: str) -> str:
+    return f"""
+    SELECT '{name}' AS column_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(max(c) AS BIGINT) AS modal_n,
+           CAST((CAST(sum(c) AS HUGEINT) * sum(c) - sum(CAST(c AS HUGEINT) * c))
+                * 1000000 // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+             AS gini_impurity_ppm
+    FROM (SELECT count(*) AS c FROM {table} GROUP BY {col})
+    """
+
+
+@register(
+    "agg_gini_impurity",
+    extra=True,
+    sql=" UNION ALL ".join(_gini_sql(*g) for g in _GINI_COLS) + " ORDER BY column_name",
+)
+def agg_gini_impurity(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    outs = []
+    for name, table, col in _GINI_COLS:
+        cats = getattr(t, table).groupBy(col).agg(F.count("*").alias("c"))
+        outs.append(
+            cats.agg(
+                F.lit(name).alias("column_name"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_categories"),
+                F.max("c").cast("long").alias("modal_n"),
+                F.expr(
+                    "CAST((CAST(sum(c) AS DECIMAL(38,0)) * sum(c)"
+                    " - sum(CAST(c AS DECIMAL(38,0)) * c)) * 1000000"
+                    " div (CAST(sum(c) AS DECIMAL(38,0)) * sum(c)) AS BIGINT)"
+                ).alias("gini_impurity_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("column_name")

@@ -734,3 +734,62 @@ def join_star_local_supplier(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): the §2.4 edge
+# semantic a plain equi-join silently changes — NULL keys never match under
+# '=', so rows with missing dimensions vanish from an inner join. Here the
+# fact key is deliberately nulled for 'error' events, the inline lookup maps
+# the NULL key to an explicit 'unmapped-null' label, and the output carries
+# BOTH counts per label: the null-safe join's and what a regular '=' join
+# would have kept — making the difference a checked value, not a footnote.
+#
+# Scale design (100 TB): 5-row broadcast lookup. CAVEAT: a null-safe join
+# hashes all NULL keys to one partition — safe only when NULLs map to ONE
+# lookup row (here) or are pre-split; for null-heavy facts prefer the
+# coalesce-to-sentinel rewrite the regular-count column demonstrates.
+# ---------------------------------------------------------------------------
+@register(
+    "join_null_safe",
+    extra=True,
+    sql="""
+    WITH facts AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+      FROM events),
+    lookup(lk, label) AS (VALUES
+      ('view', 'engagement'), ('click', 'engagement'), ('purchase', 'revenue'),
+      ('signup', 'growth'), (NULL, 'unmapped-null'))
+    SELECT l.label,
+           CAST(count(*) AS BIGINT) AS n_rows_nullsafe,
+           CAST(count_if(f.k IS NOT NULL) AS BIGINT) AS n_rows_regular
+    FROM facts f JOIN lookup l ON f.k IS NOT DISTINCT FROM l.lk
+    GROUP BY l.label ORDER BY l.label
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    facts = t.events.select(
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("k")
+    )
+    lookup = spark.createDataFrame(
+        [
+            ("view", "engagement"),
+            ("click", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            (None, "unmapped-null"),
+        ],
+        "lk string, label string",
+    )
+    return (
+        facts.join(F.broadcast(lookup), facts["k"].eqNullSafe(lookup["lk"]))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_rows_nullsafe"),
+            F.count_if(F.col("k").isNotNull()).cast("long").alias("n_rows_regular"),
+        )
+        .orderBy("label")
+    )

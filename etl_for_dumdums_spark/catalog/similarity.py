@@ -1086,3 +1086,158 @@ def embed_centroid_assign(spark, sf_dir):
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# One EXACT Lloyd iteration of k-means over the integer-quantized embeddings
+# (beyond-reference — the iterative-ML-on-aggregates pattern, same class as
+# graph_pagerank_nations' unrolled power method): init centroids = first K
+# vectors, assign by integer squared-L2 argmin, UPDATE centroids as exact
+# per-dimension truncating-division means (SQL div / DuckDB // both truncate
+# toward zero on negatives — NOT Python floor; integer centroids stay integers — no
+# float drift to diverge engines), reassign against the updated centroids,
+# and report per-cluster movement: init/updated sizes, how many vectors left
+# each cluster, and the centroid's exact L1 shift. The trained float path is
+# operators/ivf.py (MLlib k-means||); this is its oracle-able integer twin.
+#
+# Scale design (100 TB): assignment is a K-row broadcast cross join with a
+# min_by aggregation (map-side partial combine; the argmin key folds the
+# tie-break id into one BIGINT: key = score*K + cid, exact because
+# 0 <= cid < K). The update is posexplode -> (cid, dim) hash aggregate —
+# K*64 result rows regardless of corpus size. Each Lloyd iteration is one
+# pass over the data; the loop never rescans anything else.
+# ---------------------------------------------------------------------------
+_KM_K = 4
+
+
+def _km_dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+@register(
+    "embed_kmeans_lloyd",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv, {_NORM_SQL.format(v="v")} AS cnrm
+      FROM iv WHERE vec_id < {_KM_K}),
+    a0 AS (
+      SELECT iv.vec_id, any_value(iv.v) AS v,
+             CAST(min_by(c.cid,
+                  (c.cnrm - 2 * {_km_dot_sql('iv.v', 'c.cv')}) * {_KM_K} + c.cid)
+               AS BIGINT) AS cid0
+      FROM iv CROSS JOIN c0 c GROUP BY iv.vec_id),
+    comps AS (
+      SELECT a0.cid0 AS cid, t.i, a0.v[t.i] AS x
+      FROM a0, unnest(generate_series(1, len(a0.v))) AS t(i)),
+    c1 AS (
+      SELECT cid, i, CAST(sum(x) // count(*) AS BIGINT) AS cx
+      FROM comps GROUP BY cid, i),
+    c1v AS (
+      SELECT cid, list(cx ORDER BY i) AS cv FROM c1 GROUP BY cid),
+    c1n AS (
+      SELECT cid, cv, {_NORM_SQL.format(v="cv")} AS cnrm FROM c1v),
+    a1 AS (
+      SELECT a0.vec_id, any_value(a0.cid0) AS cid0,
+             CAST(min_by(c.cid,
+                  (c.cnrm - 2 * {_km_dot_sql('a0.v', 'c.cv')}) * {_KM_K} + c.cid)
+               AS BIGINT) AS cid1
+      FROM a0 CROSS JOIN c1n c GROUP BY a0.vec_id),
+    per0 AS (
+      SELECT cid0 AS cid, CAST(count(*) AS BIGINT) AS n_init,
+             CAST(count_if(cid1 <> cid0) AS BIGINT) AS n_moved_away
+      FROM a1 GROUP BY cid0),
+    per1 AS (
+      SELECT cid1 AS cid, CAST(count(*) AS BIGINT) AS n_updated
+      FROM a1 GROUP BY cid1),
+    shift AS (
+      SELECT c0.cid,
+             CAST(list_sum(list_transform(list_zip(c0.cv, c1v.cv),
+                  p -> abs(p[1] - p[2]))) AS BIGINT) AS centroid_l1_shift
+      FROM c0 JOIN c1v USING (cid))
+    SELECT c0.cid AS centroid_id,
+           coalesce(per0.n_init, 0) AS n_init,
+           coalesce(per1.n_updated, 0) AS n_updated,
+           coalesce(per0.n_moved_away, 0) AS n_moved_away,
+           coalesce(shift.centroid_l1_shift, 0) AS centroid_l1_shift
+    FROM c0
+    LEFT JOIN per0 ON per0.cid = c0.cid
+    LEFT JOIN per1 ON per1.cid = c0.cid
+    LEFT JOIN shift ON shift.cid = c0.cid
+    ORDER BY centroid_id
+    """,
+)
+def embed_kmeans_lloyd(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = t.embeddings.select("vec_id", F.expr(_IVEC_SPARK).alias("v"))
+    c0 = iv.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.expr(_NORM_SPARK.format(v="v")).alias("cnrm"),
+    )
+
+    def assign(src, cents, id_keep: str):
+        key = (
+            F.col("cnrm") - 2 * F.expr(_DOT_SPARK.format(a="v", b="cv"))
+        ) * _KM_K + F.col("cid")
+        return (
+            src.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.any_value("v").alias("v"),
+                *([F.any_value(id_keep).alias(id_keep)] if id_keep else []),
+                F.min_by("cid", key).cast("long").alias("_assigned"),
+            )
+        )
+
+    # a0 feeds the update, the reassignment, and the reports; a1 feeds two
+    # rollups — cache both or the K-way assignment cross join reruns per use
+    a0 = assign(iv, c0, "").withColumnRenamed("_assigned", "cid0").cache()
+    comps = a0.select(
+        F.col("cid0").alias("cid"), F.posexplode("v").alias("pos", "x")
+    ).select("cid", (F.col("pos") + 1).alias("i"), "x")
+    c1 = comps.groupBy("cid", "i").agg(
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("cx")
+    )
+    c1v = c1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cx"))), lambda s: s["cx"]
+        ).alias("cv")
+    )
+    c1n = c1v.select("cid", "cv", F.expr(_NORM_SPARK.format(v="cv")).alias("cnrm"))
+    a1 = assign(a0, c1n, "cid0").withColumnRenamed("_assigned", "cid1").cache()
+    per0 = a1.groupBy(F.col("cid0").alias("cid")).agg(
+        F.count("*").cast("long").alias("n_init"),
+        F.count_if(F.col("cid1") != F.col("cid0")).cast("long").alias("n_moved_away"),
+    )
+    per1 = a1.groupBy(F.col("cid1").alias("cid")).agg(
+        F.count("*").cast("long").alias("n_updated")
+    )
+    shift = (
+        c0.join(c1v.withColumnRenamed("cv", "cv1"), "cid")
+        .select(
+            "cid",
+            F.expr(
+                "CAST(aggregate(zip_with(cv, cv1, (x, y) -> abs(x - y)),"
+                " CAST(0 AS BIGINT), (a, e) -> a + e) AS BIGINT)"
+            ).alias("centroid_l1_shift"),
+        )
+    )
+    return (
+        c0.select("cid")
+        .join(per0, "cid", "left")
+        .join(per1, "cid", "left")
+        .join(shift, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.coalesce("n_init", F.lit(0)).cast("long").alias("n_init"),
+            F.coalesce("n_updated", F.lit(0)).cast("long").alias("n_updated"),
+            F.coalesce("n_moved_away", F.lit(0)).cast("long").alias("n_moved_away"),
+            F.coalesce("centroid_l1_shift", F.lit(0))
+            .cast("long")
+            .alias("centroid_l1_shift"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -356,3 +356,101 @@ def test_weighted_median_matches_serial(spark):
     assert row["p25_weighted"] == lower_q(1, 4)
     assert row["median_weighted"] == lower_q(1, 2)
     assert row["p75_weighted"] == lower_q(3, 4)
+
+
+def test_kmeans_lloyd_matches_serial(spark):
+    """Full serial replay of the exact-integer Lloyd iteration."""
+    from etl_for_dumdums_spark.catalog.similarity import _KM_K, embed_kmeans_lloyd
+
+    vecs = {
+        vid: v
+        for vid, v in duckdb.sql(
+            f"SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) "
+            f"FROM '{SF_SMOKE}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            best = min(
+                (sum(c * c for c in cv) - 2 * sum(a * b for a, b in zip(v, cv)), cid)
+                for cid, cv in cents.items()
+            )
+            out[vid] = best[1]
+        return out
+
+    c0 = {cid: vecs[cid] for cid in range(_KM_K)}
+    a0 = assign(c0)
+    dims = len(next(iter(vecs.values())))
+    c1 = {}
+    for cid in range(_KM_K):
+        members = [vecs[vid] for vid, c in a0.items() if c == cid]
+        if members:
+            # SQL div / DuckDB // truncate toward zero; Python // floors
+            tdiv = lambda s, n: s // n if s >= 0 else -((-s) // n)  # noqa: E731
+            c1[cid] = [
+                tdiv(sum(m[j] for m in members), len(members)) for j in range(dims)
+            ]
+        else:
+            c1[cid] = None
+    a1 = assign({c: v for c, v in c1.items() if v is not None})
+
+    rows = {r["centroid_id"]: r for r in embed_kmeans_lloyd(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(_KM_K))
+    moved_total = 0
+    for cid in range(_KM_K):
+        n_init = sum(1 for c in a0.values() if c == cid)
+        n_upd = sum(1 for c in a1.values() if c == cid)
+        moved = sum(1 for vid in vecs if a0[vid] == cid and a1[vid] != cid)
+        shift = (
+            sum(abs(x - y) for x, y in zip(vecs[cid], c1[cid])) if c1[cid] else 0
+        )
+        r = rows[cid]
+        assert (r["n_init"], r["n_updated"], r["n_moved_away"]) == (
+            n_init,
+            n_upd,
+            moved,
+        )
+        assert r["centroid_l1_shift"] == shift
+        moved_total += moved
+    # the update must actually move centroids and reassign some vectors
+    assert any(rows[c]["centroid_l1_shift"] > 0 for c in rows)
+
+
+def test_gini_impurity_matches_serial(spark):
+    from etl_for_dumdums_spark.catalog.aggregations import agg_gini_impurity
+
+    rows = {r["column_name"]: r for r in agg_gini_impurity(spark, SF_SMOKE).collect()}
+    counts = dict(
+        duckdb.sql(
+            f"SELECT event_type, count(*) FROM '{SF_SMOKE}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(counts.values())
+    ppm = (n * n - sum(c * c for c in counts.values())) * 1_000_000 // (n * n)
+    r = rows["events.event_type"]
+    assert (r["n_rows"], r["n_categories"], r["modal_n"]) == (
+        n,
+        len(counts),
+        max(counts.values()),
+    )
+    assert r["gini_impurity_ppm"] == ppm
+    # near-uniform 5-way split sits close to 1 - 1/5 = 800000 ppm
+    assert 780000 < ppm < 800000
+
+
+def test_null_safe_join_keeps_null_keys(spark):
+    from etl_for_dumdums_spark.catalog.joins import join_null_safe
+
+    rows = {r["label"]: r for r in join_null_safe(spark, SF_SMOKE).collect()}
+    n_err = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/events.parquet' WHERE event_type = 'error'"
+    ).fetchone()[0]
+    # NULL keys match ONLY under null-safe equality
+    r = rows["unmapped-null"]
+    assert r["n_rows_nullsafe"] == n_err > 0
+    assert r["n_rows_regular"] == 0
+    # non-null labels are identical under both semantics
+    assert rows["revenue"]["n_rows_nullsafe"] == rows["revenue"]["n_rows_regular"] > 0
