@@ -511,3 +511,67 @@ def agg_gini_impurity(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity with EXACT integer weights: half-life-7d decayed
+# event counts as of a fixed cutoff, where the decay is a pure bit shift —
+# weight = 1e6 >> (age_days // 7) — so there is no pow()/exp() call to
+# diverge cross-engine (the same log-free philosophy as ts_ewma_truncated's
+# ppm weight table, here with zero table). The shift count is clamped to 62:
+# Java's >> masks the count mod 64, so an unclamped shift of 64+ would
+# silently return the UNDECAYED weight on Spark while DuckDB returns 0.
+#
+# Scale design (100 TB): one scan, one 5-key hash aggregate — map-side
+# partials collapse everything; the age arithmetic is per-row integer math.
+# ---------------------------------------------------------------------------
+_DECAY_CUTOFF = "2024-01-31"
+
+
+@register(
+    "agg_decayed_popularity",
+    extra=True,
+    sql=f"""
+    WITH e AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE), DATE '{_DECAY_CUTOFF}') AS age
+      FROM events),
+    w AS (
+      SELECT event_type, age,
+             1000000 >> CAST(least(greatest(age, 0) // 7, 62) AS INT) AS wt
+      FROM e)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count_if(age < 7) AS BIGINT) AS n_last_7d,
+           CAST(sum(wt) AS BIGINT) AS decayed_millionths,
+           CAST(sum(wt) // count(*) AS BIGINT) AS avg_weight_millionths
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_decayed_popularity(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        F.datediff(F.lit(_DECAY_CUTOFF).cast("date"), F.col("ts").cast("date")).alias(
+            "age"
+        ),
+    )
+    w = e.select(
+        "event_type",
+        "age",
+        F.expr(
+            "shiftright(1000000, CAST(least(greatest(age, 0) div 7, 62) AS INT))"
+        ).alias("wt"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_if(F.col("age") < 7).cast("long").alias("n_last_7d"),
+            F.sum("wt").cast("long").alias("decayed_millionths"),
+            F.expr("CAST(sum(wt) div count(*) AS BIGINT)").alias(
+                "avg_weight_millionths"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -830,3 +830,77 @@ def events_session_native(spark, sf_dir):
         ),
         F.round(F.max("dur_us") / 1000000.0, DP).alias("max_duration_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly activity bitmaps: each (user, week) collapses to ONE integer whose
+# bit i says "active on weekday i" (bit_or of 1 << day-in-week), and the
+# corpus rolls up by bit_count — the roaring-bitmap-style engagement-pattern
+# census (how many user-weeks are 1-day vs 7-day actives, and how diverse
+# the day patterns are at each activity level). Day indexing is engine-
+# neutral epoch-day arithmetic from a fixed anchor Monday, not locale
+# dayofweek.
+#
+# Scale design (100 TB): distinct (user, week, daybit) collapses first, the
+# bitmap is a bit_or hash aggregate on (user, week), the histogram an 8-key
+# rollup — three shuffles, each strictly smaller than the last; bitmaps
+# replace a 7-row-per-user-week frame with one BIGINT.
+# ---------------------------------------------------------------------------
+_BITMAP_ANCHOR = "2024-01-01"  # a Monday
+
+
+@register(
+    "events_activity_bitmap",
+    extra=True,
+    sql=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{_BITMAP_ANCHOR}', CAST(ts AS DATE)) AS di
+      FROM events
+      WHERE CAST(ts AS DATE) >= DATE '{_BITMAP_ANCHOR}'),
+    weekly AS (
+      SELECT user_id, di // 7 AS week,
+             CAST(bit_or(1 << CAST(di % 7 AS INT)) AS BIGINT) AS bitmap
+      FROM days GROUP BY 1, 2),
+    counted AS (
+      SELECT week, bitmap, CAST(bit_count(bitmap) AS BIGINT) AS days_active
+      FROM weekly)
+    SELECT days_active,
+           CAST(count(*) AS BIGINT) AS n_user_weeks,
+           CAST(count(DISTINCT bitmap) AS BIGINT) AS n_patterns,
+           CAST(max(bitmap) AS BIGINT) AS max_pattern
+    FROM counted GROUP BY days_active ORDER BY days_active
+    """,
+)
+def events_activity_bitmap(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    days = (
+        t.events.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit(_BITMAP_ANCHOR).cast("date")
+            ).alias("di"),
+        )
+        .filter(F.col("di") >= 0)
+        .distinct()
+    )
+    weekly = (
+        days.groupBy("user_id", F.expr("di div 7").alias("week"))
+        .agg(
+            F.expr("CAST(bit_or(shiftleft(1, CAST(di % 7 AS INT))) AS BIGINT)").alias(
+                "bitmap"
+            )
+        )
+    )
+    counted = weekly.select(
+        "week", "bitmap", F.bit_count("bitmap").cast("long").alias("days_active")
+    )
+    return (
+        counted.groupBy("days_active")
+        .agg(
+            F.count("*").cast("long").alias("n_user_weeks"),
+            F.count_distinct("bitmap").cast("long").alias("n_patterns"),
+            F.max("bitmap").cast("long").alias("max_pattern"),
+        )
+        .orderBy("days_active")
+    )

@@ -454,3 +454,64 @@ def test_null_safe_join_keeps_null_keys(spark):
     assert r["n_rows_regular"] == 0
     # non-null labels are identical under both semantics
     assert rows["revenue"]["n_rows_nullsafe"] == rows["revenue"]["n_rows_regular"] > 0
+
+
+def test_decayed_popularity_matches_serial(spark):
+    from datetime import date
+
+    from etl_for_dumdums_spark.catalog.aggregations import (
+        _DECAY_CUTOFF,
+        agg_decayed_popularity,
+    )
+
+    cutoff = date.fromisoformat(_DECAY_CUTOFF)
+    evs = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    agg = {}
+    for et, d in evs:
+        age = (cutoff - d).days
+        wt = 1_000_000 >> min(max(age, 0) // 7, 62)
+        n, last7, dec = agg.get(et, (0, 0, 0))
+        agg[et] = (n + 1, last7 + (1 if age < 7 else 0), dec + wt)
+    rows = {r["event_type"]: r for r in agg_decayed_popularity(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for et, (n, last7, dec) in agg.items():
+        r = rows[et]
+        assert (r["n_events"], r["n_last_7d"], r["decayed_millionths"]) == (n, last7, dec)
+        assert r["avg_weight_millionths"] == dec // n
+    # decay must actually bite: avg weight strictly below the undecayed 1e6
+    assert all(r["avg_weight_millionths"] < 1_000_000 for r in rows.values())
+
+
+def test_activity_bitmap_matches_serial(spark):
+    from datetime import date
+
+    from etl_for_dumdums_spark.catalog.behavior import (
+        _BITMAP_ANCHOR,
+        events_activity_bitmap,
+    )
+
+    anchor = date.fromisoformat(_BITMAP_ANCHOR)
+    evs = duckdb.sql(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    weekly = {}
+    for uid, d in evs:
+        di = (d - anchor).days
+        if di < 0:
+            continue
+        key = (uid, di // 7)
+        weekly[key] = weekly.get(key, 0) | (1 << (di % 7))
+    hist = {}
+    for bm in weekly.values():
+        k = bin(bm).count("1")
+        n, pats, mx = hist.get(k, (0, set(), 0))
+        pats = pats | {bm}
+        hist[k] = (n + 1, pats, max(mx, bm))
+    rows = {r["days_active"]: r for r in events_activity_bitmap(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(hist)
+    for k, (n, pats, mx) in hist.items():
+        r = rows[k]
+        assert (r["n_user_weeks"], r["n_patterns"], r["max_pattern"]) == (n, len(pats), mx)
+    assert max(hist) >= 3  # non-vacuous: some multi-day-active weeks exist
