@@ -1241,3 +1241,186 @@ def embed_kmeans_lloyd(spark, sf_dir):
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe sign-LSH (beyond-reference — the recall dial production LSH
+# systems turn before adding hash tables): each query probes its own sign
+# bucket PLUS the 8 buckets at Hamming distance 1 (one flipped sign bit),
+# 9 probes total. The output puts the single-probe and 9-probe recall@5
+# against exact brute-force truth side by side PER QUERY, with the candidate
+# counts that bought it — measuring the cost/recall trade on THIS corpus
+# (same philosophy as sim_ann_recall / dedup_minhash_audit).
+#
+# All comparisons are integer: neighbor sets match by id after ranking on
+# (rounded cosine DESC, neighbor_id); recall_pct = overlap * 100 / 5 exact.
+# NOTE: DuckDB's ^ is POWER — bitwise xor must be xor(a, b) there, while
+# Spark SQL uses the ^ operator.
+#
+# Scale design (100 TB): probes are a 9-way explode of the bounded query
+# set; each probe is an equi-join on the bucket key, so candidate work is
+# |q| * 9 * avg_bucket. Brute truth stays |q| * n (the bounded-query
+# broadcast shape). No all-pairs anything.
+# ---------------------------------------------------------------------------
+@register(
+    "sim_lsh_multiprobe",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
+             {_bucket_sql(_IVEC_SQL)} AS bucket
+      FROM embeddings),
+    q AS (SELECT * FROM iv WHERE vec_id < 10),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm,
+             CASE WHEN t.b = -1 THEN q.bucket
+                  ELSE xor(q.bucket, 1 << t.b) END AS pbucket,
+             t.b = -1 AS is_exact
+      FROM q, unnest(generate_series(-1, {_SIGN_BITS} - 1)) AS t(b)),
+    cand AS (
+      SELECT p.query_id, p.is_exact, c.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='p.qv', b='c.v')}
+                   / sqrt(p.qnrm * 1.0 * c.nrm), {DP}) AS cosine
+      FROM probes p JOIN iv c
+        ON c.bucket = p.pbucket AND c.vec_id != p.query_id),
+    top9 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM cand) WHERE rnk <= {_TOPK}),
+    top1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM cand WHERE is_exact) WHERE rnk <= {_TOPK}),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({_DOT_SQL.format(a='q.v', b='c.v')}
+                                / sqrt(q.nrm * 1.0 * c.nrm), {DP}) DESC,
+                          c.vec_id) AS rnk
+        FROM q JOIN iv c ON c.vec_id != q.vec_id) WHERE rnk <= {_TOPK}),
+    counts AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_cand_9,
+             CAST(count_if(is_exact) AS BIGINT) AS n_cand_1
+      FROM cand GROUP BY query_id),
+    r1 AS (
+      SELECT b.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS o1
+      FROM brute b LEFT JOIN top1 t
+        ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id),
+    r9 AS (
+      SELECT b.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS o9
+      FROM brute b LEFT JOIN top9 t
+        ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id)
+    SELECT r1.query_id AS query_id, counts.n_cand_1, counts.n_cand_9,
+           r1.o1 * 100 // {_TOPK} AS recall_1probe_pct,
+           r9.o9 * 100 // {_TOPK} AS recall_9probe_pct
+    FROM r1 JOIN r9 ON r1.query_id = r9.query_id
+    JOIN counts ON counts.query_id = r1.query_id
+    ORDER BY query_id
+    """,
+)
+def sim_lsh_multiprobe(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    iv = _bucketed_ivecs(t).cache()
+    q = iv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        "qnrm",
+        F.explode(F.sequence(F.lit(-1), F.lit(_SIGN_BITS - 1))).alias("b"),
+        "qbucket",
+    ).select(
+        "query_id",
+        "qv",
+        "qnrm",
+        F.expr(
+            "CASE WHEN b = -1 THEN qbucket ELSE qbucket ^ shiftleft(1, b) END"
+        ).alias("pbucket"),
+        (F.col("b") == -1).alias("is_exact"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(iv, (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "is_exact",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_DOT_SPARK.format(a="qv", b="v"))
+                / F.sqrt(F.col("qnrm") * 1.0 * F.col("nrm")),
+                DP,
+            ).alias("cosine"),
+        )
+        .cache()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    top9 = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    top1 = (
+        cand.filter("is_exact")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    brute = (
+        F.broadcast(q)
+        .join(iv, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_DOT_SPARK.format(a="qv", b="v"))
+                / F.sqrt(F.col("qnrm") * 1.0 * F.col("nrm")),
+                DP,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    counts = cand.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_cand_9"),
+        F.count_if("is_exact").cast("long").alias("n_cand_1"),
+    )
+
+    def overlap(topk, alias):
+        return (
+            brute.join(
+                topk.withColumnRenamed("neighbor_id", "nid"),
+                (brute["query_id"] == topk["query_id"])
+                & (F.col("neighbor_id") == F.col("nid")),
+                "left",
+            )
+            .groupBy(brute["query_id"].alias("query_id"))
+            .agg(F.count("nid").cast("long").alias(alias))
+        )
+
+    r1 = overlap(top1, "o1")
+    r9 = overlap(top9, "o9")
+    return (
+        r1.join(r9, "query_id")
+        .join(counts, "query_id")
+        .select(
+            "query_id",
+            "n_cand_1",
+            "n_cand_9",
+            F.expr(f"o1 * 100 div {_TOPK}").alias("recall_1probe_pct"),
+            F.expr(f"o9 * 100 div {_TOPK}").alias("recall_9probe_pct"),
+        )
+        .orderBy("query_id")
+    )

@@ -515,3 +515,25 @@ def test_activity_bitmap_matches_serial(spark):
         r = rows[k]
         assert (r["n_user_weeks"], r["n_patterns"], r["max_pattern"]) == (n, len(pats), mx)
     assert max(hist) >= 3  # non-vacuous: some multi-day-active weeks exist
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """9-probe recall must dominate single-probe recall per query (the probe
+    set is a superset), and the single-probe column must equal the existing
+    sim_ann_recall measurement."""
+    from etl_for_dumdums_spark.catalog.similarity import (
+        sim_ann_recall,
+        sim_lsh_multiprobe,
+    )
+
+    mp = {r["query_id"]: r for r in sim_lsh_multiprobe(spark, SF_SMOKE).collect()}
+    ar = {r["query_id"]: r for r in sim_ann_recall(spark, SF_SMOKE).collect()}
+    assert set(mp) == set(ar)
+    for qid, r in mp.items():
+        assert r["n_cand_9"] >= r["n_cand_1"]
+        assert r["recall_9probe_pct"] >= r["recall_1probe_pct"]
+        assert r["recall_1probe_pct"] == ar[qid]["recall_pct"]
+    # the extra probes must actually buy recall somewhere (non-vacuous)
+    assert any(
+        r["recall_9probe_pct"] > r["recall_1probe_pct"] for r in mp.values()
+    )
