@@ -20,7 +20,10 @@ bench-scale-100: scale-data-100
 # gap; covered by the full sf0.1 run) and dedup_prefix_jaccard (its exact
 # pair-list output is quadratic in the replication factor by definition —
 # verified at 10x instead).
-ORACLE_100X_EXCLUDE = win_lag_deltas,win_rolling_frames,scalar_string_ops,scalar_math_conditional,scalar_clean_html,scalar_array_ops,dedup_prefix_jaccard,text_chunk_tokens,dedup_cc_groups,join_range_interval
+# events_sequence_pattern IS 100x-verified (standalone PASS, 164.5s) but its
+# DuckDB ordered-list aggregation retains enough buffer-pool memory to poison
+# the rest of a shared-process sweep — run it alone, not in the batch.
+ORACLE_100X_EXCLUDE = win_lag_deltas,win_rolling_frames,scalar_string_ops,scalar_math_conditional,scalar_clean_html,scalar_array_ops,dedup_prefix_jaccard,text_chunk_tokens,dedup_cc_groups,join_range_interval,events_sequence_pattern
 oracle-100x:
 	python tools/check_oracle.py --sf /tmp/sfscale100 --exclude $(ORACLE_100X_EXCLUDE)
 

@@ -165,13 +165,17 @@ def main():
     names = [n for n in names if n not in excluded]
     spark = get_spark("oracle-check")
 
-    con = duckdb.connect()
-    for tname in TABLE_NAMES:
-        # driver testdata is one file per table; Spark-written scale-up data
-        # (tools/make_scale_data.py) is a directory of part files — glob it
-        tpath = f"{args.sf}/{tname}.parquet"
-        src = f"{tpath}/*.parquet" if os.path.isdir(tpath) else tpath
-        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{src}')")
+    def make_con():
+        c = duckdb.connect()
+        for tname in TABLE_NAMES:
+            # driver testdata is one file per table; Spark-written scale-up
+            # data (tools/make_scale_data.py) is a directory of parts — glob
+            tpath = f"{args.sf}/{tname}.parquet"
+            src = f"{tpath}/*.parquet" if os.path.isdir(tpath) else tpath
+            c.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{src}')")
+        return c
+
+    con = make_con()
 
     n_pass = n_fail = n_skip = 0
     for name in names:
@@ -190,7 +194,16 @@ def main():
             n_skip += 1
             continue
         try:
-            atab = con.execute(oracle[name]).arrow()
+            try:
+                atab = con.execute(oracle[name]).arrow()
+            except duckdb.OutOfMemoryException:
+                # a prior giant aggregation (e.g. an ordered list() over a
+                # scale-up table) can leave the connection's buffer pool
+                # exhausted even though the host has memory free — rebuild
+                # the connection and retry once before declaring a failure
+                con.close()
+                con = make_con()
+                atab = con.execute(oracle[name]).arrow()
             dcols = atab.column_names
             drows = [tuple(d[c] for c in dcols) for d in atab.to_pylist()]
         except Exception as e:
