@@ -626,9 +626,13 @@ def stats_ks_mannwhitney(spark, sf_dir):
         )
         .agg(F.min("cents").cast("long").alias("atc"))
     )
+    # precompute the big literal products in Python: {n1} * {n2} would parse
+    # as 32-bit INT literals and overflow under ANSI at the 100x dataset —
+    # large single literals parse as BIGINT
+    n1n2, n1sq = n1 * n2, n1 * (n1 + 1)
     z_expr = (
-        f"round(((r1x2 - {n1} * ({n1} + 1)) - {n1} * {n2})"
-        f" / (2 * sqrt(({n1} * {n2} / 12.0)"
+        f"round(((r1x2 - {n1sq}) - {n1n2})"
+        f" / (2 * sqrt(({n1n2} / 12.0)"
         f" * (({n1} + {n2} + 1)"
         f" - tie_cubes / (({n1} + {n2}) * ({n1} + {n2} - 1.0))))), {DP})"
     )
@@ -636,12 +640,12 @@ def stats_ks_mannwhitney(spark, sf_dir):
         F.lit(n1).cast("long").alias("n1"),
         F.lit(n2).cast("long").alias("n2"),
         F.col("m").alias("ks_d_num"),
-        F.expr(f"CAST(m * 1000000 div ({n1} * {n2}) AS BIGINT)").alias("ks_ppm"),
+        F.expr(f"CAST(m * 1000000 div {n1n2} AS BIGINT)").alias("ks_ppm"),
         F.round(F.col("atc") / 100.0, 2).alias("ks_at_price"),
         F.col("r1x2").alias("r1_x2"),
-        F.expr(f"CAST(r1x2 - {n1} * ({n1} + 1) AS BIGINT)").alias("u1_x2"),
+        F.expr(f"CAST(r1x2 - {n1sq} AS BIGINT)").alias("u1_x2"),
         F.expr(
-            f"CAST(2 * {n1} * {n2} - (r1x2 - {n1} * ({n1} + 1)) AS BIGINT)"
+            f"CAST({2 * n1 * n2} - (r1x2 - {n1sq}) AS BIGINT)"
         ).alias("u2_x2"),
         "tie_cubes",
         F.expr(z_expr).alias("z_mwu"),
