@@ -644,3 +644,105 @@ def ts_changepoint_cusum(spark, sf_dir):
             "regime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simple STL-style decomposition of daily revenue into trend + day-of-week
+# seasonal + residual, entirely in exact integers: trend = centered 7-day
+# moving average (truncating div 7, defined only where the window is full),
+# seasonal = per-DOW truncating mean of the detrended series (negative sums
+# truncate toward zero identically in both engines), residual = the rest.
+# The output is the per-DOW seasonal profile with residual magnitudes and
+# the residual-energy share (sum(resid^2)/sum(detrended^2) in ppm,
+# DECIMAL(38,0)/HUGEINT — squares pass int64 at the 100x scale). DOW is
+# engine-neutral epoch-day arithmetic from a pre-data Monday anchor
+# (1990-01-01), never locale dayofweek.
+#
+# Scale design (100 TB): orders collapse to the calendar-bounded daily frame
+# first; the centered window and the two rollups run over that frame, whose
+# size is data-volume-independent (the documented window class).
+# ---------------------------------------------------------------------------
+_STL_ANCHOR = "1990-01-01"  # a Monday, before all order dates
+
+
+@register(
+    "ts_stl_decompose",
+    extra=True,
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    win AS (
+      SELECT day, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS s7,
+             CAST(count(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT CAST(date_diff('day', DATE '{_STL_ANCHOR}', day) % 7 AS BIGINT) AS dow,
+             CAST(cents - s7 // 7 AS BIGINT) AS d
+      FROM win WHERE c7 = 7),
+    seas AS (
+      SELECT dow, CAST(sum(d) // count(*) AS BIGINT) AS seasonal_cents,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM det GROUP BY dow),
+    resid AS (
+      SELECT det.dow, det.d, CAST(det.d - seas.seasonal_cents AS BIGINT) AS r
+      FROM det JOIN seas USING (dow))
+    SELECT seas.dow, seas.n_days, seas.seasonal_cents,
+           CAST(sum(abs(resid.r)) // seas.n_days AS BIGINT) AS mean_abs_resid,
+           CAST(max(abs(resid.r)) AS BIGINT) AS max_abs_resid,
+           CAST(sum(CAST(resid.r AS HUGEINT) * resid.r) * 1000000
+                // sum(CAST(resid.d AS HUGEINT) * resid.d) AS BIGINT)
+             AS resid_energy_ppm
+    FROM resid JOIN seas USING (dow)
+    GROUP BY seas.dow, seas.n_days, seas.seasonal_cents
+    ORDER BY seas.dow
+    """,
+)
+def ts_stl_decompose(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s7"),
+        F.count("*").over(w).cast("long").alias("c7"),
+    )
+    det = win.filter(F.col("c7") == 7).select(
+        (
+            F.datediff(F.col("day"), F.lit(_STL_ANCHOR).cast("date")) % 7
+        ).cast("long").alias("dow"),
+        F.expr("CAST(cents - s7 div 7 AS BIGINT)").alias("d"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.expr("CAST(sum(d) div count(*) AS BIGINT)").alias("seasonal_cents"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "dow",
+        "d",
+        "n_days",
+        "seasonal_cents",
+        (F.col("d") - F.col("seasonal_cents")).cast("long").alias("r"),
+    )
+    return (
+        resid.groupBy("dow", "n_days", "seasonal_cents")
+        .agg(
+            F.expr("CAST(sum(abs(r)) div first(n_days) AS BIGINT)").alias(
+                "mean_abs_resid"
+            ),
+            F.max(F.abs("r")).cast("long").alias("max_abs_resid"),
+            F.expr(
+                "CAST(sum(CAST(r AS DECIMAL(38,0)) * r) * 1000000"
+                " div sum(CAST(d AS DECIMAL(38,0)) * d) AS BIGINT)"
+            ).alias("resid_energy_ppm"),
+        )
+        .orderBy("dow")
+    )

@@ -430,3 +430,79 @@ def ops_dq_report(spark, sf_dir):
         rule(ref, "orders.o_custkey -> customer", "referential", "n_keys", "v_ref")
     )
     return out.orderBy("rule_id")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical share-of-parent rollup: revenue per (region, nation) with each
+# nation's exact ppm share of its region and of the grand total — the
+# drill-down tree every OLAP dashboard renders. Shares are integer floor
+# division of DECIMAL(38,0)/HUGEINT cross-products (cents * 1e6 passes int64
+# around the 100x scale), and the region/total frames are joined back, not
+# window-summed — parent totals are tiny aggregates, so they broadcast.
+#
+# Scale design (100 TB): one fact scan -> (region, nation) hash aggregate
+# (25-key domain); parents derive from the child frame (never rescan);
+# two broadcast joins. No windows.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_hierarchy_shares",
+    extra=True,
+    sql="""
+    WITH child AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    parent AS (SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents
+               FROM child GROUP BY region),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM child)
+    SELECT child.region, child.nation, child.cents,
+           parent.region_cents,
+           CAST(CAST(child.cents AS HUGEINT) * 1000000 // parent.region_cents
+             AS BIGINT) AS share_of_region_ppm,
+           CAST(CAST(child.cents AS HUGEINT) * 1000000 // tot.total_cents
+             AS BIGINT) AS share_of_total_ppm
+    FROM child JOIN parent USING (region) CROSS JOIN tot
+    ORDER BY region, nation
+    """,
+)
+def agg_hierarchy_shares(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    child = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .cache()
+    )
+    parent = child.groupBy("region").agg(
+        F.sum("cents").cast("long").alias("region_cents")
+    )
+    tot = child.agg(F.sum("cents").cast("long").alias("total_cents"))
+    return (
+        child.join(F.broadcast(parent), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            "region_cents",
+            F.expr(
+                "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div region_cents"
+                " AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div total_cents"
+                " AS BIGINT)"
+            ).alias("share_of_total_ppm"),
+        )
+        .orderBy("region", "nation")
+    )

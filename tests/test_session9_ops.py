@@ -537,3 +537,82 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert any(
         r["recall_9probe_pct"] > r["recall_1probe_pct"] for r in mp.values()
     )
+
+
+def test_hierarchy_shares_matches_serial(spark):
+    from etl_for_dumdums_spark.catalog.warehouse import agg_hierarchy_shares
+
+    rows = duckdb.sql(
+        f"""
+        SELECT r.r_name, n.n_name, sum(CAST(round(o.o_totalprice*100) AS BIGINT))
+        FROM '{SF_SMOKE}/orders.parquet' o
+        JOIN '{SF_SMOKE}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF_SMOKE}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        JOIN '{SF_SMOKE}/region.parquet' r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    child = {(reg, nat): int(cents) for reg, nat, cents in rows}
+    region_tot = {}
+    for (reg, _), cents in child.items():
+        region_tot[reg] = region_tot.get(reg, 0) + cents
+    total = sum(child.values())
+
+    got = {(r["region"], r["nation"]): r for r in agg_hierarchy_shares(spark, SF_SMOKE).collect()}
+    assert set(got) == set(child)
+    for key, cents in child.items():
+        r = got[key]
+        assert r["cents"] == cents
+        assert r["region_cents"] == region_tot[key[0]]
+        assert r["share_of_region_ppm"] == cents * 1_000_000 // region_tot[key[0]]
+        assert r["share_of_total_ppm"] == cents * 1_000_000 // total
+    # ppm shares of each region sum to ~1e6 (floor losses < nations/region)
+    for reg in region_tot:
+        s = sum(
+            r["share_of_region_ppm"] for k, r in got.items() if k[0] == reg
+        )
+        assert 1_000_000 - 10 <= s <= 1_000_000
+
+
+def test_stl_decompose_matches_serial(spark):
+    from datetime import date
+
+    from etl_for_dumdums_spark.catalog.timeseries import (
+        _STL_ANCHOR,
+        ts_stl_decompose,
+    )
+
+    tdiv = lambda s, n: s // n if s >= 0 else -((-s) // n)  # noqa: E731
+    daily = {}
+    for _, _, price, day in _orders():
+        daily[day] = daily.get(day, 0) + round(price * 100)
+    days = sorted(daily)
+    anchor = date.fromisoformat(_STL_ANCHOR)
+    det = []  # (dow, detrended)
+    for i, d in enumerate(days):
+        lo, hi = i - 3, i + 3
+        if lo < 0 or hi >= len(days):
+            continue
+        s7 = sum(daily[days[j]] for j in range(lo, hi + 1))
+        det.append(((d - anchor).days % 7, daily[d] - tdiv(s7, 7)))
+    seas, counts = {}, {}
+    for dow, v in det:
+        seas[dow] = seas.get(dow, 0) + v
+        counts[dow] = counts.get(dow, 0) + 1
+    seas = {dow: tdiv(s, counts[dow]) for dow, s in seas.items()}
+
+    got = {r["dow"]: r for r in ts_stl_decompose(spark, SF_SMOKE).collect()}
+    assert set(got) == set(seas)
+    for dow in seas:
+        rs = [v - seas[dow] for dw, v in det if dw == dow]
+        ds = [v for dw, v in det if dw == dow]
+        r = got[dow]
+        assert r["n_days"] == counts[dow]
+        assert r["seasonal_cents"] == seas[dow]
+        assert r["mean_abs_resid"] == tdiv(sum(abs(x) for x in rs), counts[dow])
+        assert r["max_abs_resid"] == max(abs(x) for x in rs)
+        assert r["resid_energy_ppm"] == sum(x * x for x in rs) * 1_000_000 // sum(
+            x * x for x in ds
+        )
+    # the decomposition must explain something: residual energy < total
+    assert all(r["resid_energy_ppm"] < 1_000_000 for r in got.values())
