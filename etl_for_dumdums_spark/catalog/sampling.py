@@ -445,3 +445,88 @@ def mix_temperature_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment of a sampling budget across
+# languages (beyond-reference — the exact integer step that turns mixture
+# WEIGHTS into per-source ROW QUOTAS for an epoch): quota_i = floor(B*w_i/W)
+# plus one extra for the largest remainders until the budget is exactly
+# spent. Ties on the remainder break by language ascending — fully
+# deterministic, no floats anywhere. The output carries the conservation
+# proof in-query (alloc_total ≡ B on every row, the self-proving-output
+# pattern), so a wrong distribution cannot pass the oracle silently.
+#
+# Scale design (100 TB): weights come from one hash aggregate; the
+# remainder rank is a window over the ≤|languages| weight frame (the
+# value-domain-bounded window class) — corpus size never touches the
+# apportionment math.
+# ---------------------------------------------------------------------------
+_APPORTION_BUDGET = 10_000
+
+
+@register(
+    "mix_apportion_budget",
+    extra=True,
+    sql=f"""
+    WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS wtot,
+                   CAST(count(*) AS BIGINT) AS n_langs FROM w),
+    q AS (SELECT w.lang, w.n_docs,
+                 CAST({_APPORTION_BUDGET} * w.n_docs // tot.wtot AS BIGINT) AS base_quota,
+                 CAST({_APPORTION_BUDGET} * w.n_docs % tot.wtot AS BIGINT) AS rem
+          FROM w CROSS JOIN tot),
+    leftovers AS (SELECT CAST({_APPORTION_BUDGET} - sum(base_quota) AS BIGINT) AS l
+                  FROM q),
+    ranked AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, lang) AS rr
+               FROM q),
+    alloc AS (SELECT lang, n_docs, base_quota, rem,
+                     CASE WHEN rr <= (SELECT l FROM leftovers) THEN 1 ELSE 0 END
+                       AS extra
+              FROM ranked)
+    SELECT lang, n_docs, base_quota, rem,
+           CAST(extra AS BIGINT) AS extra,
+           CAST(base_quota + extra AS BIGINT) AS final_quota,
+           (SELECT CAST(sum(base_quota + extra) AS BIGINT) FROM alloc) AS alloc_total
+    FROM alloc ORDER BY lang
+    """,
+)
+def mix_apportion_budget(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    B = _APPORTION_BUDGET
+    w = t.documents.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = w.agg(F.sum("n_docs").cast("long").alias("wtot"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"CAST({B} * n_docs div wtot AS BIGINT)").alias("base_quota"),
+        F.expr(f"CAST({B} * n_docs % wtot AS BIGINT)").alias("rem"),
+    )
+    leftovers = q.agg((F.lit(B) - F.sum("base_quota")).cast("long").alias("l"))
+    ranked = q.withColumn(
+        "rr", F.row_number().over(W.orderBy(F.col("rem").desc(), F.col("lang")))
+    )
+    alloc = ranked.crossJoin(F.broadcast(leftovers)).select(
+        "lang",
+        "n_docs",
+        "base_quota",
+        "rem",
+        F.when(F.col("rr") <= F.col("l"), 1).otherwise(0).cast("long").alias("extra"),
+    ).cache()
+    alloc_total = alloc.agg(
+        F.sum(F.col("base_quota") + F.col("extra")).cast("long").alias("alloc_total")
+    )
+    return (
+        alloc.crossJoin(F.broadcast(alloc_total))
+        .select(
+            "lang",
+            "n_docs",
+            "base_quota",
+            "rem",
+            "extra",
+            (F.col("base_quota") + F.col("extra")).cast("long").alias("final_quota"),
+            "alloc_total",
+        )
+        .orderBy("lang")
+    )

@@ -242,3 +242,70 @@ def agg_cube(spark, sf_dir):
         )
         .orderBy("status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT / INTERSECT (the remaining §2.8 set-op forms): customers who ordered
+# in 1996 vs 1997 — retained (INTERSECT), churned (EXCEPT 96→97), and new
+# (EXCEPT 97→96), plus each side's cardinality, in ONE result row. Spark's
+# exceptAll/intersectAll operators map to the same hash-based set ops the
+# SQL states; here the DISTINCT forms are used (key sets, not bags).
+#
+# Scale design (100 TB): both year sides collapse to DISTINCT keys first
+# (hash aggregate), so the set ops touch key sets, never raw orders; each
+# set op is one shuffle on the key. Counts aggregate to a single row.
+# ---------------------------------------------------------------------------
+@register(
+    "setop_except_intersect",
+    extra=True,
+    sql="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1996-01-01'
+                   AND o_orderdate < DATE '1997-01-01'),
+    y97 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= DATE '1997-01-01'
+              AND o_orderdate < DATE '1998-01-01'),
+    retained AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97),
+    churned AS (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97),
+    fresh AS (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM y96) AS n_1996,
+           (SELECT CAST(count(*) AS BIGINT) FROM y97) AS n_1997,
+           (SELECT CAST(count(*) AS BIGINT) FROM retained) AS n_retained,
+           (SELECT CAST(count(*) AS BIGINT) FROM churned) AS n_churned,
+           (SELECT CAST(count(*) AS BIGINT) FROM fresh) AS n_new,
+           (SELECT CAST(min(o_custkey) AS BIGINT) FROM churned) AS first_churned_key
+    """,
+)
+def setop_except_intersect(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+
+    def year_keys(y):
+        return (
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    retained = y96.intersect(y97)
+    churned = y96.exceptAll(y97)  # distinct inputs -> EXCEPT DISTINCT semantics
+    fresh = y97.exceptAll(y96)
+
+    def cnt(df, alias):
+        return df.agg(F.count("*").cast("long").alias(alias))
+
+    return (
+        cnt(y96, "n_1996")
+        .crossJoin(F.broadcast(cnt(y97, "n_1997")))
+        .crossJoin(F.broadcast(cnt(retained, "n_retained")))
+        .crossJoin(F.broadcast(cnt(churned, "n_churned")))
+        .crossJoin(F.broadcast(cnt(fresh, "n_new")))
+        .crossJoin(
+            F.broadcast(
+                churned.agg(F.min("o_custkey").cast("long").alias("first_churned_key"))
+            )
+        )
+    )

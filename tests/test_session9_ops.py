@@ -616,3 +616,55 @@ def test_stl_decompose_matches_serial(spark):
         )
     # the decomposition must explain something: residual energy < total
     assert all(r["resid_energy_ppm"] < 1_000_000 for r in got.values())
+
+
+def test_except_intersect_matches_serial(spark):
+    from etl_for_dumdums_spark.catalog.setops import setop_except_intersect
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT o_custkey, year(o_orderdate) FROM '{SF_SMOKE}/orders.parquet' "
+        f"WHERE year(o_orderdate) IN (1996, 1997)"
+    ).fetchall()
+    y96 = {k for k, y in rows if y == 1996}
+    y97 = {k for k, y in rows if y == 1997}
+    r = setop_except_intersect(spark, SF_SMOKE).collect()[0]
+    assert r["n_1996"] == len(y96) and r["n_1997"] == len(y97)
+    assert r["n_retained"] == len(y96 & y97)
+    assert r["n_churned"] == len(y96 - y97)
+    assert r["n_new"] == len(y97 - y96)
+    assert r["first_churned_key"] == min(y96 - y97)
+    # non-vacuous: all three partitions populated
+    assert r["n_retained"] > 0 and r["n_churned"] > 0 and r["n_new"] > 0
+
+
+def test_apportion_budget_exact_hamilton(spark):
+    from etl_for_dumdums_spark.catalog.sampling import (
+        _APPORTION_BUDGET,
+        mix_apportion_budget,
+    )
+
+    counts = dict(
+        duckdb.sql(
+            f"SELECT lang, count(*) FROM '{SF_SMOKE}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    W = sum(counts.values())
+    B = _APPORTION_BUDGET
+    base = {lg: B * n // W for lg, n in counts.items()}
+    rem = {lg: B * n % W for lg, n in counts.items()}
+    leftover = B - sum(base.values())
+    order = sorted(counts, key=lambda lg: (-rem[lg], lg))
+    extra = {lg: (1 if i < leftover else 0) for i, lg in enumerate(order)}
+
+    rows = {r["lang"]: r for r in mix_apportion_budget(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(counts)
+    for lg in counts:
+        r = rows[lg]
+        assert (r["base_quota"], r["rem"], r["extra"]) == (base[lg], rem[lg], extra[lg])
+        assert r["final_quota"] == base[lg] + extra[lg]
+        assert r["alloc_total"] == B  # conservation: budget exactly spent
+    if leftover == 0:
+        # the budget divided exactly at this SF — every extra must be 0
+        assert all(r["extra"] == 0 for r in rows.values())
+    else:
+        assert sum(r["extra"] for r in rows.values()) == leftover
