@@ -15,17 +15,25 @@ scale-data-100:
 bench-scale-100: scale-data-100
 	SPARK_GRAFT_SF_DIR=/tmp/sfscale100 python bench.py 2>/dev/null
 
-# oracle parity ON the 100x dataset, excluding per-row-output queries
-# (their result sets scale with the data — collect cost, not an engine
-# gap; covered by the full sf0.1 run) and dedup_prefix_jaccard (its exact
-# pair-list output is quadratic in the replication factor by definition —
-# verified at 10x instead).
-# events_sequence_pattern IS 100x-verified (standalone PASS, 164.5s) but its
-# DuckDB ordered-list aggregation retains enough buffer-pool memory to poison
-# the rest of a shared-process sweep — run it alone, not in the batch.
-ORACLE_100X_EXCLUDE = win_lag_deltas,win_rolling_frames,scalar_string_ops,scalar_math_conditional,scalar_clean_html,scalar_array_ops,dedup_prefix_jaccard,text_chunk_tokens,dedup_cc_groups,join_range_interval,events_sequence_pattern
+# oracle parity ON the 100x dataset. dedup_prefix_jaccard stays excluded:
+# its exact pair-list output is quadratic in the replication factor by
+# definition — verified at 10x instead. events_sequence_pattern rejoined
+# the batch in r4: the row_number()<=_SEQ_CAP pre-filter bounds both
+# engines' aggregation state (the old slice-after-collect_list shape
+# exhausted DuckDB's buffer pool). The per-row-output queries
+# (win_lag_deltas, win_rolling_frames, scalar_*, text_chunk_tokens,
+# dedup_cc_groups, join_range_interval) are verified at 100x via the
+# sampled tier below instead of full-output comparison.
+ORACLE_100X_EXCLUDE = win_lag_deltas,win_rolling_frames,scalar_string_ops,scalar_math_conditional,scalar_clean_html,scalar_array_ops,dedup_prefix_jaccard,text_chunk_tokens,dedup_cc_groups,join_range_interval
 oracle-100x:
 	python tools/check_oracle.py --sf /tmp/sfscale100 --exclude $(ORACLE_100X_EXCLUDE)
+
+# sampled at-scale parity for the per-row-output queries: both engines
+# compare on a deterministic hash-sampled key subset (the sampling rule is
+# part of each sampled query's oracle SQL), so every catalog query gets
+# 100x coverage by either full or sampled comparison (r3 verdict item #4).
+oracle-100x-sampled:
+	python tools/check_oracle.py --sf /tmp/sfscale100 --sampled
 
 test:
 	python -m pytest tests/ -q

@@ -36,6 +36,14 @@ ORACLE: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 EXTRA_ORACLE: dict[str, str] = {}
 
+# Sampled at-scale tier (catalog/sampled.py): for queries whose FULL output
+# (or oracle-side cost) scales with the data, a deterministic key-sampled
+# variant — same name, same plan, both engines restricted by an identical
+# stated predicate — so `make oracle-100x-sampled` gives every catalog
+# query at-scale coverage by either full or sampled comparison.
+SAMPLED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SAMPLED_ORACLE: dict[str, str] = {}
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -175,3 +183,4 @@ def load_all() -> None:
         features,
         warehouse,
     )
+    from . import sampled  # noqa: F401  (last: wraps already-registered queries)

@@ -644,11 +644,16 @@ def events_abtest_srm(spark, sf_dir):
 # patterns are kept regex-trivial (literals + '.*') where RE2 (DuckDB) and
 # Java regex (Spark) provably agree.
 #
-# Scale design (100 TB): one user_id shuffle into a collect_list capped at
-# _SEQ_CAP via slice() — bounded state per user no matter how active the
-# user (the cap is the semantic, stated, not a silent truncation: both
-# engines slice identically). The pattern scans are map-side over one
-# string per user; the final aggregate is one row.
+# Scale design (100 TB): the cap is applied BEFORE aggregation — a
+# row_number() over (user_id ORDER BY ts, event_id) <= _SEQ_CAP pre-filter
+# (sort-based WindowExec: spillable sort + a counter, O(1) running state)
+# so collect_list only ever sees <= _SEQ_CAP rows per user. Per-user
+# aggregation-buffer state is genuinely O(_SEQ_CAP), even for a bot user
+# with millions of events (r3 verdict finding #1: the previous
+# slice-after-collect_list shape materialized the full per-user list
+# first). Both engines pre-filter identically (QUALIFY in the oracle), so
+# the "first _SEQ_CAP events" semantic is unchanged. The pattern scans are
+# map-side over one string per user; the final aggregate is one row.
 # ---------------------------------------------------------------------------
 _SEQ_CAP = 200
 _SEQ_ADJ = [
@@ -665,11 +670,15 @@ _SEQ_SUB = [
     "events_sequence_pattern",
     extra=True,
     sql=f"""
-    WITH seqs AS (
+    WITH firstk AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              <= {_SEQ_CAP}),
+    seqs AS (
       SELECT user_id,
-             array_to_string(list_slice(list(event_type ORDER BY ts, event_id),
-                                        1, {_SEQ_CAP}), '>') AS seq
-      FROM events GROUP BY user_id),
+             array_to_string(list(event_type ORDER BY ts, event_id), '>') AS seq
+      FROM firstk GROUP BY user_id),
     per AS (
       SELECT CAST(len(regexp_extract_all(seq, '{_SEQ_ADJ[0][1]}')) AS BIGINT) AS c1,
              CAST(len(regexp_extract_all(seq, '{_SEQ_ADJ[1][1]}')) AS BIGINT) AS c2,
@@ -696,18 +705,24 @@ _SEQ_SUB = [
 )
 def events_sequence_pattern(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    seq = F.array_join(
-        F.slice(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-                lambda x: x["event_type"],
+    firstk = (
+        t.events.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
             ),
-            1,
-            _SEQ_CAP,
+        )
+        .filter(F.col("_rn") <= _SEQ_CAP)
+        .drop("_rn")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
         ),
         ">",
     )
-    seqs = t.events.groupBy("user_id").agg(seq.alias("seq"))
+    seqs = firstk.groupBy("user_id").agg(seq.alias("seq"))
     per = seqs.select(
         F.regexp_count("seq", F.lit(_SEQ_ADJ[0][1])).cast("long").alias("c1"),
         F.regexp_count("seq", F.lit(_SEQ_ADJ[1][1])).cast("long").alias("c2"),

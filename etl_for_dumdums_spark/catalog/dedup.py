@@ -587,12 +587,14 @@ _CC_MAX_ITERS = 25  # >= graph diameter for any capped-bucket candidate graph
 _DP_CC = 4
 
 
-def _minhash_cand_sql() -> str:
+def _minhash_cand_sql(where: str = "") -> str:
     """The capped band-join candidate pairs, as reusable SQL CTE text
-    (identical logic to dedup_minhash_lsh's prefix)."""
+    (identical logic to dedup_minhash_lsh's prefix). ``where`` injects an
+    input predicate (the sampled 100x-oracle tier restricts the corpus
+    deterministically; see catalog/sampled.py)."""
     return f"""
     tok AS (
-      SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents),
+      SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents{where}),
     sig AS (
       SELECT doc_id,
              {', '.join(f"min(md5('{i}|' || w)) AS s{i}" for i in range(_N_SIG))}
@@ -654,12 +656,10 @@ def _minhash_candidates(documents):
     )
 
 
-@register(
-    "dedup_cc_groups",
-    extra=True,
-    sql=f"""
+def _cc_sql(where: str = "") -> str:
+    return f"""
     WITH RECURSIVE
-    {_minhash_cand_sql()},
+    {_minhash_cand_sql(where)},
     nodes AS (SELECT da AS node FROM cand UNION SELECT db FROM cand),
     edges AS (SELECT da AS src, db AS dst FROM cand
               UNION ALL SELECT db, da FROM cand),
@@ -674,11 +674,20 @@ def _minhash_candidates(documents):
            max(group_size)                  AS max_group_size,
            round(sum(group_size) * 1.0 / count(*), {_DP_CC}) AS avg_group_size
     FROM groups
-    """,
-)
+    """
+
+
+@register("dedup_cc_groups", extra=True, sql=_cc_sql())
 def dedup_cc_groups(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    cand = _minhash_candidates(t.documents).cache()
+    return _cc_groups(t.documents)
+
+
+def _cc_groups(documents):
+    """CC stats over the MinHash candidate graph of ``documents`` — factored
+    out so the sampled 100x tier (catalog/sampled.py) can run the identical
+    plan on a deterministic corpus subset."""
+    cand = _minhash_candidates(documents).cache()
     nodes = cand.select(F.col("da").alias("node")).union(cand.select("db")).distinct()
     edges = cand.select(F.col("da").alias("src"), F.col("db").alias("dst"))
     edges = edges.union(
@@ -734,12 +743,11 @@ def dedup_cc_groups(spark, sf_dir):
 # OUTPUT is ~300M pairs by construction and group/count-shaped operators
 # (dedup_cc_groups, dedup_minhash_lsh) are the right semantics instead.
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_prefix_jaccard",
-    extra=True,
-    sql=f"""
+def _prefix_jaccard_sql(where: str = "") -> str:
+    return f"""
     WITH arr AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents),
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+      FROM documents{where}),
     toks AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(a) - 1),
@@ -774,13 +782,22 @@ def dedup_cc_groups(spark, sf_dir):
     FROM inter
     WHERE 9 * n_shared >= 4 * (sa + sb)
     ORDER BY da, db
-    """,
-)
+    """
+
+
+@register("dedup_prefix_jaccard", extra=True, sql=_prefix_jaccard_sql())
 def dedup_prefix_jaccard(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return _prefix_jaccard(t.documents)
+
+
+def _prefix_jaccard(documents):
+    """Exact PPJoin over ``documents`` — factored out so the sampled 100x
+    tier (catalog/sampled.py) can bound the quadratic pair output by
+    restricting the corpus deterministically."""
     from pyspark.sql import Window as W
 
-    t = Tables(spark, sf_dir)
-    arr = t.documents.select(
+    arr = documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
     ).filter(F.size("a") >= 3)
     toks = arr.select(

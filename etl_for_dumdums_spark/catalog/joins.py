@@ -398,10 +398,9 @@ def join_semi_anti(spark, sf_dir):
 _RANGE_BUCKET_SEC = 3600
 
 
-@register(
-    "join_range_interval",
-    sql=f"""
-    WITH e AS (SELECT event_id, event_type, ts FROM events),
+def _range_interval_sql(where: str = "") -> str:
+    return f"""
+    WITH e AS (SELECT event_id, event_type, ts FROM events{where}),
     f AS (
       SELECT e1.event_id, e1.event_type, count(e2.event_id) AS n_follow
       FROM e e1 LEFT JOIN e e2
@@ -413,12 +412,20 @@ _RANGE_BUCKET_SEC = 3600
            max(n_follow) AS max_follows,
            CAST(sum(n_follow) AS BIGINT) AS total_pairs
     FROM f GROUP BY event_type ORDER BY event_type
-    """,
-    extra=True,
-)
+    """
+
+
+@register("join_range_interval", sql=_range_interval_sql(), extra=True)
 def join_range_interval(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    e = t.events.select("event_id", "event_type", "ts")
+    return _range_interval(t.events)
+
+
+def _range_interval(events):
+    """Bucketed range self-join over ``events`` — factored out so the
+    sampled 100x tier (catalog/sampled.py) can run the identical plan on a
+    deterministic event subset."""
+    e = events.select("event_id", "event_type", "ts")
     bkt = F.floor(F.unix_timestamp("ts") / _RANGE_BUCKET_SEC)
     # left explodes into the two buckets its 1h window can overlap
     left = e.select(

@@ -72,11 +72,22 @@ def test_triangle_joins_are_broadcast_on_the_edge_frame(spark):
     assert "Window" not in plan
 
 
-def test_sequence_pattern_is_one_aggregate_no_window(spark):
+def test_sequence_pattern_caps_state_before_collect_list(spark):
+    """r3 verdict finding #1: the _SEQ_CAP must be applied BEFORE the
+    collect_list aggregation (row_number pre-filter, spillable sort +
+    counter), so per-user aggregation-buffer state is O(_SEQ_CAP) — the old
+    slice-after-collect_list shape materialized each user's full event list
+    in the agg buffer."""
     from etl_for_dumdums_spark.catalog.behavior import events_sequence_pattern
 
     plan = _physical(events_sequence_pattern(spark, SF_SMOKE))
-    assert "Window" not in plan
+    wins = re.findall(r"Window \[[^\n]*", plan)
+    assert wins, "expected the row_number pre-filter window"
+    for w in wins:
+        assert "user_id" in w, w
+    # the cap filter must sit between the window and the collect_list agg
+    assert "row_number" in plan
+    assert "collect_list" in plan
     assert "CartesianProduct" not in plan
 
 

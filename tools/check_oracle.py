@@ -25,6 +25,8 @@ from etl_for_dumdums_spark.catalog import (  # noqa: E402
     EXTRA_QUERIES,
     ORACLE,
     QUERIES,
+    SAMPLED_ORACLE,
+    SAMPLED_QUERIES,
     TABLE_NAMES,
     load_all,
 )
@@ -154,12 +156,23 @@ def main():
         default="",
         help="comma-separated query names to skip (e.g. row-scaled outputs on scale-up data)",
     )
+    ap.add_argument(
+        "--sampled",
+        action="store_true",
+        help="check the deterministic key-sampled at-scale tier "
+        "(catalog/sampled.py) instead of the full catalog",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     load_all()
-    queries = dict(QUERIES) if args.driver_only else {**QUERIES, **EXTRA_QUERIES}
-    oracle = dict(ORACLE) if args.driver_only else {**ORACLE, **EXTRA_ORACLE}
+    if args.sampled:
+        queries, oracle = dict(SAMPLED_QUERIES), dict(SAMPLED_ORACLE)
+    elif args.driver_only:
+        queries, oracle = dict(QUERIES), dict(ORACLE)
+    else:
+        queries = {**QUERIES, **EXTRA_QUERIES}
+        oracle = {**ORACLE, **EXTRA_ORACLE}
     names = args.names or sorted(queries)
     excluded = {n for n in args.exclude.split(",") if n}
     names = [n for n in names if n not in excluded]
