@@ -15,7 +15,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from etl_for_dumdums_spark.catalog import EXTRA_QUERIES, QUERIES, load_all
+from etl_for_dumdums_spark.catalog import (
+    EXTRA_ORACLE,
+    EXTRA_QUERIES,
+    ORACLE,
+    QUERIES,
+    TABLE_NAMES,
+    load_all,
+)
 from etl_for_dumdums_spark.session import get_spark
 
 # Headline set: one representative per operator family (kept in sync with
@@ -38,6 +45,42 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_quality_score",
 ]
+
+
+def duckdb_control(sf_dir: str, names: list[str], n_runs: int) -> float:
+    """Best-of-N total of the headline queries' DuckDB oracles, in-process.
+
+    This is NOT a competitor number — it is a box-state normalizer: the
+    identical single-process workload timed alongside the Spark bench, so a
+    uniform cross-round drift in `value` (cold JVM, CPU contention, thermal
+    state) shows up in `duckdb_control_sec` too and round-over-round
+    comparisons can use the ratio (r3 verdict item #2: the apparent 51%
+    r2→r3 regression needed a manual control experiment to dismiss as box
+    noise)."""
+    import duckdb
+
+    oracle = {**ORACLE, **EXTRA_ORACLE}
+    con = duckdb.connect()
+    for tname in TABLE_NAMES:
+        tpath = f"{sf_dir}/{tname}.parquet"
+        src = f"{tpath}/*.parquet" if os.path.isdir(tpath) else tpath
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{src}')")
+    total = 0.0
+    for name in names:
+        if name not in oracle:
+            continue
+
+        def run_once() -> float:
+            t0 = time.time()
+            con.execute(oracle[name]).fetchall()
+            return time.time() - t0
+
+        try:
+            total += min(run_once() for _ in range(n_runs))
+        except Exception as exc:  # pragma: no cover
+            print(f"bench: duckdb control {name} failed: {exc}", file=sys.stderr)
+    con.close()
+    return round(total, 3)
 
 
 def main() -> None:
@@ -81,6 +124,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    control = duckdb_control(sf_dir, names, n_runs)
     print(
         json.dumps(
             {
@@ -89,6 +133,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # box-state normalizer: same 16 oracles in single-process
+                # DuckDB, best-of-N — compare rounds by value/control ratio
+                "duckdb_control_sec": control,
+                "spark_over_duckdb_ratio": (
+                    round(total / control, 2) if control > 0 else None
+                ),
             }
         )
     )
