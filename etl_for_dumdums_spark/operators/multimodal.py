@@ -317,8 +317,18 @@ def decode_pcm16(payload: bytes):
 def downsample_pcm16(payload: bytes, factor: int) -> bytes:
     """Every-factor-th-sample decimation (no filter) — deterministic integer
     index map, rate divided by the factor; the audio analogue of the
-    nearest-neighbor RGB8 resize."""
+    nearest-neighbor RGB8 resize.
+
+    ``factor`` must divide the sample rate exactly: the decimation semantic
+    only holds for integer divisors (16000 Hz / 3 would silently truncate
+    to 5333 Hz and every rate-derived stat — duration_ms, RMS windows —
+    would drift from the true sample spacing; r3 advice finding #5)."""
     rate, a = decode_pcm16(payload)
+    if factor <= 0 or rate % factor != 0:
+        raise ValueError(
+            f"factor {factor} must be a positive exact divisor of rate {rate} "
+            "— non-integer output rates break every rate-derived stat"
+        )
     return encode_pcm16(a[::factor], rate // factor)
 
 

@@ -45,7 +45,13 @@ def ranged_prefix(
 
     ``sum_cols`` must be integer-typed; prefix sums are exact BIGINT.
     The returned frame is cached (it is consumed at least twice: once for
-    the offset collect, once downstream).
+    the offset collect, once downstream) and stays pinned for the life of
+    the returned DataFrame: the offsets were collected from ONE evaluation
+    of the range partitioning, so the downstream consumer must see that
+    same evaluation. Callers running many queries in one session should
+    ``spark.catalog.clearCache()`` (or ``.unpersist()`` the result's
+    lineage) after their terminal action — bench.py and
+    tools/check_oracle.py both do.
     """
     ranged = (
         df.repartitionByRange(nparts, *order_cols)

@@ -235,6 +235,16 @@ def session_event_stream(
     closes sessions and evicts their state once no on-time event can still
     merge into them (bounded state on an unbounded stream — without it the
     open-session map grows with the user population forever).
+
+    Output mode is APPEND — the only mode under which the eviction claim
+    above is true: each session is emitted exactly once, when the watermark
+    passes its end, and its state is then dropped. (complete mode would
+    force Spark to retain every session's aggregate forever and
+    re-materialize the full result each trigger — r3 advice finding #1.)
+    The corollary callers must know: a session is only emitted after a
+    LATER batch advances the watermark past ``session_end + watermark``;
+    still-open or not-yet-finalized sessions are absent from the sink until
+    then.
     """
     events = spark.readStream.schema(schema).parquet(path)
     agg = (
@@ -251,7 +261,7 @@ def session_event_stream(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

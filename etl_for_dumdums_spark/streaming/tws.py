@@ -65,14 +65,26 @@ def milestone_stream(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     )
 
 
-def tws_available() -> bool:
+def tws_available(spark=None) -> bool:
     """transformWithStateInPandas needs two things this container may lack:
     the protobuf python package (the state-server protocol) and the RocksDB
-    state store provider. Gate tests on this — same honest-environment-gate
-    pattern as the real-Delta merge leg (tests/test_delta_real.py)."""
+    state store provider class on the JVM classpath. Both are probed — a
+    host with protobuf but no RocksDB provider must SKIP, not fail at
+    stream start (r3 advice finding #3). ``spark`` is optional: without an
+    active session the JVM probe is skipped (the provider ships in every
+    stock Spark 4 distribution; the protobuf package is the usual gap).
+    Gate tests on this — same honest-environment-gate pattern as the
+    real-Delta merge leg (tests/test_delta_real.py)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
     except ImportError:
         return False
+    if spark is not None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        except Exception:
+            return False
+    return True

@@ -88,9 +88,18 @@ def test_pcm16_roundtrip_and_downsample():
     rate, back = decode_pcm16(payload)
     assert rate == 16000
     assert (back == a).all()
-    r2, dec = decode_pcm16(downsample_pcm16(payload, 3))
-    assert r2 == 16000 // 3
-    assert list(dec) == [0, 32767]
+    r2, dec = decode_pcm16(downsample_pcm16(payload, 4))
+    assert r2 == 4000
+    assert list(dec) == [0, -32768]
+
+    # non-divisor factors are rejected: 16000/3 would silently truncate to
+    # 5333 Hz and every rate-derived stat would drift
+    import pytest
+
+    with pytest.raises(ValueError):
+        downsample_pcm16(payload, 3)
+    with pytest.raises(ValueError):
+        downsample_pcm16(payload, 0)
 
 
 def test_pcm16_codec_gate():

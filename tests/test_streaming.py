@@ -229,7 +229,13 @@ def test_merge_stream_sink_exactly_once_state(spark, tmp_path):
 
 def test_session_event_stream_matches_batch(spark, tmp_path):
     """Streaming session_window must produce the identical per-session frame
-    as the batch gap rule events_session_native aggregates over."""
+    as the batch gap rule events_session_native aggregates over.
+
+    The sink is APPEND mode (bounded state — complete mode would retain
+    every session forever), so sessions only emit once the watermark passes
+    their end: a second micro-batch carrying one far-future sentinel event
+    advances the watermark past all real sessions, which then emit exactly
+    once; the sentinel's own still-open session stays unemitted."""
     from etl_for_dumdums_spark.catalog import Tables
     from etl_for_dumdums_spark.streaming import session_event_stream
 
@@ -240,6 +246,19 @@ def test_session_event_stream_matches_batch(spark, tmp_path):
 
     q = session_event_stream(spark, stream_dir, schema, query_name="t_sessions")
     try:
+        q.processAllAvailable()
+        # only sessions already past the 3-day watermark have finalized;
+        # the tail (last 3 days of data) must still be open state
+        n_first = spark.sql("SELECT * FROM t_sessions").count()
+        max_ts = src.agg(F.max("ts")).collect()[0][0]
+        sentinel = (
+            src.limit(1)
+            .withColumn("user_id", F.lit(-999999).cast(src.schema["user_id"].dataType))
+            .withColumn(
+                "ts", (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).cast("timestamp")
+            )
+        )
+        sentinel.write.mode("append").parquet(stream_dir)
         q.processAllAvailable()
         got = sorted(
             (r["user_id"], str(r["session_start"]), r["n_events"], r["dur_us"])
@@ -259,6 +278,7 @@ def test_session_event_stream_matches_batch(spark, tmp_path):
         .collect()
     )
     expected = sorted((r["user_id"], str(r["win"]["start"]), r["n"], r["d"]) for r in batch)
+    assert n_first < len(expected)  # append mode: tail sessions were still open
     assert got == expected
     assert len(got) > 0
     assert any(n > 1 for _, _, n, _ in got)  # multi-event sessions exist

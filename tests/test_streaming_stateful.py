@@ -133,10 +133,12 @@ def test_transform_with_state_milestones_across_batches(spark, tmp_path):
 
     from .conftest import SF_SMOKE
 
-    if not tws_available():
+    if not tws_available(spark):
         pytest.skip(
             "transformWithStateInPandas needs the protobuf package "
-            "(state-server protocol) — not installed in this container"
+            "(state-server protocol; not installed in this container — "
+            "pyspark 4.x lists it under the optional [connect] extra) AND "
+            "the RocksDB state store provider on the JVM classpath"
         )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

@@ -250,6 +250,11 @@ def main():
         else:
             print(f"FAIL {name}: " + " | ".join(msgs))
             n_fail += 1
+        # drop caches the query pinned (ranged_prefix's range-partitioned
+        # frame, LSH candidate sets, …): a full-catalog sweep would
+        # otherwise accumulate dozens of cached RDDs and lean on LRU
+        # eviction under memory pressure (r3 advice finding #4)
+        spark.catalog.clearCache()
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only of {len(names)}")
     return 1 if n_fail else 0
