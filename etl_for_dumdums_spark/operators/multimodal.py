@@ -1,9 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio codecs, so the decode kernels are STUBS —
-``decode_image`` raises NotImplementedError unless a deterministic fake is
-requested — but everything Spark-side is real and tested: schemas, Arrow
-batch shapes, mapInPandas signatures, and partition-size control.
+Decode support comes in three honest tiers:
+
+* REAL codecs, zero dependencies (operators/codecs.py): PNG (8-bit
+  RGB/RGBA, all five scanline filters — zlib is stdlib) and WAV (RIFF
+  PCM16). ``decode_image`` / ``resize_payload`` / ``rgb_stats`` /
+  ``pcm_stats`` route these to full decodes.
+* REAL raw kernels: the self-describing RGB8/PCM1 formats below (what a
+  production decode stage emits) — numpy only.
+* STUBS behind NotImplementedError: everything else (JPEG/mp3/video
+  codecs need PIL/opencv/ffmpeg, absent here); ``fake=True`` gives a
+  deterministic digest-derived stand-in so pipelines and tests exercise
+  the full Spark path with realistic shapes.
+
+Everything Spark-side is real and tested regardless of tier: schemas,
+Arrow batch shapes, mapInPandas signatures, and partition-size control.
 
 Scale notes: binary payloads dominate partition size, so ``repartition`` by
 target bytes before the UDF (maxPartitionBytes alone under-splits mixed
@@ -44,18 +55,43 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode an image payload to a feature vector.
+def image_payload_to_array(payload: bytes):
+    """Route an image payload to a REAL decode: PNG (operators/codecs.py)
+    or self-describing RGB8 raw. Returns (h, w, ch) uint8. Raises
+    NotImplementedError for codec formats without an in-container decoder
+    (JPEG/WebP/...) — the honest gate."""
+    from .codecs import decode_png, is_png
 
-    STUB: real decoding needs PIL/opencv (not in this container). With
-    ``fake=True`` returns a deterministic 8-dim feature derived from the
-    payload digest — stable across runs and engines, so pipelines and tests
-    exercise the full Spark path with realistic shapes.
+    if is_png(payload):
+        return decode_png(bytes(payload))
+    return decode_rgb_raw(bytes(payload) if payload is not None else None)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode an image payload to an 8-dim feature vector.
+
+    REAL for PNG and RGB8-raw payloads: per-channel means + brightness +
+    normalized dimensions, all deterministic byte arithmetic. With
+    ``fake=True`` returns a digest-derived stand-in instead (the pre-codec
+    behavior, kept for pipeline-shape tests). Other formats (JPEG/WebP)
+    raise NotImplementedError — decoding them needs PIL/opencv.
     """
-    if not fake:
-        raise NotImplementedError("image codecs unavailable in this environment")
-    digest = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in digest[:8]]
+    if fake:
+        digest = hashlib.sha256(payload or b"").digest()
+        return [b / 255.0 for b in digest[:8]]
+    a = image_payload_to_array(payload)
+    h, w = a.shape[:2]
+    rgb = a[:, :, :3].reshape(-1, 3).mean(axis=0)
+    return [
+        float(rgb[0]) / 255.0,
+        float(rgb[1]) / 255.0,
+        float(rgb[2]) / 255.0,
+        float(rgb.mean()) / 255.0,
+        min(w / 65535.0, 1.0),
+        min(h / 65535.0, 1.0),
+        a.shape[2] / 4.0,
+        1.0,
+    ]
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -130,16 +166,28 @@ RESIZE_SCHEMA = T.StructType(
 def resize_payload(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
     """Resize an image payload.
 
-    STUB: real resizing needs PIL/opencv (not in this container). With
-    ``fake=True`` returns a deterministic pseudo-payload sized
-    proportionally to the target area, derived from the source digest — so
-    downstream size/batch behavior is realistic and reproducible."""
-    if not fake:
-        raise NotImplementedError("image codecs unavailable in this environment")
-    seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
-    target_len = max(16, (width * height) // 64)
-    reps = target_len // len(seed) + 1
-    return (seed * reps)[:target_len]
+    REAL for PNG (decode → nearest-neighbor → re-encode PNG, format
+    preserved) and RGB8-raw payloads; deterministic integer index maps so
+    every engine/run produces identical bytes. With ``fake=True`` returns
+    a digest-derived pseudo-payload sized proportionally to the target
+    area (kept for pipeline-shape tests). Other formats raise
+    NotImplementedError — decoding them needs PIL/opencv."""
+    if fake:
+        seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
+        target_len = max(16, (width * height) // 64)
+        reps = target_len // len(seed) + 1
+        return (seed * reps)[:target_len]
+    from .codecs import encode_png, is_png
+
+    if is_png(payload):
+        import numpy as np
+
+        a = image_payload_to_array(payload)
+        sh, sw = a.shape[:2]
+        yi = (np.arange(height, dtype=np.int64) * sh) // height
+        xi = (np.arange(width, dtype=np.int64) * sw) // width
+        return encode_png(a[yi][:, xi])
+    return resize_rgb_raw(payload, width, height)
 
 
 def resize_images(
@@ -226,11 +274,13 @@ def resize_rgb_raw(payload: bytes, width: int, height: int) -> bytes:
 
 
 def rgb_stats(media: DataFrame) -> DataFrame:
-    """mapInPandas REAL feature extraction for raw RGB8 rows: decoded
-    dimensions + per-channel means + brightness, one vectorized numpy
-    reduction per image. Non-raw payloads pass through with NULLs (they
-    belong to the codec-gated path)."""
+    """mapInPandas REAL feature extraction for RGB8-raw AND PNG rows:
+    decoded dimensions + per-channel means + brightness, one vectorized
+    numpy reduction per image. Payloads without an in-container decoder
+    (JPEG/WebP/...) pass through with NULLs — the honest gate."""
     import numpy as np
+
+    from .codecs import is_png
 
     schema = T.StructType(
         [
@@ -248,10 +298,12 @@ def rgb_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p is None or bytes(p[:4]) != RAW_RGB_MAGIC:
+                if p is None or not (
+                    bytes(p[:4]) == RAW_RGB_MAGIC or is_png(bytes(p[:8]))
+                ):
                     rows.append((mid, None, None, None, None, None, None))
                     continue
-                a = decode_rgb_raw(bytes(p))
+                a = image_payload_to_array(bytes(p))[:, :, :3]
                 means = a.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     (
@@ -332,11 +384,31 @@ def downsample_pcm16(payload: bytes, factor: int) -> bytes:
     return encode_pcm16(a[::factor], rate // factor)
 
 
+def audio_payload_to_pcm(payload: bytes):
+    """Route an audio payload to a REAL decode → (rate, mono int16 array):
+    PCM1 raw as-is; WAV (operators/codecs.py) with multi-channel frames
+    mixed down by exact integer average (sum // channels — deterministic).
+    Other formats (mp3/ogg/...) raise NotImplementedError."""
+    from .codecs import decode_wav, is_wav
+
+    if is_wav(payload):
+        import numpy as np
+
+        rate, ch, frames = decode_wav(bytes(payload))
+        if ch == 1:
+            return rate, frames.reshape(-1)
+        mono = frames.astype(np.int64).sum(axis=1) // ch
+        return rate, mono.astype("<i2")
+    return decode_pcm16(bytes(payload) if payload is not None else None)
+
+
 def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
-    """mapInPandas REAL per-clip stats for raw PCM16 rows: duration (exact
-    integer ms), RMS (isqrt of the mean square — integer), zero crossings
-    (strict sign products < 0), peak amplitude, and samples at/above the
-    clipping threshold. Non-raw payloads pass through with NULLs."""
+    """mapInPandas REAL per-clip stats for raw-PCM16 AND WAV rows: duration
+    (exact integer ms), RMS (isqrt of the mean square — integer), zero
+    crossings (strict sign products < 0), peak amplitude, and samples
+    at/above the clipping threshold. WAV multi-channel clips are integer-
+    mixed to mono first (audio_payload_to_pcm). Payloads without an
+    in-container decoder pass through with NULLs."""
     import math
 
     import numpy as np
@@ -354,14 +426,18 @@ def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
         ]
     )
 
+    from .codecs import is_wav
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p is None or bytes(p[:4]) != RAW_PCM_MAGIC:
+                if p is None or not (
+                    bytes(p[:4]) == RAW_PCM_MAGIC or is_wav(bytes(p[:12]))
+                ):
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
-                rate, a = decode_pcm16(bytes(p))
+                rate, a = audio_payload_to_pcm(bytes(p))
                 x = a.astype(np.int64)
                 n = int(x.shape[0])
                 ssq = int((x * x).sum())

@@ -1,0 +1,223 @@
+"""Real PNG/WAV codec tests (operators/codecs.py) and their wiring into the
+multimodal kernels. No external codec libs — PNG is zlib (stdlib) +
+un-filtering, WAV is RIFF parsing; both are verified against independently
+constructed byte streams, not just our own encoder's output."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_for_dumdums_spark.operators.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    is_png,
+    is_wav,
+)
+
+
+def _rng_image(h, w, ch, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+def test_png_roundtrip_rgb_and_rgba():
+    for ch in (3, 4):
+        img = _rng_image(13, 17, ch)
+        back = decode_png(encode_png(img))
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+
+def _paeth_ref(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_scanline(ftype, raw_row, prev_row, ch):
+    """Independent reference implementation of PNG scanline FILTERING (the
+    encoder direction), so the decoder's un-filtering is checked against
+    the spec, not against itself."""
+    stride = len(raw_row)
+    out = bytearray()
+    for x in range(stride):
+        left = raw_row[x - ch] if x >= ch else 0
+        up = prev_row[x]
+        ul = prev_row[x - ch] if x >= ch else 0
+        if ftype == 0:
+            v = raw_row[x]
+        elif ftype == 1:
+            v = raw_row[x] - left
+        elif ftype == 2:
+            v = raw_row[x] - up
+        elif ftype == 3:
+            v = raw_row[x] - (left + up) // 2
+        else:
+            v = raw_row[x] - _paeth_ref(left, up, ul)
+        out.append(v % 256)
+    return bytes(out)
+
+
+def test_png_decodes_all_five_filter_types():
+    """Build a PNG by hand whose five scanlines use filters 0..4 — the
+    shape other encoders actually emit — and check the decode is exact."""
+    img = _rng_image(5, 9, 3, seed=42)
+    h, w, ch = img.shape
+    raw = b""
+    prev = bytes(w * ch)
+    for y in range(h):
+        row = img[y].tobytes()
+        raw += bytes([y]) + _filter_scanline(y, row, prev, ch)
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    back = decode_png(payload)
+    assert (back == img).all()
+
+
+def test_png_multiple_idat_chunks():
+    """Spec allows IDAT split anywhere in the zlib stream."""
+    img = _rng_image(6, 6, 3, seed=3)
+    full = encode_png(img)
+    # re-split the single IDAT into two chunks
+    sig, rest = full[:8], full[8:]
+    (ihdr_len,) = struct.unpack_from(">I", rest, 0)
+    ihdr = rest[: 12 + ihdr_len]
+    (idat_len,) = struct.unpack_from(">I", rest, 12 + ihdr_len)
+    idat_body = rest[12 + ihdr_len + 8 : 12 + ihdr_len + 8 + idat_len]
+    half = len(idat_body) // 2
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rebuilt = (
+        sig
+        + ihdr
+        + chunk(b"IDAT", idat_body[:half])
+        + chunk(b"IDAT", idat_body[half:])
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(rebuilt) == img).all()
+
+
+def test_png_out_of_scope_gates():
+    img = _rng_image(4, 4, 3)
+    good = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(b"JFIF" + good)
+    # palette color type (3) is out of scope — honest NotImplementedError
+    pal = bytearray(good)
+    # IHDR body starts at 8 (sig) + 8 (len+tag); color type is byte 9 of body
+    pal[8 + 8 + 9] = 3
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(pal))
+    assert is_png(good) and not is_png(b"nope")
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = np.array([0, 1000, -2000, 32767, -32768], dtype=np.int16)
+    rate, ch, back = decode_wav(encode_wav(mono, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert (back.reshape(-1) == mono).all()
+
+    stereo = np.array([[100, -100], [2000, 4000], [-32768, 32767]], dtype=np.int16)
+    rate, ch, back = decode_wav(encode_wav(stereo, 44100, channels=2))
+    assert (rate, ch) == (44100, 2)
+    assert (back == stereo).all()
+
+
+def test_wav_out_of_scope_gates():
+    payload = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
+    # fmt audio_format field (offset 20) → 3 (IEEE float): out of scope
+    struct.pack_into("<H", payload, 20, 3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    assert is_wav(encode_wav(np.zeros(2, dtype=np.int16), 8000))
+    assert not is_wav(b"RIFFxxxxAVI ")
+
+
+def test_audio_payload_to_pcm_mixdown():
+    from etl_for_dumdums_spark.operators.multimodal import audio_payload_to_pcm
+
+    stereo = np.array([[100, 200], [-501, 500], [32767, 32767]], dtype=np.int16)
+    rate, mono = audio_payload_to_pcm(encode_wav(stereo, 22050, channels=2))
+    assert rate == 22050
+    # exact integer average with floor division: (-501+500)//2 == -1
+    assert list(mono) == [150, -1, 32767]
+
+
+def test_decode_image_real_feature_and_resize_png():
+    from etl_for_dumdums_spark.operators.multimodal import (
+        decode_image,
+        resize_payload,
+    )
+
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red
+    feat = decode_image(encode_png(img))
+    assert feat[0] == 1.0 and feat[1] == 0.0 and feat[2] == 0.0
+    assert feat[3] == pytest.approx(255 / 3 / 255)
+
+    resized = resize_payload(encode_png(img), 5, 4)
+    assert is_png(resized)
+    back = decode_png(resized)
+    assert back.shape == (4, 5, 3)
+    assert (back[:, :, 0] == 255).all() and (back[:, :, 1] == 0).all()
+
+
+def test_rgb_and_pcm_stats_decode_real_codec_payloads(spark):
+    from etl_for_dumdums_spark.operators.multimodal import (
+        encode_rgb_raw,
+        pcm_stats,
+        rgb_stats,
+    )
+
+    img = _rng_image(8, 8, 3, seed=1)
+    rows = [
+        (1, "image", bytearray(encode_png(img))),
+        (2, "image", bytearray(encode_rgb_raw(img))),
+        (3, "image", bytearray(b"JPEG-ish-junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in rgb_stats(df).collect()}
+    # PNG and RGB8 raw of the SAME pixels must produce identical stats
+    assert got[1]["dec_width"] == got[2]["dec_width"] == 8
+    assert got[1]["mean_r"] == got[2]["mean_r"]
+    assert got[1]["brightness"] == got[2]["brightness"]
+    assert got[3]["dec_width"] is None
+
+    stereo = np.array([[1000, 3000], [-2000, -4000], [0, 0]], dtype=np.int16)
+    arows = [(10, "audio", bytearray(encode_wav(stereo, 8000, channels=2)))]
+    adf = spark.createDataFrame(arows, "media_id long, kind string, payload binary")
+    a = pcm_stats(adf).collect()[0]
+    # mixdown: [2000, -3000, 0]; duration 3 frames @ 8 kHz
+    assert a["n_samples"] == 3
+    assert a["peak"] == 3000
+    assert a["zero_cross"] == 1
+    assert a["duration_ms"] == 3 * 1000 // 8000
