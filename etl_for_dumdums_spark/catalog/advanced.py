@@ -1043,3 +1043,96 @@ def mm_audio_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_codec_roundtrip — the REAL codec layer (operators/codecs.py) under the
+# full value oracle. Each sampled document deterministically synthesizes a
+# 16x16 RGB image (pixel i = (doc_id*31 + i*7) % 256) and a 256-sample
+# int16 clip (sample i = (doc_id*13 + i*11) % 65536 - 32768), pushes them
+# through the HONEST production path — encode_png → PNG bytes → decode_png
+# (zlib inflate + un-filtering), encode_wav → RIFF bytes → decode_wav — and
+# reduces each decoded asset to exact integer sums. The oracle restates the
+# same integers in closed form, so a single flipped byte anywhere in either
+# codec breaks the hash: the roundtrip is PROVEN lossless on every sampled
+# doc, per run, in both engines' eyes.
+#
+# Scale design (100 TB): payload bytes never leave the executors (each
+# asset reduces to two integers inside the Arrow batch); the deterministic
+# doc_id % 50 sample bounds per-task Python work; the only shuffle is the
+# one-row global aggregate.
+# ---------------------------------------------------------------------------
+_CODEC_MOD = 50
+_CODEC_PX = 16 * 16 * 3
+_CODEC_SAMP = 256
+
+
+@register(
+    "mm_codec_roundtrip",
+    extra=True,
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_CODEC_MOD} = 0),
+    per AS (
+      SELECT doc_id,
+             CAST(sum((doc_id * 31 + t.i * 7) % 256) AS BIGINT) AS px_sum
+      FROM ids, unnest(generate_series(0, {_CODEC_PX} - 1)) AS t(i)
+      GROUP BY doc_id),
+    pera AS (
+      SELECT doc_id,
+             CAST(sum((doc_id * 13 + t.i * 11) % 65536 - 32768) AS BIGINT)
+               AS samp_sum
+      FROM ids, unnest(generate_series(0, {_CODEC_SAMP} - 1)) AS t(i)
+      GROUP BY doc_id)
+    SELECT CAST(count(*) AS BIGINT)       AS n_assets,
+           CAST(sum(px_sum) AS BIGINT)    AS total_px_sum,
+           CAST(min(px_sum) AS BIGINT)    AS min_px_sum,
+           CAST(max(px_sum) AS BIGINT)    AS max_px_sum,
+           CAST(sum(samp_sum) AS BIGINT)  AS total_samp_sum,
+           CAST(min(samp_sum) AS BIGINT)  AS min_samp_sum,
+           CAST(max(samp_sum) AS BIGINT)  AS max_samp_sum
+    FROM per JOIN pera USING (doc_id)
+    """,
+)
+def mm_codec_roundtrip(spark, sf_dir):
+    import pandas as pd  # noqa: F811
+
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") % _CODEC_MOD == 0)
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from ..operators.codecs import (
+            decode_png,
+            decode_wav,
+            encode_png,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            out_ids, px_sums, samp_sums = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(_CODEC_PX, dtype=np.int64)
+                px = ((d * 31 + i * 7) % 256).astype(np.uint8).reshape(16, 16, 3)
+                back = decode_png(encode_png(px))
+                j = np.arange(_CODEC_SAMP, dtype=np.int64)
+                samples = ((d * 13 + j * 11) % 65536 - 32768).astype("<i2")
+                _rate, _ch, aback = decode_wav(encode_wav(samples, 16000))
+                out_ids.append(d)
+                px_sums.append(int(back.astype(np.int64).sum()))
+                samp_sums.append(int(aback.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "px_sum": px_sums, "samp_sum": samp_sums}
+            )
+
+    per = ids.mapInPandas(roundtrip, schema="doc_id long, px_sum long, samp_sum long")
+    return per.agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("px_sum").cast("long").alias("total_px_sum"),
+        F.min("px_sum").cast("long").alias("min_px_sum"),
+        F.max("px_sum").cast("long").alias("max_px_sum"),
+        F.sum("samp_sum").cast("long").alias("total_samp_sum"),
+        F.min("samp_sum").cast("long").alias("min_samp_sum"),
+        F.max("samp_sum").cast("long").alias("max_samp_sum"),
+    )
