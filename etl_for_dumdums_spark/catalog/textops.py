@@ -1232,3 +1232,119 @@ def text_bpe_pairs(spark, sf_dir):
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction audit — the privacy staple of every training-data
+# pipeline: find documents carrying emails / phone numbers / IPv4 addresses,
+# count occurrences, and measure the redaction delta (how many characters a
+# replace-all with fixed tags changes). The synthetic corpus carries no PII,
+# so both engines INJECT it identically first (deterministic doc_id
+# arithmetic appends an email to every 7th doc, a 555-phone to every 11th,
+# an IP to every 13th) — the regex machinery then fires on real matches and
+# every count is data-dependent, not trivially zero. Patterns use only the
+# regex subset where Java (Spark) and RE2 (DuckDB) provably agree: literal
+# classes, +/{n} quantifiers, no backrefs, no lookaround.
+#
+# Scale design (100 TB): pure per-row column ops (concat, regexp_count,
+# regexp_replace) — map-side, codegen'd, zero joins; the only shuffle is
+# the per-lang rollup. Redaction delta is exact integer length arithmetic.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PII_PHONE = "555-[0-9]{4}"
+_PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+@register(
+    "text_pii_scan",
+    extra=True,
+    sql=f"""
+    WITH aug AS (
+      SELECT lang,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+               AS t
+      FROM documents),
+    scanned AS (
+      SELECT lang, t,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+             CAST(length(t) AS BIGINT)
+               - CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g')) AS BIGINT) AS redact_delta
+      FROM aug)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(n_email > 0) AS BIGINT) AS n_email_docs,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(count_if(n_phone > 0) AS BIGINT) AS n_phone_docs,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           CAST(count_if(n_ip > 0) AS BIGINT) AS n_ip_docs,
+           CAST(sum(n_ip) AS BIGINT) AS total_ips,
+           CAST(sum(redact_delta) AS BIGINT) AS total_redact_delta
+    FROM scanned GROUP BY lang ORDER BY lang
+    """,
+)
+def text_pii_scan(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    scanned = t.documents.select("lang", aug.alias("t")).select(
+        "lang",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count("t", F.lit(_PII_IP)).cast("long").alias("n_ip"),
+        (F.length("t") - F.length(redacted)).cast("long").alias("redact_delta"),
+    )
+    return (
+        scanned.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_if(F.col("n_email") > 0).cast("long").alias("n_email_docs"),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.count_if(F.col("n_phone") > 0).cast("long").alias("n_phone_docs"),
+            F.sum("n_phone").cast("long").alias("total_phones"),
+            F.count_if(F.col("n_ip") > 0).cast("long").alias("n_ip_docs"),
+            F.sum("n_ip").cast("long").alias("total_ips"),
+            F.sum("redact_delta").cast("long").alias("total_redact_delta"),
+        )
+        .orderBy("lang")
+    )
