@@ -1348,3 +1348,68 @@ def text_pii_scan(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate audit — the tokenizer-sizing staple: fix
+# the vocabulary at the corpus's top-K tokens (count desc, token asc — a
+# total order, so the set is deterministic), then measure per-language how
+# many token OCCURRENCES fall outside it, in exact ppm. This is the
+# decision input for "is a K-entry vocab enough for each language slice".
+#
+# Scale design (100 TB): token counts are a map-side-combined hash
+# aggregate over the (bounded) vocabulary domain; the top-K cut is K rows;
+# the coverage join broadcasts those K rows against the token stream —
+# one data-sized shuffle (the per-lang rollup), no sort of the full
+# token stream anywhere.
+# ---------------------------------------------------------------------------
+_OOV_VOCAB_K = 50
+
+
+@register(
+    "text_oov_rate",
+    extra=True,
+    sql=f"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+        FROM toks GROUP BY w) WHERE rk <= {_OOV_VOCAB_K}),
+    flagged AS (
+      SELECT t.lang, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(oov) AS BIGINT) AS oov_tokens,
+           CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+)
+def text_oov_rate(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "w", "left").select(
+        "lang", F.when(F.col("_in_vocab").isNull(), 1).otherwise(0).alias("oov")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("total_tokens"),
+            F.sum("oov").cast("long").alias("oov_tokens"),
+            F.expr("CAST(sum(oov) * 1000000 div count(*) AS BIGINT)").alias("oov_ppm"),
+        )
+        .orderBy("lang")
+    )
