@@ -124,7 +124,13 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    control = duckdb_control(sf_dir, names, n_runs)
+    # SPARK_GRAFT_BENCH_CONTROL=0 skips the control (scale-up runs where the
+    # single-process oracle side would dominate wall-clock)
+    control = (
+        duckdb_control(sf_dir, names, n_runs)
+        if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0"
+        else 0.0
+    )
     print(
         json.dumps(
             {
