@@ -160,8 +160,17 @@ def win_top_n_per_group(spark, sf_dir):
     orders = t.orders.withColumn("cents", cents)
     totals = orders.groupBy("o_orderpriority").agg(F.sum("cents").alias("priority_cents"))
     order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    # salt width scales with input size (footer metadata — no job): target
+    # ~1M rows per (priority, salt) local sort, so the per-task sort stays
+    # memory-sized at 600M+ rows instead of growing linearly with the data
+    # (r3: fixed salt 16 left ~7.5M-row local sorts at 1000×, ratio 4.56×).
+    # Any salt >= 1 is correctness-neutral: every true top-N row wins its
+    # own salt bucket; wider salt only shrinks per-task sorts and grows the
+    # (priority × salt × N)-row survivor set, which stays tiny.
+    n_orders = t.row_count("orders")
+    salt = max(_TOPN_SALT, min(4096, n_orders // (5 * 1_000_000) + 1))
     local_w = W.partitionBy(
-        "o_orderpriority", F.pmod(F.col("o_orderkey"), F.lit(_TOPN_SALT))
+        "o_orderpriority", F.pmod(F.col("o_orderkey"), F.lit(salt))
     ).orderBy(*order_cols)
     survivors = (
         orders.withColumn("local_rank", F.row_number().over(local_w))

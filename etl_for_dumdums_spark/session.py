@@ -23,6 +23,13 @@ def get_spark(app_name: str = "etl_for_dumdums_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles wide and let AQE coalesce DOWN: at small SF the
+        # runtime merges the 256 map outputs back to a handful of reducers
+        # (no extra tasks), while 600M-row shuffles (the 1000× probe's
+        # join_agg_then_left) keep real parallelism instead of 32 spilling
+        # 19M-row sort-merge partitions. Cluster equivalent: initial
+        # partition count ~2-3x total cores, advisory size 64MB.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
