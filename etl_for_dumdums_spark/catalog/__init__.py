@@ -182,5 +182,6 @@ def load_all() -> None:
         mining,
         features,
         warehouse,
+        native4,
     )
     from . import sampled  # noqa: F401  (last: wraps already-registered queries)

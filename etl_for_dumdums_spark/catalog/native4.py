@@ -1,0 +1,229 @@
+"""Spark 4 native surfaces as oracled catalog queries.
+
+Four engine capabilities that shipped with Spark 4.x, each expressed as a
+query with a DuckDB oracle twin so the driver's hash comparison covers them:
+
+  * VARIANT semi-structured type (``parse_json`` / ``variant_get``) — the
+    shredded binary-JSON type that replaces per-access string re-parsing.
+  * ``DataFrame.lateralJoin`` — correlated per-row subqueries; Catalyst
+    decorrelates a correlated ORDER BY … LIMIT k into a map-side
+    ``WindowGroupLimit`` + hash join (verified in the plan pin test), NOT a
+    nested loop — the scale-correct top-k-per-key shape.
+  * ``listagg … WITHIN GROUP (ORDER BY …)`` — deterministic ordered string
+    aggregation (SQL:2016), vs DuckDB's ``string_agg(… ORDER BY …)``.
+  * ``DataFrame.transpose`` — presentation-layer row/column flip.
+
+DataSketches HLL (``hll_sketch_agg`` / ``hll_union_agg``) lives in
+tests/test_native4.py instead of an oracle row: no SQL engine can restate
+the DataSketches estimate, so its determinism, merge (union == direct) and
+error-bound properties are pytest-pinned, same policy as
+text_compression_ratio's zlib values.
+
+Reference parity: the reference extracts JSON props in SQL
+(stg_hn__stories.sql-style scalar extraction) and builds per-group top-k
+lists in pandas; these are the Spark-4-native re-expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import Tables, register
+
+# ---------------------------------------------------------------------------
+# VARIANT: build a nested JSON document per event (identically in both
+# engines, from deterministic column arithmetic — same injection pattern as
+# text_pii_scan), parse it ONCE to VARIANT, then take typed paths out of it.
+# The 100 TB story: a string JSON column re-parses on every access; VARIANT
+# parses once into a shredded binary encoding and every ``variant_get`` is a
+# typed offset lookup, so the per-access cost stops scaling with document
+# size. All outputs integer-exact → bit-strict hash.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_variant_json",
+    extra=True,
+    sql="""
+    WITH docs AS (
+      SELECT '{"id":' || event_id || ',"et":"' || event_type ||
+             '","u":{"uid":' || user_id || ',"flags":[' || (event_id % 2) ||
+             ',' || (user_id % 3) || ']},"props":' || coalesce(props, '{}') ||
+             '}' AS js
+      FROM events)
+    SELECT CAST(js ->> '$.et' AS VARCHAR)                         AS event_type,
+           count(*)                                               AS n,
+           CAST(sum(CAST(js ->> '$.u.uid' AS BIGINT)) AS BIGINT)  AS sum_uid,
+           CAST(sum(CAST(js ->> '$.u.flags[1]' AS BIGINT)) AS BIGINT) AS sum_flag1,
+           CAST(sum(CAST(js ->> '$.props.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count_if(js ->> '$.props.k' IS NULL) AS BIGINT)   AS n_missing_k
+    FROM docs
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scalar_variant_json(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    js = F.concat(
+        F.lit('{"id":'),
+        F.col("event_id"),
+        F.lit(',"et":"'),
+        F.col("event_type"),
+        F.lit('","u":{"uid":'),
+        F.col("user_id"),
+        F.lit(',"flags":['),
+        F.col("event_id") % 2,
+        F.lit(","),
+        F.col("user_id") % 3,
+        F.lit(']},"props":'),
+        F.coalesce(F.col("props"), F.lit("{}")),
+        F.lit("}"),
+    )
+    # parse ONCE per row; every extraction below is a typed path into the
+    # shredded VARIANT binary, not a JSON string re-parse per aggregate input
+    # (the scalar_json_extract lesson, solved by the engine type this time)
+    pre = t.events.select(F.parse_json(js).alias("v")).select(
+        F.variant_get("v", "$.et", "string").alias("event_type"),
+        F.variant_get("v", "$.u.uid", "bigint").alias("uid"),
+        F.variant_get("v", "$.u.flags[1]", "bigint").alias("flag1"),
+        F.try_variant_get("v", "$.props.k", "bigint").alias("k"),
+    )
+    return (
+        pre.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("uid").alias("sum_uid"),
+            F.sum("flag1").alias("sum_flag1"),
+            F.sum("k").alias("sum_k"),
+            F.count_if(F.col("k").isNull()).alias("n_missing_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lateralJoin: richest-2 suppliers per nation as a correlated subquery.
+# Catalyst's DecorrelateInnerQuery turns the per-nation ORDER BY + LIMIT 2
+# into WindowGroupLimit(partial) → shuffle → WindowGroupLimit(final) over the
+# supplier side plus a broadcast hash join with nation — i.e. the engine
+# derives the same bounded top-k-per-key plan win_top_n_per_group builds by
+# hand (map-side group-limit prunes to ≤2 rows per key per task BEFORE the
+# shuffle). Plan pinned in tests/test_native4.py.
+# ---------------------------------------------------------------------------
+@register(
+    "join_lateral_topk",
+    extra=True,
+    sql="""
+    SELECT n.n_name AS nation, s.s_suppkey, s.s_name,
+           round(s.s_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_suppkey
+      LIMIT 2) s
+    ORDER BY nation, s_suppkey
+    """,
+)
+def join_lateral_topk(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    per_nation = (
+        t.supplier.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .limit(2)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        t.nation.lateralJoin(per_nation)
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("nation", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# listagg WITHIN GROUP: ordered string aggregation. The aggregation input is
+# pre-bounded to the top-8 customers per segment (row_number ≤ 8 BEFORE the
+# agg — the events_sequence_pattern lesson: cap the input, not the output),
+# so per-group aggregation state is O(8 names), never O(segment size).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_listagg_ordered",
+    extra=True,
+    sql="""
+    WITH top8 AS (
+      SELECT c_mktsegment, c_name, c_acctbal
+      FROM customer
+      QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey) <= 8)
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names,
+           CAST(count(*) AS BIGINT) AS n_listed
+    FROM top8
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_listagg_ordered(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    rn = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    )
+    top8 = t.customer.withColumn("rn", rn).where(F.col("rn") <= 8)
+    return (
+        top8.groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_acctbal DESC, c_name)"
+            ).alias("top_names"),
+            F.count("*").alias("n_listed"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# transpose: per-event-type counters flipped to one column per type. The new
+# column names come from DATA, so transpose necessarily collects the index
+# column to the driver — which is why it is applied strictly AFTER the
+# aggregation has reduced the frame to #event_types rows (5 here; bounded by
+# the domain, not the data volume). Presentation-layer op by design; the
+# event_type domain is fixed so the oracle can state the columns.
+# ---------------------------------------------------------------------------
+@register(
+    "reshape_transpose",
+    extra=True,
+    sql="""
+    SELECT 'n_events' AS key,
+           CAST(count_if(event_type = 'click') AS BIGINT)    AS click,
+           CAST(count_if(event_type = 'error') AS BIGINT)    AS error,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count_if(event_type = 'signup') AS BIGINT)   AS signup,
+           CAST(count_if(event_type = 'view') AS BIGINT)     AS view
+    FROM events
+    UNION ALL
+    SELECT 'n_users',
+           CAST(count(DISTINCT user_id) FILTER (event_type = 'click') AS BIGINT),
+           CAST(count(DISTINCT user_id) FILTER (event_type = 'error') AS BIGINT),
+           CAST(count(DISTINCT user_id) FILTER (event_type = 'purchase') AS BIGINT),
+           CAST(count(DISTINCT user_id) FILTER (event_type = 'signup') AS BIGINT),
+           CAST(count(DISTINCT user_id) FILTER (event_type = 'view') AS BIGINT)
+    FROM events
+    ORDER BY key
+    """,
+)
+def reshape_transpose(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    agg = (
+        t.events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    # transpose sorts the new columns by index value ascending — matches the
+    # oracle's fixed click..view column list for the fixed event_type domain
+    return agg.transpose().orderBy("key")
