@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import Tables, register
-from .dedup import _BANDS, _MAX_BUCKET, _N_SIG
+from .dedup import _MAX_BUCKET, _mh_bands_sql, _mh_sig_select_sql
 from .textops import _hits_sql
 
 _TOK = "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
@@ -56,11 +56,9 @@ _FP = f"md5(array_to_string(list_sort({_TOK}), ' '))"
         SELECT doc_id, unnest({_TOK}) AS w FROM fp)
       WHERE w != ''),
     sig AS (
-      SELECT doc_id,
-             {', '.join(f"min(md5('{i}|' || w)) AS s{i}" for i in range(_N_SIG))}
-      FROM tok GROUP BY doc_id),
+      {_mh_sig_select_sql('tok')}),
     bands AS (
-      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, md5(s{a} || s{b}) AS key FROM sig" for bi, (a, b) in enumerate(_BANDS))}),
+      {_mh_bands_sql()}),
     small AS (
       SELECT doc_id, band, key,
              count(*) OVER (PARTITION BY band, key) AS bucket_size

@@ -35,8 +35,6 @@ def _hits(lang: str):
     return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
 
 
-_MINHASH_N_SIG = 8
-_MINHASH_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
 _MINHASH_MAX_BUCKET = 64  # same escape valve as catalog/dedup.py _MAX_BUCKET
 
 
@@ -45,33 +43,19 @@ def minhash_neardup_candidates(
 ) -> DataFrame:
     """Banded MinHash-LSH candidate pairs (da < db) over a (doc_id, text)
     frame — the reusable operator form of catalog/dedup.py's
-    dedup_minhash_lsh plan: 8 md5-min signatures, 4 bands × 2 rows, one
-    band-struct explode, and buckets above ``max_bucket`` excluded from the
-    O(bucket²) self-join."""
+    dedup_minhash_lsh plan: 8 universal-hash min-signatures over one
+    md5-derived 31-bit token hash (catalog/dedup.py's shared scheme),
+    4 bands × 2 rows, one band-struct explode, and buckets above
+    ``max_bucket`` excluded from the O(bucket²) self-join."""
+    from ..catalog.dedup import _mh_bands, _mh_sig_from_tokens
+
     tok = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         ).alias("w"),
     ).filter(F.col("w") != "")
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"s{i}")
-            for i in range(_MINHASH_N_SIG)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat(F.col(f"s{a}"), F.col(f"s{b}"))).alias("key"),
-            )
-            for bi, (a, b) in enumerate(_MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bands = _mh_bands(_mh_sig_from_tokens(tok))
     sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_size"))
     small = bands.join(
         sizes.filter(F.col("bucket_size") <= max_bucket), ["band", "key"], "inner"
