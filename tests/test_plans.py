@@ -67,12 +67,19 @@ def test_enrich_join_aggregates_before_customer_join(spark):
     assert "struct<c_custkey:bigint,c_nationkey:int>" in plan
 
 
-def test_top_n_salted_two_stage(spark):
-    """win_top_n_per_group runs the salted local-rank stage (partition key
-    includes the salt expression) before the global rank — no unbounded
-    single-partition-per-priority window over the fact table."""
+def test_top_n_group_limit_prunes_map_side(spark):
+    """win_top_n_per_group's rank filter must compile to WindowGroupLimit
+    with a Partial stage BEFORE the exchange — every map task prunes to <= N
+    rows per group locally, so no unbounded single-partition-per-priority
+    sort over the fact table ever materializes."""
     plan = _plan(QUERIES["win_top_n_per_group"](spark, SF_SMOKE))
-    assert "pmod" in plan, "salted local window stage missing"
+    assert plan.count("WindowGroupLimit") >= 2, "map-side group-limit missing"
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange hashpartitioning(o_orderpriority")
+    assert partial != -1 and exchange != -1
+    # toString is top-down: the Partial group-limit is DEEPER than (printed
+    # after) the exchange it feeds
+    assert partial > exchange
     # results still correct: exactly 3 per priority, ranks 1..3
     rows = QUERIES["win_top_n_per_group"](spark, SF_SMOKE).collect()
     by_p = {}
