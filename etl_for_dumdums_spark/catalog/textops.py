@@ -798,15 +798,15 @@ def text_repetition_gopher(spark, sf_dir):
 # define this slice?). Rational idf variant: score = tf * N / df with exact
 # integer inputs and ONE IEEE division (log-based idf would hostage the
 # cross-engine hash to libm differences; exactly-rounded division is
-# bit-identical in both engines). Top-k per language runs the salted
-# two-stage pattern (local top-k per hash-salt partition, then global top-k
-# over k*SALTS survivors) so no single task ever sorts a full language's
-# vocabulary — the same scale fix win_top_n_per_group uses. The DuckDB
-# oracle states the plain window form; results are identical, the salting
-# is pure execution strategy.
+# bit-identical in both engines). Top-k per language compiles to
+# WindowGroupLimit(Partial) on the (lang, term) partitioning the stats agg
+# already produced — each task prunes to <= K rows per language BEFORE the
+# lang exchange, so no single task ever sorts a full language's vocabulary
+# AND no extra full-data shuffle happens (the r1-r3 hand-salted two-stage
+# re-shuffled every scored row onto (lang, salt) first; the engine rewrite
+# made that both redundant and strictly more expensive).
 # ---------------------------------------------------------------------------
 _TFIDF_K = 10
-_TFIDF_SALTS = 32
 
 
 @register(
@@ -853,21 +853,12 @@ def text_tfidf_topterms(spark, sf_dir):
     scored = stats.join(F.broadcast(sizes), "lang").withColumn(
         "score", F.col("tf") * F.col("n_docs_lang") * 1.0 / F.col("df")
     )
-    # stage 1: local top-k inside (lang, salt) — bounds every sort task to
-    # its salt shard of the vocabulary
-    salted = scored.withColumn(
-        "salt", F.pmod(F.xxhash64("term"), F.lit(_TFIDF_SALTS))
-    )
-    wlocal = W.partitionBy("lang", "salt").orderBy(F.desc("score"), F.asc("term"))
-    survivors = (
-        salted.withColumn("lrn", F.row_number().over(wlocal))
-        .filter(F.col("lrn") <= _TFIDF_K)
-        .drop("lrn", "salt")
-    )
-    # stage 2: global top-k over ≤ k * SALTS survivors per language
+    # rank filter → WindowGroupLimit(Partial): each task keeps <= K rows per
+    # language on the agg's existing partitioning, then only tasks*K rows
+    # per language cross the wire for the final rank
     wglobal = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
     return (
-        survivors.withColumn("rn", F.row_number().over(wglobal))
+        scored.withColumn("rn", F.row_number().over(wglobal))
         .filter(F.col("rn") <= _TFIDF_K)
         .select("lang", "term", "tf", "df", "n_docs_lang", R("score").alias("tfidf"), "rn")
         .orderBy("lang", "rn")

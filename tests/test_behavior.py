@@ -93,9 +93,10 @@ def test_funnel_single_shuffle_plan(spark):
     assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}:\n{plan[:2000]}"
 
 
-def test_tfidf_two_stage_equals_plain_window(spark):
-    """The salted two-stage top-k must return exactly the plain-window
-    top-k (salting is execution strategy, not semantics)."""
+def test_tfidf_equals_reference_window_and_group_limits_map_side(spark):
+    """text_tfidf_topterms must return exactly the reference plain-window
+    top-k, and its rank filter must compile to a WindowGroupLimit with a
+    Partial stage (map-side per-language prune before the lang exchange)."""
     from pyspark.sql import Window as W
 
     from etl_for_dumdums_spark.catalog import Tables
@@ -123,6 +124,9 @@ def test_tfidf_two_stage_equals_plain_window(spark):
         .select("lang", "term", "rn")
         .collect()
     )
-    got = text_tfidf_topterms(spark, SF_SMOKE).select("lang", "term", "rn").collect()
+    q = text_tfidf_topterms(spark, SF_SMOKE)
+    got = q.select("lang", "term", "rn").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
     assert len(got) > 0
+    phys = q._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("WindowGroupLimit") >= 2, "map-side group-limit missing"
