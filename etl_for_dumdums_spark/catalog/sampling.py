@@ -250,7 +250,6 @@ def sample_train_split(spark, sf_dir):
 # one-window rule, results identical by construction.
 # ---------------------------------------------------------------------------
 _SAMPLE_K = 20
-_SAMPLE_SALTS = 16
 
 
 @register(
@@ -270,21 +269,17 @@ _SAMPLE_SALTS = 16
     """,
 )
 def sample_k_per_group(spark, sf_dir):
+    # rank filter → WindowGroupLimit(Partial): each scan task prunes to <= K
+    # rows per language before the lang exchange (the engine-native bound
+    # that replaced the r1-r3 hand-salted two-stage window)
     from pyspark.sql import Window as W
 
     t = Tables(spark, sf_dir)
     h = F.expr(_h_spark("concat('kpg:', CAST(doc_id AS STRING))"))
     hashed = t.documents.select("lang", "doc_id", "n_chars", h.alias("_h"))
-    salted = hashed.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_SAMPLE_SALTS)))
-    wlocal = W.partitionBy("lang", "_salt").orderBy("_h", "doc_id")
-    survivors = (
-        salted.withColumn("_lrn", F.row_number().over(wlocal))
-        .filter(F.col("_lrn") <= _SAMPLE_K)
-        .drop("_lrn", "_salt")
-    )
     wglobal = W.partitionBy("lang").orderBy("_h", "doc_id")
     return (
-        survivors.withColumn("rn", F.row_number().over(wglobal))
+        hashed.withColumn("rn", F.row_number().over(wglobal))
         .filter(F.col("rn") <= _SAMPLE_K)
         .select("lang", "rn", "doc_id", "n_chars")
         .orderBy("lang", "rn")
