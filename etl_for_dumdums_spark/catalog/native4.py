@@ -41,7 +41,6 @@ from . import Tables, register
 # ---------------------------------------------------------------------------
 @register(
     "scalar_variant_json",
-    extra=True,
     sql="""
     WITH docs AS (
       SELECT '{"id":' || event_id || ',"et":"' || event_type ||
@@ -109,7 +108,6 @@ def scalar_variant_json(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "join_lateral_topk",
-    extra=True,
     sql="""
     SELECT n.n_name AS nation, s.s_suppkey, s.s_name,
            round(s.s_acctbal, 2) AS acctbal
@@ -181,6 +179,53 @@ def agg_listagg_ordered(spark, sf_dir):
             F.count("*").alias("n_listed"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (SQL:2016 CREATE FUNCTION ... RETURN, Spark 4.0): reusable scalar
+# logic declared IN SQL, inlined by Catalyst at plan time — unlike Python
+# UDFs there is no serialization boundary, so the expression stays inside
+# whole-stage codegen and every pushdown still applies. The reference keeps
+# recode logic in per-model SQL CASE blocks (fct_oura_daily.sql-style); a
+# SQL UDF is the shareable form. The oracle states the inlined expansion —
+# which is exactly what Catalyst executes.
+# ---------------------------------------------------------------------------
+_TIER_CASE = """CASE WHEN {bal} >= 7500 THEN 'platinum'
+                     WHEN {bal} >= 5000 THEN 'gold'
+                     WHEN {bal} >= 1000 THEN 'silver'
+                     WHEN {bal} >= 0    THEN 'bronze'
+                     ELSE 'delinquent' END"""
+
+
+@register(
+    "scalar_sql_udf_tiers",
+    extra=True,
+    sql=f"""
+    SELECT c_mktsegment,
+           {_TIER_CASE.format(bal='c_acctbal')} AS tier,
+           count(*) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def scalar_sql_udf_tiers(spark, sf_dir):
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bal_tier(bal DOUBLE) RETURNS STRING "
+        f"RETURN {_TIER_CASE.format(bal='bal')}"
+    )
+    df = Tables(spark, sf_dir).customer
+    df.createOrReplaceTempView("_sqludf_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               bal_tier(c_acctbal) AS tier,
+               count(*) AS n,
+               round(avg(c_acctbal), 2) AS avg_bal
+        FROM _sqludf_customer
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
     )
 
 

@@ -118,6 +118,21 @@ def test_listagg_prefilters_before_aggregation(spark):
 
 
 # ---------------------------------------------------------------------------
+# SQL UDF: Catalyst inlines the function body — no UDF evaluation node ever
+# reaches the physical plan, so codegen and pushdown are unaffected.
+# ---------------------------------------------------------------------------
+def test_sql_udf_is_inlined(spark):
+    df = EXTRA_QUERIES["scalar_sql_udf_tiers"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the inlined CASE branches appear as plain expressions
+    assert "platinum" in plan
+    rows = {(r.c_mktsegment, r.tier): r.n for r in df.collect()}
+    assert rows and all(n > 0 for n in rows.values())
+
+
+# ---------------------------------------------------------------------------
 # DataSketches HLL: deterministic, mergeable, bounded-error — pinned here
 # because no SQL engine can restate the DataSketches estimate (same policy
 # as text_compression_ratio's zlib values).
