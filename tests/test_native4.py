@@ -3,11 +3,12 @@ DataSketches HLL properties that no SQL oracle can restate."""
 
 from pyspark.sql import functions as F
 
-from etl_for_dumdums_spark.catalog import EXTRA_QUERIES, Tables, load_all
+from etl_for_dumdums_spark.catalog import EXTRA_QUERIES, QUERIES, Tables, load_all
 
 from .conftest import SF_SMOKE
 
 load_all()
+ALL_Q = {**QUERIES, **EXTRA_QUERIES}
 
 SF_01 = "/root/testdata/sf0.01"
 
@@ -23,7 +24,7 @@ def _plan(df) -> str:
 # that makes lateralJoin usable at 100 TB.
 # ---------------------------------------------------------------------------
 def test_lateral_topk_decorrelates_to_window_group_limit(spark):
-    plan = _plan(EXTRA_QUERIES["join_lateral_topk"](spark, SF_SMOKE))
+    plan = _plan(ALL_Q["join_lateral_topk"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -33,7 +34,7 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
 
 
 def test_lateral_topk_values(spark):
-    rows = EXTRA_QUERIES["join_lateral_topk"](spark, SF_SMOKE).collect()
+    rows = ALL_Q["join_lateral_topk"](spark, SF_SMOKE).collect()
     per_nation: dict[str, list] = {}
     for r in rows:
         per_nation.setdefault(r.nation, []).append(r)
@@ -73,7 +74,7 @@ def test_variant_query_parses_once_below_the_agg(spark):
     """The VARIANT parse must be pre-projected below the aggregate so it runs
     once per row, not once per referencing aggregate input (the
     scalar_json_extract 3x-reparse lesson)."""
-    plan = _plan(EXTRA_QUERIES["scalar_variant_json"](spark, SF_SMOKE))
+    plan = _plan(ALL_Q["scalar_variant_json"](spark, SF_SMOKE))
     # the physical plan spells it VariantExpressionEvalUtils.parseJson(...)
     assert plan.count("parseJson") == 1
 
@@ -99,7 +100,7 @@ def test_transpose_sorts_new_columns(spark):
 # state never exceeds 8 names.
 # ---------------------------------------------------------------------------
 def test_listagg_bounded_and_ordered(spark):
-    rows = EXTRA_QUERIES["agg_listagg_ordered"](spark, SF_01).collect()
+    rows = ALL_Q["agg_listagg_ordered"](spark, SF_01).collect()
     assert rows, "no segments"
     for r in rows:
         names = r.top_names.split(",")
@@ -107,7 +108,7 @@ def test_listagg_bounded_and_ordered(spark):
 
 
 def test_listagg_prefilters_before_aggregation(spark):
-    plan = _plan(EXTRA_QUERIES["agg_listagg_ordered"](spark, SF_SMOKE))
+    plan = _plan(ALL_Q["agg_listagg_ordered"](spark, SF_SMOKE))
     # the row_number window (with its rn <= 8 filter) must sit below listagg:
     # plan order is bottom-up in toString, so the Window node appears after
     # (deeper than) the ObjectHashAggregate that computes listagg
@@ -122,7 +123,7 @@ def test_listagg_prefilters_before_aggregation(spark):
 # reaches the physical plan, so codegen and pushdown are unaffected.
 # ---------------------------------------------------------------------------
 def test_sql_udf_is_inlined(spark):
-    df = EXTRA_QUERIES["scalar_sql_udf_tiers"](spark, SF_SMOKE)
+    df = ALL_Q["scalar_sql_udf_tiers"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
