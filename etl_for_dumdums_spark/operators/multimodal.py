@@ -56,25 +56,28 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def image_payload_to_array(payload: bytes):
-    """Route an image payload to a REAL decode: PNG (operators/codecs.py)
-    or self-describing RGB8 raw. Returns (h, w, ch) uint8. Raises
-    NotImplementedError for codec formats without an in-container decoder
-    (JPEG/WebP/...) — the honest gate."""
+    """Route an image payload to a REAL decode: PNG (operators/codecs.py),
+    baseline JPEG (operators/jpeg.py), or self-describing RGB8 raw. Returns
+    (h, w, ch) uint8. Raises NotImplementedError for codec formats without
+    an in-container decoder (WebP/progressive-JPEG/...) — the honest gate."""
     from .codecs import decode_png, is_png
+    from .jpeg import decode_jpeg, is_jpeg
 
     if is_png(payload):
         return decode_png(bytes(payload))
+    if is_jpeg(payload):
+        return decode_jpeg(bytes(payload))
     return decode_rgb_raw(bytes(payload) if payload is not None else None)
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode an image payload to an 8-dim feature vector.
 
-    REAL for PNG and RGB8-raw payloads: per-channel means + brightness +
-    normalized dimensions, all deterministic byte arithmetic. With
-    ``fake=True`` returns a digest-derived stand-in instead (the pre-codec
-    behavior, kept for pipeline-shape tests). Other formats (JPEG/WebP)
-    raise NotImplementedError — decoding them needs PIL/opencv.
+    REAL for PNG, baseline JPEG, and RGB8-raw payloads: per-channel means +
+    brightness + normalized dimensions, all deterministic byte arithmetic.
+    With ``fake=True`` returns a digest-derived stand-in instead (the
+    pre-codec behavior, kept for pipeline-shape tests). Formats without an
+    in-container decoder (WebP, progressive JPEG) raise NotImplementedError.
     """
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
@@ -166,27 +169,29 @@ RESIZE_SCHEMA = T.StructType(
 def resize_payload(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
     """Resize an image payload.
 
-    REAL for PNG (decode → nearest-neighbor → re-encode PNG, format
-    preserved) and RGB8-raw payloads; deterministic integer index maps so
-    every engine/run produces identical bytes. With ``fake=True`` returns
-    a digest-derived pseudo-payload sized proportionally to the target
-    area (kept for pipeline-shape tests). Other formats raise
-    NotImplementedError — decoding them needs PIL/opencv."""
+    REAL for PNG and baseline JPEG (decode → nearest-neighbor → re-encode,
+    format preserved) and RGB8-raw payloads; deterministic integer index
+    maps so every engine/run produces identical bytes. With ``fake=True``
+    returns a digest-derived pseudo-payload sized proportionally to the
+    target area (kept for pipeline-shape tests). Formats without an
+    in-container decoder raise NotImplementedError."""
     if fake:
         seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
         target_len = max(16, (width * height) // 64)
         reps = target_len // len(seed) + 1
         return (seed * reps)[:target_len]
     from .codecs import encode_png, is_png
+    from .jpeg import encode_jpeg, is_jpeg
 
-    if is_png(payload):
+    if is_png(payload) or is_jpeg(payload):
         import numpy as np
 
         a = image_payload_to_array(payload)
         sh, sw = a.shape[:2]
         yi = (np.arange(height, dtype=np.int64) * sh) // height
         xi = (np.arange(width, dtype=np.int64) * sw) // width
-        return encode_png(a[yi][:, xi])
+        resized = a[yi][:, xi]
+        return encode_png(resized) if is_png(payload) else encode_jpeg(resized[:, :, :3])
     return resize_rgb_raw(payload, width, height)
 
 
@@ -277,10 +282,11 @@ def rgb_stats(media: DataFrame) -> DataFrame:
     """mapInPandas REAL feature extraction for RGB8-raw AND PNG rows:
     decoded dimensions + per-channel means + brightness, one vectorized
     numpy reduction per image. Payloads without an in-container decoder
-    (JPEG/WebP/...) pass through with NULLs — the honest gate."""
+    (WebP/progressive JPEG/...) pass through with NULLs — the honest gate."""
     import numpy as np
 
     from .codecs import is_png
+    from .jpeg import is_jpeg
 
     schema = T.StructType(
         [
@@ -299,11 +305,17 @@ def rgb_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None or not (
-                    bytes(p[:4]) == RAW_RGB_MAGIC or is_png(bytes(p[:8]))
+                    bytes(p[:4]) == RAW_RGB_MAGIC
+                    or is_png(bytes(p[:8]))
+                    or is_jpeg(bytes(p[:2]))
                 ):
                     rows.append((mid, None, None, None, None, None, None))
                     continue
-                a = image_payload_to_array(bytes(p))[:, :, :3]
+                try:
+                    a = image_payload_to_array(bytes(p))[:, :, :3]
+                except NotImplementedError:  # e.g. progressive JPEG
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
                 means = a.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     (
