@@ -1052,10 +1052,16 @@ def mm_audio_stats(spark, sf_dir):
 # int16 clip (sample i = (doc_id*13 + i*11) % 65536 - 32768), pushes them
 # through the HONEST production path — encode_png → PNG bytes → decode_png
 # (zlib inflate + un-filtering), encode_wav → RIFF bytes → decode_wav — and
-# reduces each decoded asset to exact integer sums. The oracle restates the
-# same integers in closed form, so a single flipped byte anywhere in either
-# codec breaks the hash: the roundtrip is PROVEN lossless on every sampled
-# doc, per run, in both engines' eyes.
+# reduces each decoded asset to exact integer sums. A third leg covers the
+# LOSSY codec (operators/jpeg.py): a 16x16 image of four flat 8x8 quadrants
+# (value_q = (doc_id*7 + q*50) % 256) is encoded at quality 95 and decoded
+# back — a flat block is DC-only, and at q95 the worst-case reconstruction
+# error (0.5 * q_step/8 through the YCbCr matrix, <= 0.347 in the blue
+# channel) rounds away, so the JPEG roundtrip is EXACT by analysis and the
+# oracle can state sum = 192 * sum(value_q) in closed form. The oracle
+# restates all the integers, so a single flipped byte anywhere in any of
+# the three codecs breaks the hash: the roundtrips are PROVEN on every
+# sampled doc, per run, in both engines' eyes.
 #
 # Scale design (100 TB): payload bytes never leave the executors (each
 # asset reduces to two integers inside the Arrow batch); the deterministic
@@ -1081,6 +1087,11 @@ _CODEC_SAMP = 256
              CAST(sum((doc_id * 13 + t.i * 11) % 65536 - 32768) AS BIGINT)
                AS samp_sum
       FROM ids, unnest(generate_series(0, {_CODEC_SAMP} - 1)) AS t(i)
+      GROUP BY doc_id),
+    perj AS (
+      SELECT doc_id,
+             CAST(sum(192 * ((doc_id * 7 + t.q * 50) % 256)) AS BIGINT) AS jpx_sum
+      FROM ids, unnest(generate_series(0, 3)) AS t(q)
       GROUP BY doc_id)
     SELECT CAST(count(*) AS BIGINT)       AS n_assets,
            CAST(sum(px_sum) AS BIGINT)    AS total_px_sum,
@@ -1088,8 +1099,11 @@ _CODEC_SAMP = 256
            CAST(max(px_sum) AS BIGINT)    AS max_px_sum,
            CAST(sum(samp_sum) AS BIGINT)  AS total_samp_sum,
            CAST(min(samp_sum) AS BIGINT)  AS min_samp_sum,
-           CAST(max(samp_sum) AS BIGINT)  AS max_samp_sum
-    FROM per JOIN pera USING (doc_id)
+           CAST(max(samp_sum) AS BIGINT)  AS max_samp_sum,
+           CAST(sum(jpx_sum) AS BIGINT)   AS total_jpx_sum,
+           CAST(min(jpx_sum) AS BIGINT)   AS min_jpx_sum,
+           CAST(max(jpx_sum) AS BIGINT)   AS max_jpx_sum
+    FROM per JOIN pera USING (doc_id) JOIN perj USING (doc_id)
     """,
 )
 def mm_codec_roundtrip(spark, sf_dir):
@@ -1107,9 +1121,10 @@ def mm_codec_roundtrip(spark, sf_dir):
             encode_png,
             encode_wav,
         )
+        from ..operators.jpeg import decode_jpeg, encode_jpeg
 
         for pdf in batches:
-            out_ids, px_sums, samp_sums = [], [], []
+            out_ids, px_sums, samp_sums, jpx_sums = [], [], [], []
             for d in pdf["doc_id"]:
                 d = int(d)
                 i = np.arange(_CODEC_PX, dtype=np.int64)
@@ -1118,14 +1133,27 @@ def mm_codec_roundtrip(spark, sf_dir):
                 j = np.arange(_CODEC_SAMP, dtype=np.int64)
                 samples = ((d * 13 + j * 11) % 65536 - 32768).astype("<i2")
                 _rate, _ch, aback = decode_wav(encode_wav(samples, 16000))
+                # JPEG leg: four flat 8x8 quadrants — DC-only, exact at q95
+                jimg = np.zeros((16, 16, 3), dtype=np.uint8)
+                for q, (y0, x0) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                    jimg[y0 : y0 + 8, x0 : x0 + 8, :] = (d * 7 + q * 50) % 256
+                jback = decode_jpeg(encode_jpeg(jimg, quality=95))
                 out_ids.append(d)
                 px_sums.append(int(back.astype(np.int64).sum()))
                 samp_sums.append(int(aback.astype(np.int64).sum()))
+                jpx_sums.append(int(jback.astype(np.int64).sum()))
             yield pd.DataFrame(
-                {"doc_id": out_ids, "px_sum": px_sums, "samp_sum": samp_sums}
+                {
+                    "doc_id": out_ids,
+                    "px_sum": px_sums,
+                    "samp_sum": samp_sums,
+                    "jpx_sum": jpx_sums,
+                }
             )
 
-    per = ids.mapInPandas(roundtrip, schema="doc_id long, px_sum long, samp_sum long")
+    per = ids.mapInPandas(
+        roundtrip, schema="doc_id long, px_sum long, samp_sum long, jpx_sum long"
+    )
     return per.agg(
         F.count("*").cast("long").alias("n_assets"),
         F.sum("px_sum").cast("long").alias("total_px_sum"),
@@ -1134,4 +1162,7 @@ def mm_codec_roundtrip(spark, sf_dir):
         F.sum("samp_sum").cast("long").alias("total_samp_sum"),
         F.min("samp_sum").cast("long").alias("min_samp_sum"),
         F.max("samp_sum").cast("long").alias("max_samp_sum"),
+        F.sum("jpx_sum").cast("long").alias("total_jpx_sum"),
+        F.min("jpx_sum").cast("long").alias("min_jpx_sum"),
+        F.max("jpx_sum").cast("long").alias("max_jpx_sum"),
     )

@@ -49,6 +49,16 @@ def test_uniform_image_roundtrips_exactly():
         assert int(np.abs(out.astype(int) - v).max()) == 0, v
 
 
+def test_all_256_uniform_values_roundtrip_exactly_at_q95():
+    """Backs mm_codec_roundtrip's analytic claim: at quality 95 the DC-only
+    reconstruction error stays under half an intensity step through the
+    YCbCr matrix for EVERY 8-bit value, so flat tiles roundtrip exactly."""
+    for v in range(256):
+        img = np.full((8, 8, 3), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 95))
+        assert (out == v).all(), v
+
+
 def test_gradient_roundtrip_error_bounded():
     y, x = np.mgrid[0:64, 0:48]
     img = np.stack([(x * 5) % 256, (y * 3) % 256, (x + y) % 256], axis=-1).astype(
