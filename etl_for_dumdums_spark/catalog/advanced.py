@@ -1075,6 +1075,7 @@ _CODEC_SAMP = 256
 
 @register(
     "mm_codec_roundtrip",
+    extra=True,
     sql=f"""
     WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_CODEC_MOD} = 0),
     per AS (

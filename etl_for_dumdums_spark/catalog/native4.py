@@ -41,6 +41,7 @@ from . import Tables, register
 # ---------------------------------------------------------------------------
 @register(
     "scalar_variant_json",
+    extra=True,
     sql="""
     WITH docs AS (
       SELECT '{"id":' || event_id || ',"et":"' || event_type ||
@@ -108,6 +109,7 @@ def scalar_variant_json(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "join_lateral_topk",
+    extra=True,
     sql="""
     SELECT n.n_name AS nation, s.s_suppkey, s.s_name,
            round(s.s_acctbal, 2) AS acctbal
@@ -179,6 +181,69 @@ def agg_listagg_ordered(spark, sf_dir):
             F.count("*").alias("n_listed"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe scalar family: try_cast / try_divide / try_add / try_to_number
+# return NULL instead of failing the job on bad rows — the ETL-safe form
+# under ANSI mode (Spark 4's default), where a single malformed record in
+# 100 TB would otherwise kill the whole stage. The oracle restates each
+# failure condition explicitly (TRY_CAST / CASE guards), so the NULL
+# semantics are value-checked, not just type-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_try_safe_ops",
+    extra=True,
+    sql="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'n/a'
+                  ELSE CAST(o_orderkey % 97 AS VARCHAR) END AS qty_str,
+             (o_orderkey % 5) AS denom,
+             o_totalprice
+      FROM orders)
+    SELECT o_orderkey,
+           TRY_CAST(qty_str AS BIGINT) AS qty,
+           CASE WHEN denom = 0 THEN NULL
+                ELSE round(o_totalprice / denom, 4) END AS price_per,
+           CASE WHEN TRY_CAST(qty_str AS BIGINT) IS NULL THEN NULL
+                ELSE 9223372036854775807 - TRY_CAST(qty_str AS BIGINT) + 0 END
+             AS near_overflow_ok,
+           CAST(NULL AS BIGINT) AS overflow_is_null
+    FROM raw
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+)
+def scalar_try_safe_ops(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    raw = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("n/a"))
+        .otherwise((F.col("o_orderkey") % 97).cast("string"))
+        .alias("qty_str"),
+        (F.col("o_orderkey") % 5).alias("denom"),
+        "o_totalprice",
+    )
+    qty = F.col("qty_str").try_cast("bigint")
+    max_long = F.lit(9223372036854775807)
+    return (
+        raw.select(
+            "o_orderkey",
+            qty.alias("qty"),
+            F.round(F.try_divide(F.col("o_totalprice"), F.nullif("denom", F.lit(0))), 4).alias(
+                "price_per"
+            ),
+            # try_add at the boundary: MAX - qty + 0 is fine (NULL propagates
+            # from unparseable qty)...
+            F.try_add(F.try_subtract(max_long, qty), F.lit(0)).alias("near_overflow_ok"),
+            # ...while MAX + 1 overflows and try_add yields NULL, never a
+            # job-killing ANSI ArithmeticException
+            F.try_add(max_long, F.lit(1)).alias("overflow_is_null"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
     )
 
 

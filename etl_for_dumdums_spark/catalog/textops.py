@@ -1248,6 +1248,7 @@ _PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
 
 @register(
     "text_pii_scan",
+    extra=True,
     sql=f"""
     WITH aug AS (
       SELECT lang,
