@@ -1404,3 +1404,114 @@ def text_oov_rate(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + duplicate-URL audit — the first stage of any web
+# corpus pipeline: the same page arrives under protocol/case/port/www/
+# tracking-param variants, and URL-level dedup must collapse them BEFORE
+# the expensive content dedup runs. The corpus carries no URLs, so both
+# engines synthesize them identically from doc_id arithmetic (the
+# text_pii_scan injection pattern): scheme, host case, :443, a www. prefix,
+# utm_* tracking params and a #fragment all vary deterministically.
+# Canonical key = lower(host) minus www./port + path + the id param only.
+# Spark uses the native parse_url (JVM-side, codegen); the oracle restates
+# the same extractions as regexps. Scale: pure map-side column ops + one
+# per-domain rollup shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "text_url_canonical",
+    extra=True,
+    sql="""
+    WITH urls AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END)
+             || CAST(doc_id % 20 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=x&id=' || CAST(doc_id % 50 AS VARCHAR)
+                      WHEN doc_id % 4 = 1
+                      THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents),
+    parsed AS (
+      SELECT url,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                 ':[0-9]+$', ''),
+               '^www\\.', '') AS domain,
+             regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             nullif(regexp_extract(url, '[?&]id=([0-9]+)', 1), '') AS id_param
+      FROM urls),
+    keyed AS (
+      SELECT url, domain,
+             domain || path
+               || coalesce('?id=' || id_param, '') AS canonical
+      FROM parsed)
+    SELECT domain,
+           CAST(count(*) AS BIGINT)                 AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT)      AS n_raw_distinct,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(count(DISTINCT url) - count(DISTINCT canonical) AS BIGINT)
+             AS n_variants_collapsed
+    FROM keyed GROUP BY domain ORDER BY domain
+    """,
+)
+def text_url_canonical(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
+        (did % 20).cast("string"),
+        F.when(did % 3 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (did % 97).cast("string"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("?utm_source=x&id="), (did % 50).cast("string")),
+        )
+        .when(did % 4 == 1, F.concat(F.lit("?id="), (did % 50).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = t.documents.select(url.alias("url"))
+    domain = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.parse_url("url", F.lit("HOST"))), r":[0-9]+$", ""
+        ),
+        r"^www\.",
+        "",
+    )
+    keyed = urls.select(
+        "url",
+        domain.alias("domain"),
+        F.concat(
+            domain,
+            F.parse_url("url", F.lit("PATH")),
+            F.coalesce(
+                F.concat(F.lit("?id="), F.parse_url("url", F.lit("QUERY"), F.lit("id"))),
+                F.lit(""),
+            ),
+        ).alias("canonical"),
+    )
+    return (
+        keyed.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("url").alias("n_raw_distinct"),
+            F.count_distinct("canonical").alias("n_canonical"),
+            (F.count_distinct("url") - F.count_distinct("canonical")).alias(
+                "n_variants_collapsed"
+            ),
+        )
+        .orderBy("domain")
+    )
