@@ -35,6 +35,14 @@ oracle-100x:
 oracle-100x-sampled:
 	python tools/check_oracle.py --sf /tmp/sfscale100 --sampled
 
+# 1000x value spot-checks (600M lineitem): sorted-value compare with a
+# memory-bounded DuckDB side (the oracle, not the engine, is the scale
+# limiter there — see SCALE_r04.json). Pick names per round.
+oracle-1000x-spot:
+	python tools/spot_check_scale.py --sf /tmp/sfscale1000 \
+	  agg_pricing_summary win_top_n_per_group join_agg_then_left \
+	  events_session_native dedup_minhash_lsh
+
 test:
 	python -m pytest tests/ -q
 
