@@ -180,6 +180,12 @@ def main():
 
     def make_con():
         c = duckdb.connect()
+        # bound the oracle side so a giant window/aggregation on a scale-up
+        # replica spills to disk instead of taking the whole box down (a
+        # fatal DuckDB OOM also invalidates the database, poisoning every
+        # later query in the sweep with "Connection has already been closed")
+        c.execute("SET memory_limit='40GB'")
+        c.execute("SET temp_directory='/tmp/duck_spill'")
         for tname in TABLE_NAMES:
             # driver testdata is one file per table; Spark-written scale-up
             # data (tools/make_scale_data.py) is a directory of parts — glob
@@ -222,6 +228,13 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
+            # a fatal error (OOM) invalidates the whole DuckDB database, not
+            # just the statement — rebuild so later queries aren't poisoned
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = make_con()
             continue
 
         ok = True
