@@ -216,10 +216,10 @@ def main():
             try:
                 atab = con.execute(oracle[name]).arrow()
             except duckdb.OutOfMemoryException:
-                # a prior giant aggregation (e.g. an ordered list() over a
-                # scale-up table) can leave the connection's buffer pool
-                # exhausted even though the host has memory free — rebuild
-                # the connection and retry once before declaring a failure
+                # long sweeps accumulate buffer-pool state on the connection
+                # (~180 scale-up oracles in, even 16KB allocations start
+                # failing under the memory_limit) — rebuild and retry once
+                # before declaring a failure
                 con.close()
                 con = make_con()
                 atab = con.execute(oracle[name]).arrow()
