@@ -53,8 +53,9 @@ from . import Tables, register
            count(*)                                               AS n,
            CAST(sum(CAST(js ->> '$.u.uid' AS BIGINT)) AS BIGINT)  AS sum_uid,
            CAST(sum(CAST(js ->> '$.u.flags[1]' AS BIGINT)) AS BIGINT) AS sum_flag1,
-           CAST(sum(CAST(js ->> '$.props.k' AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(count_if(js ->> '$.props.k' IS NULL) AS BIGINT)   AS n_missing_k
+           CAST(sum(TRY_CAST(js ->> '$.props.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count_if(TRY_CAST(js ->> '$.props.k' AS BIGINT) IS NULL) AS BIGINT)
+                                                                  AS n_missing_k
     FROM docs
     GROUP BY 1 ORDER BY 1
     """,

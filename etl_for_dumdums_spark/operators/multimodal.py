@@ -313,7 +313,11 @@ def rgb_stats(media: DataFrame) -> DataFrame:
                     continue
                 try:
                     a = image_payload_to_array(bytes(p))[:, :, :3]
-                except NotImplementedError:  # e.g. progressive JPEG
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError: no in-container decoder (e.g.
+                    # unsupported JPEG mode); ValueError: valid magic but
+                    # malformed body — both pass through as NULLs instead
+                    # of killing the task (r4 advice findings #1/#2)
                     rows.append((mid, None, None, None, None, None, None))
                     continue
                 means = a.reshape(-1, 3).mean(axis=0)
@@ -449,7 +453,14 @@ def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
                 ):
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
-                rate, a = audio_payload_to_pcm(bytes(p))
+                try:
+                    rate, a = audio_payload_to_pcm(bytes(p))
+                except (NotImplementedError, ValueError):
+                    # a float/ADPCM/extensible WAV passes is_wav() but has no
+                    # in-container decoder; malformed bodies raise ValueError
+                    # — both emit a NULL row, matching rgb_stats (r4 advice #1)
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
                 x = a.astype(np.int64)
                 n = int(x.shape[0])
                 ssq = int((x * x).sum())

@@ -26,13 +26,26 @@ def windowed_event_stream(
     schema,
     window: str = "1 week",
     watermark: str = "3 days",
+    output_mode: str = "append",
     query_name: str = "events_windowed",
 ) -> StreamingQuery:
-    """Tumbling-window count/sum over a parquet-backed stream.
+    """Tumbling-window count/sum over a parquet-backed stream — the
+    streaming twin of the reference's trailing-lookback re-sync
+    (CLAUDE.md:66-68).
 
-    Watermark bounds state for late data — the streaming twin of the
-    reference's trailing-lookback re-sync (CLAUDE.md:66-68): rows later
-    than the watermark are dropped instead of re-merged.
+    Output mode defaults to APPEND — the only mode under which the
+    watermark actually bounds state on an unbounded stream: a window is
+    emitted exactly once, when the watermark passes its end, and its
+    aggregate state is then evicted; rows later than the watermark are
+    dropped instead of re-merged. The corollary: windows newer than
+    ``watermark`` relative to the max seen event time stay open (absent
+    from the sink) until a later batch advances the watermark past them.
+
+    ``output_mode="complete"`` is accepted as a test-only convenience for
+    point-in-time snapshots of ALL windows including still-open ones — but
+    in complete mode Spark retains every window's aggregate forever and
+    late rows are still merged, so state is O(stream length): do not use
+    it on an unbounded production stream.
     """
     events = spark.readStream.schema(schema).parquet(path)
     agg = (
@@ -48,7 +61,7 @@ def windowed_event_stream(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
@@ -103,15 +116,25 @@ def sliding_event_stream(
     window: str = "7 days",
     slide: str = "1 day",
     watermark: str = "3 days",
-    output_mode: str = "complete",
+    output_mode: str = "append",
     query_name: str = "events_sliding",
 ) -> StreamingQuery:
     """Sliding-window count/sum over a parquet-backed stream (streaming twin
     of the catalog's ``stream_sliding_weekly``). Each event lands in
-    window/slide overlapping windows; the watermark bounds BOTH late-data
-    acceptance and, in append mode, when a window finalizes and emits.
-    State is O(open windows × group keys) — constant overlap factor, so
-    state volume is independent of total stream length.
+    window/slide overlapping windows.
+
+    Output mode defaults to APPEND — the only mode where the watermark
+    bounds state: it gates BOTH late-data acceptance and when a window
+    finalizes, emits once, and has its state evicted, so live state is
+    O(open windows × group keys) — a constant overlap factor independent
+    of total stream length. Windows whose end the watermark has not yet
+    passed stay open and absent from the sink until a later batch advances
+    the watermark.
+
+    ``output_mode="complete"`` remains accepted as a test-only snapshot of
+    all windows including open ones — but complete mode retains every
+    window's aggregate forever (state grows with stream length) and late
+    rows are still merged: not for unbounded production streams.
     """
     events = spark.readStream.schema(schema).parquet(path)
     agg = (

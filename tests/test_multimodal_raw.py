@@ -138,3 +138,73 @@ def test_pcm_stats_matches_serial(spark):
         assert r["peak"] == int(np.abs(x).max())
         assert r["n_clipped"] == int((np.abs(x) >= 15000).sum())
     assert got[3]["n_samples"] is None and got[3]["rms_int"] is None
+
+
+def test_pcm_stats_undecodable_wav_yields_nulls(spark):
+    """A float-format WAV passes is_wav() but decode_wav raises
+    NotImplementedError inside the kernel — the row must pass through as
+    NULLs instead of failing the whole Spark job (r4 advice finding #1)."""
+    import struct
+
+    import numpy as np
+
+    from etl_for_dumdums_spark.operators.codecs import encode_wav, is_wav
+    from etl_for_dumdums_spark.operators.multimodal import encode_pcm16, pcm_stats
+
+    # IEEE-float WAV (format 3, 32-bit) — valid RIFF/WAVE framing
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    data = struct.pack("<4f", 0.1, -0.2, 0.3, -0.4)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    float_wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert is_wav(float_wav)  # the magic check alone cannot reject it
+
+    # truncated/garbage RIFF body raises ValueError — also NULLs, not a crash
+    corrupt_wav = b"RIFF\x08\x00\x00\x00WAVEgarb"
+
+    good = encode_wav(np.array([100, -100, 200], dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(float_wav)),
+            (2, bytearray(corrupt_wav)),
+            (3, bytearray(good)),
+            (4, bytearray(encode_pcm16(np.array([5, -5], dtype=np.int16), 4000))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in pcm_stats(media).collect()}
+    assert got[1]["n_samples"] is None and got[1]["rate"] is None
+    assert got[2]["n_samples"] is None
+    assert got[3]["n_samples"] == 3 and got[3]["rate"] == 8000
+    assert got[4]["n_samples"] == 2 and got[4]["rate"] == 4000
+
+
+def test_rgb_stats_malformed_body_yields_nulls(spark):
+    """Valid PNG/JPEG magic + malformed body raises ValueError from the
+    decoder — the kernel must emit a NULL row, not kill the task
+    (r4 advice finding #2)."""
+    import numpy as np
+
+    from etl_for_dumdums_spark.operators.codecs import encode_png
+    from etl_for_dumdums_spark.operators.multimodal import encode_rgb_raw, rgb_stats
+
+    bad_png = b"\x89PNG\r\n\x1a\x0a" + b"\x00" * 16  # signature, no IHDR
+    bad_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 8  # SOI marker, junk body
+    good_png = encode_png(np.full((2, 2, 3), 7, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(bad_png)),
+            (2, bytearray(bad_jpeg)),
+            (3, bytearray(good_png)),
+            (4, bytearray(encode_rgb_raw(np.full((3, 3, 3), 9, dtype=np.uint8)))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in rgb_stats(media).collect()}
+    assert got[1]["dec_width"] is None
+    assert got[2]["dec_width"] is None
+    assert got[3]["dec_width"] == 2 and got[3]["mean_r"] == 7.0
+    assert got[4]["dec_width"] == 3 and got[4]["brightness"] == 9.0

@@ -158,3 +158,26 @@ def test_hll_rollup_merges_partials_not_raw_rows(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan
+
+
+def test_output_sampled_filter_stays_above_window(spark):
+    """The sampled-tier variants of win_lag_deltas / win_rolling_frames
+    restrict the COMPARED output by day(order_date) = 1 — the engine must
+    still evaluate the window over the FULL series (order_date is the
+    ORDER BY column, not a partition key, so pushing the predicate below
+    the Window would change every lag/rolling value). Pin it: the Filter
+    sits ABOVE the Window in the optimized plan (r4 advice finding #4)."""
+    from etl_for_dumdums_spark.catalog import SAMPLED_QUERIES
+    from etl_for_dumdums_spark.catalog import sampled  # noqa: F401 (registers)
+
+    for name in ("win_lag_deltas", "win_rolling_frames"):
+        df = SAMPLED_QUERIES[name](spark, SF_SMOKE)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = opt.splitlines()
+        filt = next(
+            i for i, ln in enumerate(lines)
+            if "Filter" in ln and ("dayofmonth" in ln or "day(" in ln)
+        )
+        win = next(i for i, ln in enumerate(lines) if "Window [" in ln or "Window " in ln)
+        # toString prints parents first: filter must print BEFORE the window
+        assert filt < win, f"{name}: day-of-month filter was pushed below the Window:\n{opt}"

@@ -7,7 +7,23 @@ from etl_for_dumdums_spark.streaming import incremental_batch_sync, windowed_eve
 from .conftest import SF_SMOKE
 
 
-def test_windowed_event_stream_matches_batch(spark, tmp_path):
+def _sentinel_row(src, event_type="zz_sentinel", days=30):
+    """One far-future row that advances the watermark past every real
+    window; its own still-open window is filtered out by event_type."""
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    return (
+        src.limit(1)
+        .withColumn("event_type", F.lit(event_type))
+        .withColumn("ts", (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).cast("timestamp"))
+    )
+
+
+def test_windowed_event_stream_append_evicts_and_matches_batch(spark, tmp_path):
+    """Append mode (the default): first pass emits ONLY windows the
+    watermark has passed (tail windows stay open = bounded state, not a
+    complete-mode snapshot); a far-future sentinel then advances the
+    watermark, every real window finalizes exactly once, and the emitted
+    set equals the batch aggregate."""
     # stage the smoke events as a stream source dir (converting the nanos
     # timestamp column so the stream schema is a plain timestamp)
     from etl_for_dumdums_spark.catalog import Tables
@@ -21,9 +37,16 @@ def test_windowed_event_stream_matches_batch(spark, tmp_path):
     q = windowed_event_stream(spark, stream_dir, schema, query_name="t_stream")
     try:
         q.processAllAvailable()
+        # watermark = max(ts) - 3d: the last week's tumbling window has not
+        # finalized yet, so append mode must be holding some windows open
+        n_first = spark.sql("SELECT * FROM t_stream").count()
+        _sentinel_row(src).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
         got = {
             (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
-            for r in spark.sql("SELECT * FROM t_stream").collect()
+            for r in spark.sql(
+                "SELECT * FROM t_stream WHERE event_type <> 'zz_sentinel'"
+            ).collect()
         }
     finally:
         q.stop()
@@ -34,7 +57,8 @@ def test_windowed_event_stream_matches_batch(spark, tmp_path):
         .collect()
     )
     expected = {(str(r["win"]["start"]), r["event_type"]): (r["n"], r["s"]) for r in batch}
-    assert got == expected
+    assert n_first < len(expected)  # append mode: tail windows were still open
+    assert got == expected  # after watermark passes, each emitted exactly once
     assert len(got) > 0
 
 
@@ -85,16 +109,24 @@ def test_sliding_event_stream_matches_batch_twin(spark, tmp_path):
     q = sliding_event_stream(spark, stream_dir, schema, query_name="t_sliding")
     try:
         q.processAllAvailable()
+        # append mode (the default): windows the watermark hasn't passed are
+        # still open state, absent from the sink
+        n_first = spark.sql("SELECT * FROM t_sliding").count()
+        _sentinel_row(src).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
         got = {
             (str(r["window_start"])[:10], r["event_type"]): r["n_events"]
-            for r in spark.sql("SELECT * FROM t_sliding").collect()
+            for r in spark.sql(
+                "SELECT * FROM t_sliding WHERE event_type <> 'zz_sentinel'"
+            ).collect()
         }
     finally:
         q.stop()
 
     batch = stream_sliding_weekly(spark, _SF).collect()
     expected = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in batch}
-    assert got == expected
+    assert n_first < len(expected)  # eviction semantics: tail windows open
+    assert got == expected  # watermark-finalized set equals the batch twin
     assert len(got) > 0
 
 

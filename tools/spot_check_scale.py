@@ -35,6 +35,39 @@ from etl_for_dumdums_spark.catalog import (  # noqa: E402
 from etl_for_dumdums_spark.session import get_spark  # noqa: E402
 
 
+def _val_key(v):
+    """(type-tag, canonical str) sort/compare key — None-safe (NULL rows no
+    longer TypeError out of sorted()) and coercion-safe (int 1 vs str '1'
+    no longer false-PASSes via the str() fallback; r4 advice finding #3).
+    Numerics share one tag so Decimal/int/float restatements of the same
+    value still compare equal, as the old `a == b or str == str` intended."""
+    from decimal import Decimal
+
+    if v is None:
+        return ("none", "")
+    if isinstance(v, bool):
+        return ("bool", str(v))
+    if isinstance(v, (int, float, Decimal)):
+        try:
+            f = float(v)
+        except (OverflowError, ValueError):
+            return ("num", str(v))
+        if isinstance(v, int) and int(f) != v:
+            return ("num", str(v))  # beyond float53 precision — keep exact
+        return ("num", repr(f))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
+    if isinstance(v, (list, tuple)):
+        return ("seq", tuple(_val_key(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((str(k), _val_key(x)) for k, x in v.items())))
+    return (type(v).__name__, str(v))
+
+
+def _row_key(row):
+    return tuple(_val_key(v) for v in row)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/tmp/sfscale1000")
@@ -58,23 +91,24 @@ def main() -> int:
     for name in args.names:
         t0 = time.time()
         try:
-            srows = sorted(tuple(r) for r in queries[name](spark, args.sf).collect())
+            sraw = [tuple(r) for r in queries[name](spark, args.sf).collect()]
             t1 = time.time()
-            orows = sorted(tuple(r) for r in con.execute(oracle[name]).fetchall())
+            oraw = con.execute(oracle[name]).fetchall()
             t2 = time.time()
-            ok = len(srows) == len(orows) and all(
-                all((a == b) or (str(a) == str(b)) for a, b in zip(x, y))
-                for x, y in zip(srows, orows)
-            )
+            # multiset compare on normalized keys: None-safe sort, no
+            # cross-type str() false-passes (r4 advice finding #3)
+            skeys = sorted(_row_key(r) for r in sraw)
+            okeys = sorted(_row_key(r) for r in oraw)
+            ok = skeys == okeys
             n_fail += 0 if ok else 1
             print(
-                f"{'PASS' if ok else 'FAIL'} {name}: rows {len(srows)}/{len(orows)}"
+                f"{'PASS' if ok else 'FAIL'} {name}: rows {len(sraw)}/{len(oraw)}"
                 f" spark={t1 - t0:.1f}s duckdb={t2 - t1:.1f}s",
                 flush=True,
             )
             if not ok:
-                print("  spark:", srows[:2])
-                print("  duck: ", orows[:2])
+                diff = [(s, o) for s, o in zip(skeys, okeys) if s != o]
+                print("  first diverging normalized rows:", diff[:2])
         except Exception as exc:  # oracle-side OOM etc. — report, keep going
             n_fail += 1
             print(f"ERROR {name}: {type(exc).__name__}: {str(exc)[:200]}", flush=True)
