@@ -7,12 +7,14 @@ no libjpeg, no PIL.
 
 Scope (stated, not hidden):
 
-* ``decode_jpeg`` — baseline sequential DCT (SOF0), 8-bit precision,
-  1 or 3 components, sampling factors 1-2 (so real-world 4:2:0, 4:2:2 and
-  4:4:4 streams all decode; chroma upsampling is nearest-neighbor
-  replication), restart markers (DRI/RSTn) honored. Progressive (SOF2),
-  arithmetic coding, hierarchical, 12-bit and >2 sampling factors raise
-  ``NotImplementedError`` — the honest gate.
+* ``decode_jpeg`` — baseline sequential DCT (SOF0) AND progressive DCT
+  (SOF2, ITU-T T.81 Annex G: spectral selection + successive
+  approximation, DC/AC first and refinement scans, EOB runs), 8-bit
+  precision, 1 or 3 components, sampling factors 1-2 (so real-world
+  4:2:0, 4:2:2 and 4:4:4 streams all decode; chroma upsampling is
+  nearest-neighbor replication), restart markers (DRI/RSTn) honored.
+  Arithmetic coding, hierarchical, lossless, 12-bit and >2 sampling
+  factors raise ``NotImplementedError`` — the honest gate.
 * ``encode_jpeg`` — baseline JFIF, 4:4:4 (no subsampling), Annex-K
   Huffman tables, Annex-K quantization tables scaled by the libjpeg
   quality formula. Output is a standards-valid interchange stream.
@@ -21,7 +23,12 @@ Verification strategy (tests/test_jpeg.py):
   * interop: the Spark distribution ships real libjpeg-encoded photos
     (``$SPARK_HOME/data/mllib/images``); the decoder must decode them to
     their SOF dimensions with plausible image statistics — a third-party
-    encoder check, not a self-roundtrip.
+    encoder check, not a self-roundtrip. The progressive path has a
+    cross-FILE ground truth: ``grayscale.jpg`` is a real libjpeg SOF2
+    stream (the classic 6-scan jpeg_simple_progression script) of the
+    same 215x300 photo as the baseline ``chr30.4.184.jpg`` — the
+    progressive decode must match the luma of the independent baseline
+    decode within compression noise.
   * self-roundtrip: decode(encode(x, quality=95)) stays within a small
     max-abs-error of x (JPEG is lossy; the bound is the quant-table step).
   * analytic: a uniform-color image is DC-only — the decoded value is
@@ -290,10 +297,12 @@ class _HuffDecoder:
 
 
 # ---------------------------------------------------------------------------
-# encoder (baseline JFIF, 4:4:4)
+# encoder (baseline + progressive JFIF, 4:4:4)
 # ---------------------------------------------------------------------------
-def encode_jpeg(arr, quality: int = 90) -> bytes:
-    """(h, w, 3) RGB or (h, w) grayscale uint8 → baseline JFIF bytes."""
+def _dct_quant_planes(arr, quality: int):
+    """Shared encoder front end: color convert, pad, forward DCT, quantize.
+    Returns (h, w, n_comp, qts, qblocks) where qblocks[ci] is an
+    (BY, BX, 64) int64 array of zigzag-order quantized coefficients."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -314,7 +323,6 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     qlum = _scaled_quant(_QUANT_LUM, quality)
     qchr = _scaled_quant(_QUANT_CHR, quality)
     qts = [qlum] if gray else [qlum, qchr, qchr]
-    n_comp = len(planes)
 
     # pad to block multiples by edge replication
     hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
@@ -322,20 +330,33 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
         np.pad(p, ((0, hp - h), (0, wp - w)), mode="edge") - 128.0 for p in planes
     ]
     C = _dct_matrix()
+    by_n, bx_n = hp // 8, wp // 8
+    qblocks = []
+    for ci, p in enumerate(planes):
+        blocks = p.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ab,yxbc,dc->yxad", C, blocks, C)
+        q = np.round(coefs / qts[ci]).astype(np.int64).reshape(by_n, bx_n, 64)
+        qblocks.append(q[..., np.array(_ZIGZAG)])
+    return h, w, len(planes), qts, qblocks
+
+
+def encode_jpeg(arr, quality: int = 90) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → baseline JFIF bytes."""
+    import numpy as np
+
+    h, w, n_comp, qts, qblocks = _dct_quant_planes(arr, quality)
+    by_n, bx_n = qblocks[0].shape[:2]
 
     dc_codes = [_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHR)]
     ac_codes = [_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHR)]
 
     bw = _BitWriter()
     pred = [0] * n_comp
-    for by in range(hp // 8):
-        for bx in range(wp // 8):
+    for by in range(by_n):
+        for bx in range(bx_n):
             for ci in range(n_comp):
                 tbl = 0 if ci == 0 else 1
-                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = C @ block @ C.T
-                q = np.round(coef / qts[ci]).astype(np.int64)
-                zz = q.reshape(-1)[_ZIGZAG]
+                zz = qblocks[ci][by, bx]
                 # DC
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
@@ -393,7 +414,432 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# decoder (baseline sequential, sampling factors 1-2, restart markers)
+# progressive encoder — the same spectral-selection + successive-
+# approximation scan scripts libjpeg's jpeg_simple_progression installs
+# (the de-facto web standard), emitted with the Annex-K tables. Annex K
+# defines no EOBn symbols beyond EOB0, so end-of-band runs are emitted as
+# per-band EOB0 (standards-valid, marginally less compressed than custom
+# tables; the DECODER handles arbitrary EOBn — the real libjpeg fixture
+# exercises those).
+# ---------------------------------------------------------------------------
+def _prog_scan_script(n_comp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """[(comp_indices, Ss, Se, Ah, Al)] — libjpeg jscripts.c layout."""
+    if n_comp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+    ]
+
+
+class _ProgACWriter:
+    """Per-scan AC emission state: per-band EOB0 runs plus the refinement
+    correction-bit buffer (G.1.2.3: correction bits are buffered and
+    emitted right AFTER the symbol that precedes them in the entropy
+    stream — the decoder reads them while advancing past the symbol).
+    Because runs are capped at EOB0, every band flushes its own EOB and
+    bits before the next block starts, so no state crosses blocks (or
+    restart boundaries)."""
+
+    def __init__(self, bw: _BitWriter, codes: dict) -> None:
+        self.bw = bw
+        self.codes = codes
+        self.corr: list[int] = []
+
+    def _flush_corr(self) -> None:
+        for bit in self.corr:
+            self.bw.write(bit, 1)
+        self.corr = []
+
+    def symbol(self, rs: int) -> None:
+        code, ln = self.codes[rs]
+        self.bw.write(code, ln)
+
+    def end_band(self) -> None:
+        """EOB0 + this band's buffered correction bits: the decoder hits
+        the EOB0 inside the SAME block's symbol loop, breaks, and reads
+        the correction bits for the band's remaining nonzero positions."""
+        self.symbol(0x00)
+        self._flush_corr()
+
+
+def encode_jpeg_progressive(
+    arr, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → progressive (SOF2) JFIF
+    bytes, multi-scan spectral selection + successive approximation.
+    Decodes (by this module's decoder or any JPEG reader) to EXACTLY the
+    same pixels as ``encode_jpeg`` at the same quality — the quantized
+    coefficients are identical; only the entropy layout differs."""
+    h, w, n_comp, qts, qblocks = _dct_quant_planes(arr, quality)
+    by_n, bx_n = qblocks[0].shape[:2]
+
+    dc_codes = [_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHR)]
+    ac_codes = [_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHR)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for tq, qt in enumerate(qts[: 2 if n_comp == 3 else 1]):
+        zzq = qt.reshape(-1)[_ZIGZAG]
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zzq))  # DQT
+    comps = b"".join(
+        struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1) for ci in range(n_comp)
+    )
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, n_comp) + comps)  # SOF2
+    huff_specs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if n_comp == 3:
+        huff_specs += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    for tc_th, (bits, vals) in huff_specs:
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))  # DHT
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+
+    rst_idx = 0
+
+    def emit_rst() -> None:
+        nonlocal rst_idx
+        out.append(0xFF)
+        out.append(0xD0 + (rst_idx & 7))
+        rst_idx += 1
+
+    for comp_idx, ss, se, ah, al in _prog_scan_script(n_comp):
+        rst_idx = 0  # restart numbering resets at each scan
+        bw = _BitWriter()
+        scomps = b"".join(
+            struct.pack(">BB", ci + 1, (0x00 if ci == 0 else 0x11)) for ci in comp_idx
+        )
+        out += seg(
+            0xDA, bytes([len(comp_idx)]) + scomps + bytes([ss, se, (ah << 4) | al])
+        )
+        if ss == 0:  # DC scan — MCU-interleaved over the scan's components
+            pred = {ci: 0 for ci in comp_idx}
+            unit = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        bw.flush()
+                        out += bw.buf
+                        bw = _BitWriter()
+                        emit_rst()
+                        pred = {ci: 0 for ci in comp_idx}
+                    unit += 1
+                    for ci in comp_idx:
+                        dc = int(qblocks[ci][by, bx, 0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift per G.1.2.1
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            t = (diff if diff >= 0 else -diff).bit_length()
+                            code, ln = dc_codes[0 if ci == 0 else 1][t]
+                            bw.write(code, ln)
+                            if t:
+                                bw.write(
+                                    diff if diff >= 0 else diff + (1 << t) - 1, t
+                                )
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+        else:  # AC scan — single component
+            ci = comp_idx[0]
+            wr = _ProgACWriter(bw, ac_codes[0 if ci == 0 else 1])
+            unit = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        bw.flush()
+                        out += bw.buf
+                        bw = _BitWriter()
+                        wr.bw = bw
+                        emit_rst()
+                    unit += 1
+                    zz = qblocks[ci][by, bx]
+                    if ah == 0:
+                        _emit_ac_first(wr, zz, ss, se, al)
+                    else:
+                        _emit_ac_refine(wr, zz, ss, se, al)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _emit_ac_first(wr: _ProgACWriter, zz, ss: int, se: int, al: int) -> None:
+    """AC first scan for one block (G.1.2.2, EOB runs capped at EOB0)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = (-v if v < 0 else v) >> al
+        if mag == 0:
+            run += 1
+            continue
+        while run > 15:
+            wr.symbol(0xF0)  # ZRL
+            run -= 16
+        t = mag.bit_length()
+        wr.symbol((run << 4) | t)
+        wr.bw.write(mag if v >= 0 else (~mag) & ((1 << t) - 1), t)
+        run = 0
+    if run:
+        wr.end_band()  # EOB0 per band — Annex K has no EOBn>0 symbols
+
+
+def _emit_ac_refine(wr: _ProgACWriter, zz, ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block (G.1.2.3): newly-significant
+    coefficients as (run,1) symbols + sign bit; history-nonzero
+    coefficients as buffered correction bits."""
+    absv = [(-int(zz[k]) if zz[k] < 0 else int(zz[k])) >> al for k in range(ss, se + 1)]
+    # EOB position: index AFTER the last newly-significant coefficient
+    eob = 0
+    for i, m in enumerate(absv):
+        if m == 1:
+            eob = i + 1
+    run = 0
+    for i, m in enumerate(absv):
+        k = ss + i
+        if m == 0:
+            run += 1
+            continue
+        while run > 15 and i < eob:
+            wr.symbol(0xF0)
+            run -= 16
+            wr._flush_corr()
+        if m > 1:  # history-nonzero: correction bit only, run unaffected
+            wr.corr.append(m & 1)
+            continue
+        wr.symbol((run << 4) | 1)
+        wr.bw.write(1 if int(zz[k]) >= 0 else 0, 1)  # sign of the new coef
+        wr._flush_corr()
+        run = 0
+    if run or wr.corr:
+        wr.end_band()  # EOB0 carries this band's trailing correction bits
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — ITU-T T.81 Annex G.2. Coefficients
+# accumulate across scans in per-component zigzag-order block arrays; the
+# four scan kinds (DC/AC x first/refinement) update them in place. The
+# control flow mirrors the spec's G.1.2.2-G.1.2.3 procedures (the same
+# structure libjpeg's decode_mcu_DC/AC_first/refine implement — it is THE
+# canonical reading of the spec), re-derived here over Python ints.
+# ---------------------------------------------------------------------------
+def _refine_nonzero(r: _BitReader, blk, k: int, p1: int) -> None:
+    """Append one correction bit to an already-nonzero coefficient
+    (G.1.2.3: a 1-bit means the magnitude grows by the current bit plane).
+    Python ints are infinite-precision two's complement, so ``v & p1``
+    behaves exactly like the spec's fixed-width test."""
+    if r.bit():
+        v = int(blk[k])
+        if (v & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else -p1)
+
+
+def _prog_block_ac_first(r, ac_dec, blk, Ss, Se, Al, eobrun):
+    """AC first scan (Ah == 0) for one block; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1  # whole block inside an EOB run — zero bits read
+    k = Ss
+    while k <= Se:
+        rs = ac_dec.decode(r)
+        rrrr, ssss = rs >> 4, rs & 15
+        if ssss == 0:
+            if rrrr != 15:  # EOBn: run of (1<<rrrr)-1+ext MORE all-zero bands
+                eobrun = (1 << rrrr) - 1
+                if rrrr:
+                    eobrun += r.bits(rrrr)
+                break
+            k += 16  # ZRL
+            continue
+        k += rrrr
+        if k > Se:
+            raise ValueError("progressive AC run past band end")
+        blk[k] = _extend(r.bits(ssss), ssss) << Al
+        k += 1
+    return eobrun
+
+
+def _prog_block_ac_refine(r, ac_dec, blk, Ss, Se, Al, eobrun):
+    """AC refinement scan (Ah == Al+1) for one block; returns the EOB run.
+    Newly nonzero coefficients carry ±(1<<Al); every already-nonzero
+    coefficient crossed (including throughout an EOB run) reads one
+    correction bit."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = ac_dec.decode(r)
+            rrrr, ssss = rs >> 4, rs & 15
+            if ssss == 0:
+                if rrrr != 15:  # EOBn — includes THIS block (handled below)
+                    eobrun = 1 << rrrr
+                    if rrrr:
+                        eobrun += r.bits(rrrr)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                # ssss is 1 by construction in refinement scans
+                val = p1 if r.bit() else -p1
+            # advance over rrrr zero-history positions; nonzero positions
+            # crossed read a correction bit and don't count toward the run
+            while k <= Se:
+                if blk[k] != 0:
+                    _refine_nonzero(r, blk, k, p1)
+                else:
+                    if rrrr == 0:
+                        break
+                    rrrr -= 1
+                k += 1
+            if val and k <= Se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # rest of the band: correction bits only
+            if blk[k] != 0:
+                _refine_nonzero(r, blk, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    d: bytes,
+    pos: int,
+    scan_comps: list[dict],
+    Ss: int,
+    Se: int,
+    Ah: int,
+    Al: int,
+    huff: dict,
+    coef: dict,
+    grid: dict,
+    restart_interval: int,
+):
+    """Decode one SOS entropy segment into the coefficient arrays; returns
+    the stream position of the next marker. ``grid`` carries the MCU
+    geometry; interleaved scans walk MCUs, single-component scans walk the
+    component's own (non-padded) block raster per A.2.2."""
+    r = _BitReader(d, pos)
+    pred = {c["id"]: 0 for c in scan_comps}
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+    is_dc = Ss == 0
+
+    if interleaved and not is_dc:
+        raise ValueError("progressive AC scans must be single-component")
+
+    if interleaved:
+        n_units = grid["mcux"] * grid["mcuy"]
+    else:
+        c = scan_comps[0]
+        n_units = c["bw"] * c["bh"]
+
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            m = r.align_to_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(f"expected RST marker in scan, got {m:#x}")
+            pred = {c["id"]: 0 for c in scan_comps}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, grid["mcux"])
+            for c in scan_comps:
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        blk = coef[c["id"]][my * c["v"] + byi, mx * c["h"] + bxi]
+                        if Ah == 0:
+                            t = huff[(0, c["td"])].decode(r)
+                            diff = _extend(r.bits(t), t) if t else 0
+                            pred[c["id"]] += diff
+                            blk[0] = pred[c["id"]] << Al
+                        else:
+                            if r.bit():
+                                blk[0] = int(blk[0]) | (1 << Al)
+        else:
+            c = scan_comps[0]
+            by, bx = divmod(unit, c["bw"])
+            blk = coef[c["id"]][by, bx]
+            if is_dc:
+                if Ah == 0:
+                    t = huff[(0, c["td"])].decode(r)
+                    diff = _extend(r.bits(t), t) if t else 0
+                    pred[c["id"]] += diff
+                    blk[0] = pred[c["id"]] << Al
+                else:
+                    if r.bit():
+                        blk[0] = int(blk[0]) | (1 << Al)
+            elif Ah == 0:
+                eobrun = _prog_block_ac_first(
+                    r, huff[(1, c["ta"])], blk, Ss, Se, Al, eobrun
+                )
+            else:
+                eobrun = _prog_block_ac_refine(
+                    r, huff[(1, c["ta"])], blk, Ss, Se, Al, eobrun
+                )
+
+    # step past any leftover entropy padding to the terminating marker
+    # (covers both cases: r.marker already latched — r.pos points at its
+    # 0xFF — or padding bits left before the next 0xFF marker)
+    p = r.pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            if 0xD0 <= d[p + 1] <= 0xD7:  # stray trailing restart
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(d)
+
+
+def _reconstruct_progressive(comps, coef, qts, h: int, w: int):
+    """Final pass after all scans: dequantize + inverse-DCT every block of
+    every component in one vectorized einsum per component, then upsample
+    (nearest) + crop + color-convert — same output contract as baseline."""
+    import numpy as np
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    C = _dct_matrix()
+    full = []
+    for c in comps:
+        zz = coef[c["id"]]  # (BY, BX, 64) zigzag order
+        raster = np.zeros_like(zz, dtype=np.float64)
+        raster[..., _ZIGZAG] = zz
+        blocks = raster.reshape(zz.shape[0], zz.shape[1], 8, 8) * qts[c["tq"]]
+        pix = np.einsum("ab,yxbc,cd->yxad", C.T, blocks, C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(zz.shape[0] * 8, zz.shape[1] * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# decoder (baseline sequential + progressive, sampling factors 1-2,
+# restart markers)
 # ---------------------------------------------------------------------------
 def decode_jpeg(payload: bytes):
     """Baseline JPEG bytes → (h, w, 3) uint8 RGB numpy array (grayscale
@@ -410,6 +856,10 @@ def decode_jpeg(payload: bytes):
     comps: list[dict] = []
     h = w = None
     restart_interval = 0
+    progressive = False
+    coef: dict[int, "np.ndarray"] = {}  # progressive: zigzag coefs per comp
+    grid: dict[str, int] = {}
+    saw_scan = False
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             pos += 1
@@ -418,15 +868,15 @@ def decode_jpeg(payload: bytes):
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7 or marker == 0xD8:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack_from(">H", d, pos + 2)
         body = d[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} out of scope — only baseline"
-                " sequential (SOF0) is implemented"
+                f"JPEG SOF{marker - 0xC0} out of scope — baseline (SOF0)"
+                " and progressive (SOF2) are implemented"
             )
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0
@@ -448,7 +898,8 @@ def decode_jpeg(payload: bytes):
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision implemented")
@@ -460,20 +911,55 @@ def decode_jpeg(payload: bytes):
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError("sampling factors above 2 out of scope")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                grid = {"mcux": -(-w // (8 * hmax)), "mcuy": -(-h // (8 * vmax))}
+                for c in comps:
+                    # A.1.1: the component's own (non-padded) sample and
+                    # block dims — single-component scans walk exactly these
+                    cw = -(-w * c["h"] // hmax)
+                    ch = -(-h * c["v"] // vmax)
+                    c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+                    coef[c["id"]] = np.zeros(
+                        (grid["mcuy"] * c["v"], grid["mcux"] * c["h"], 64),
+                        dtype=np.int64,
+                    )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
+            scan_comps = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 for c in comps:
                     if c["id"] == cs:
                         c["td"], c["ta"] = tdta >> 4, tdta & 15
-            break
-    else:
+                        scan_comps.append(c)
+            saw_scan = True
+            if not progressive:
+                break
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                d,
+                pos,
+                scan_comps,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 15,
+                huff,
+                coef,
+                grid,
+                restart_interval,
+            )
+    if not saw_scan:
         raise ValueError("JPEG missing SOS")
     if h is None:
         raise ValueError("JPEG missing SOF")
+
+    if progressive:
+        return _reconstruct_progressive(comps, coef, qts, h, w)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

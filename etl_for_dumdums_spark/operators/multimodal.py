@@ -8,7 +8,9 @@ Decode support comes in three honest tiers:
   ``pcm_stats`` route these to full decodes.
 * REAL raw kernels: the self-describing RGB8/PCM1 formats below (what a
   production decode stage emits) — numpy only.
-* STUBS behind NotImplementedError: everything else (JPEG/mp3/video
+* REAL JPEG (operators/jpeg.py): baseline SOF0 and progressive SOF2,
+  first-principles DCT + Huffman, interop-verified against libjpeg files.
+* STUBS behind NotImplementedError: everything else (WebP/mp3/video
   codecs need PIL/opencv/ffmpeg, absent here); ``fake=True`` gives a
   deterministic digest-derived stand-in so pipelines and tests exercise
   the full Spark path with realistic shapes.
@@ -57,9 +59,10 @@ FEATURE_SCHEMA = T.StructType(
 
 def image_payload_to_array(payload: bytes):
     """Route an image payload to a REAL decode: PNG (operators/codecs.py),
-    baseline JPEG (operators/jpeg.py), or self-describing RGB8 raw. Returns
-    (h, w, ch) uint8. Raises NotImplementedError for codec formats without
-    an in-container decoder (WebP/progressive-JPEG/...) — the honest gate."""
+    JPEG — baseline AND progressive (operators/jpeg.py) — or
+    self-describing RGB8 raw. Returns (h, w, ch) uint8. Raises
+    NotImplementedError for codec formats without an in-container decoder
+    (WebP/arithmetic-JPEG/...) — the honest gate."""
     from .codecs import decode_png, is_png
     from .jpeg import decode_jpeg, is_jpeg
 
@@ -73,11 +76,12 @@ def image_payload_to_array(payload: bytes):
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode an image payload to an 8-dim feature vector.
 
-    REAL for PNG, baseline JPEG, and RGB8-raw payloads: per-channel means +
-    brightness + normalized dimensions, all deterministic byte arithmetic.
-    With ``fake=True`` returns a digest-derived stand-in instead (the
-    pre-codec behavior, kept for pipeline-shape tests). Formats without an
-    in-container decoder (WebP, progressive JPEG) raise NotImplementedError.
+    REAL for PNG, JPEG (baseline + progressive), and RGB8-raw payloads:
+    per-channel means + brightness + normalized dimensions, all
+    deterministic byte arithmetic. With ``fake=True`` returns a
+    digest-derived stand-in instead (the pre-codec behavior, kept for
+    pipeline-shape tests). Formats without an in-container decoder (WebP,
+    arithmetic JPEG) raise NotImplementedError.
     """
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
@@ -169,7 +173,7 @@ RESIZE_SCHEMA = T.StructType(
 def resize_payload(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
     """Resize an image payload.
 
-    REAL for PNG and baseline JPEG (decode → nearest-neighbor → re-encode,
+    REAL for PNG and JPEG (decode → nearest-neighbor → re-encode,
     format preserved) and RGB8-raw payloads; deterministic integer index
     maps so every engine/run produces identical bytes. With ``fake=True``
     returns a digest-derived pseudo-payload sized proportionally to the
@@ -282,7 +286,7 @@ def rgb_stats(media: DataFrame) -> DataFrame:
     """mapInPandas REAL feature extraction for RGB8-raw AND PNG rows:
     decoded dimensions + per-channel means + brightness, one vectorized
     numpy reduction per image. Payloads without an in-container decoder
-    (WebP/progressive JPEG/...) pass through with NULLs — the honest gate."""
+    (WebP/...) pass through with NULLs — the honest gate."""
     import numpy as np
 
     from .codecs import is_png

@@ -96,33 +96,95 @@ def test_encode_is_deterministic():
 
 
 @pytest.mark.skipif(not SPARK_IMAGES, reason="Spark mllib sample images not on disk")
-def test_decodes_real_libjpeg_baseline_photos():
-    """Third-party interop: photos encoded by libjpeg (4:2:0 subsampled,
-    baseline) must decode to their SOF dimensions with plausible content.
-    Progressive streams must hit the honest gate, not a wrong answer."""
+def test_decodes_real_libjpeg_photos_baseline_and_progressive():
+    """Third-party interop: EVERY photo encoded by libjpeg in the Spark
+    distribution — baseline 4:2:0 AND the progressive (SOF2) grayscale one
+    — must decode to its SOF dimensions with plausible content."""
     decoded = 0
     for path in SPARK_IMAGES:
         data = open(path, "rb").read()
         assert is_jpeg(data)
-        try:
-            a = decode_jpeg(data)
-        except NotImplementedError as e:
-            assert "SOF2" in str(e) or "out of scope" in str(e)
-            continue
+        a = decode_jpeg(data)
         decoded += 1
         h, w, ch = a.shape
         assert ch == 3 and h > 8 and w > 8
         # plausible photo statistics: not blank, not saturated noise
         assert 10.0 < float(a.mean()) < 245.0
         assert float(a.std()) > 10.0
-    assert decoded >= 4, "expected at least 4 baseline sample photos to decode"
+    assert decoded >= 5, "expected all sample photos (incl. progressive) to decode"
 
 
-def test_progressive_gate_message_names_the_scope():
-    # minimal SOI + SOF2 header → must raise the honest gate, not ValueError
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + (17).to_bytes(2, "big") + bytes(15)
+_PROG_FIXTURE = [p for p in SPARK_IMAGES if p.endswith("grayscale.jpg")]
+_BASE_TWIN = [p for p in SPARK_IMAGES if p.endswith("chr30.4.184.jpg")]
+
+
+@pytest.mark.skipif(
+    not (_PROG_FIXTURE and _BASE_TWIN), reason="Spark mllib twin photos not on disk"
+)
+def test_progressive_interop_cross_file_ground_truth():
+    """grayscale.jpg is a REAL libjpeg SOF2 stream (the 6-scan
+    jpeg_simple_progression script: DC first+refine, AC first+refine with
+    EOB runs) of the same 215x300 photo as the baseline chr30.4.184.jpg.
+    Decoding it through the progressive path must match the luma of the
+    independently decoded baseline file within compression noise — two
+    different encoders' outputs of one source, two decode paths."""
+    prog = decode_jpeg(open(_PROG_FIXTURE[0], "rb").read())
+    base = decode_jpeg(open(_BASE_TWIN[0], "rb").read())
+    assert prog.shape == base.shape == (215, 300, 3)
+    luma = 0.299 * base[..., 0] + 0.587 * base[..., 1] + 0.114 * base[..., 2]
+    diff = np.abs(prog[..., 0].astype(np.float64) - luma)
+    # a decode defect shows up as ~50+ mean error; two lossy encodings of
+    # the same photo differ by a few levels
+    assert float(diff.mean()) < 5.0
+    assert float(np.percentile(diff, 99)) < 20.0
+
+
+def test_progressive_roundtrip_is_bit_identical_to_baseline():
+    """encode_jpeg_progressive must carry EXACTLY the coefficients of
+    encode_jpeg at the same quality — decode of both is pixel-identical.
+    This pins every progressive entropy branch (DC first/refine, AC
+    first/refine, ZRL, correction bits, per-band EOB) against the
+    baseline path, for color and grayscale, across qualities."""
+    from etl_for_dumdums_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(42)
+    yy, xx = np.mgrid[0:41, 0:67]
+    img = np.stack(
+        [(yy * 3 + xx * 2) % 256, (xx * 5) % 256, (yy * 7 + 30) % 256], axis=-1
+    ).astype(np.uint8)
+    img[10:20, 10:30] = [200, 30, 90]
+    img = np.clip(
+        img.astype(int) + rng.randint(-12, 12, img.shape), 0, 255
+    ).astype(np.uint8)
+    for q in (90, 60):
+        want = decode_jpeg(encode_jpeg(img, q))
+        got = decode_jpeg(encode_jpeg_progressive(img, q))
+        assert np.array_equal(got, want)
+    gray = img[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray, 80)),
+        decode_jpeg(encode_jpeg(gray, 80)),
+    )
+
+
+def test_progressive_restart_markers_roundtrip():
+    """DRI/RSTn inside progressive scans: per-segment DC-pred and EOB-run
+    resets must reproduce the same pixels as the unrestarted stream."""
+    from etl_for_dumdums_spark.operators.jpeg import encode_jpeg_progressive
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = ((yy * 11 + xx * 3) % 256).astype(np.uint8)
+    want = decode_jpeg(encode_jpeg(img, 75))
+    for dri in (1, 3, 7):
+        got = decode_jpeg(encode_jpeg_progressive(img, 75, restart_interval=dri))
+        assert np.array_equal(got, want), f"restart_interval={dri}"
+
+
+def test_out_of_scope_sof_still_gates_honestly():
+    # SOF9 (arithmetic-coded) must raise the honest gate, not a wrong answer
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + (17).to_bytes(2, "big") + bytes(15)
     with pytest.raises(NotImplementedError):
-        decode_jpeg(sof2)
+        decode_jpeg(sof9)
 
 
 def test_kernel_wiring_decode_and_rgb_stats(spark):
