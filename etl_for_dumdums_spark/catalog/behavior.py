@@ -666,13 +666,14 @@ _SEQ_SUB = [
 ]
 
 
-@register(
-    "events_sequence_pattern",
-    extra=True,
-    sql=f"""
+def _sequence_pattern_sql(where: str = "") -> str:
+    """Oracle SQL with an optional events WHERE clause — the input-sampled
+    at-scale tier (catalog/sampled.py) restricts by user key; the per-user
+    computation makes the restriction semantics-preserving."""
+    return f"""
     WITH firstk AS (
       SELECT user_id, ts, event_id, event_type
-      FROM events
+      FROM events{where}
       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
               <= {_SEQ_CAP}),
     seqs AS (
@@ -701,12 +702,18 @@ _SEQ_SUB = [
     UNION ALL SELECT '{_SEQ_SUB[1][0]}', u4,
            CAST(u4 * 1000000 // n_users AS BIGINT), CAST(NULL AS BIGINT) FROM agg
     ORDER BY pattern
-    """,
-)
+    """
+
+
+@register("events_sequence_pattern", extra=True, sql=_sequence_pattern_sql())
 def events_sequence_pattern(spark, sf_dir):
     t = Tables(spark, sf_dir)
+    return _sequence_pattern(t.events)
+
+
+def _sequence_pattern(events):
     firstk = (
-        t.events.withColumn(
+        events.withColumn(
             "_rn",
             F.row_number().over(
                 W.partitionBy("user_id").orderBy("ts", "event_id")

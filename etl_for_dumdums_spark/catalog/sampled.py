@@ -34,6 +34,7 @@ from . import (
     SAMPLED_QUERIES,
     Tables,
 )
+from .behavior import _sequence_pattern, _sequence_pattern_sql
 from .dedup import _cc_groups, _cc_sql, _prefix_jaccard, _prefix_jaccard_sql
 from .joins import _range_interval, _range_interval_sql
 
@@ -113,4 +114,23 @@ def _sampled_range_interval(spark, sf_dir):
 SAMPLED_QUERIES["join_range_interval"] = _sampled_range_interval
 SAMPLED_ORACLE["join_range_interval"] = _range_interval_sql(
     f" WHERE event_id % {_EVT_MOD} = 0"
+)
+
+# events_sequence_pattern: the full-output 1000x oracle is DuckDB-infeasible
+# (serial window over 600M rows OOMs at ~94 GB — docs/ROUND4_NOTES.md); the
+# computation is strictly per-user, so restricting to a 1/101 USER subset
+# (prime modulus, applied before the QUALIFY/row_number in both engines) is
+# semantics-preserving and gives the biggest 1000x consumer VALUE parity at
+# scale, not just completion (r4 verdict item #4).
+_SEQ_USER_MOD = 101
+
+
+def _sampled_sequence_pattern(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return _sequence_pattern(t.events.filter(F.col("user_id") % _SEQ_USER_MOD == 0))
+
+
+SAMPLED_QUERIES["events_sequence_pattern"] = _sampled_sequence_pattern
+SAMPLED_ORACLE["events_sequence_pattern"] = _sequence_pattern_sql(
+    f" WHERE user_id % {_SEQ_USER_MOD} = 0"
 )

@@ -24,17 +24,27 @@ def assign_token_shards(
     token_col: str,
     shard_tokens: int,
     n_parts: int = 32,
+    pins: list | None = None,
 ) -> DataFrame:
     """Add a ``shard_id`` column: contiguous-by-id greedy packing where a
     doc belongs to the shard its cumulative END position falls in
     (shard s covers cumulative tokens (s*B, (s+1)*B]). Deterministic for
     any partitioning; equals the single-pass serial cumsum rule exactly.
+
+    Pinned-frame contract (same as operators/ranked.py): the intermediate
+    range-partitioned frame stays cached until the caller's terminal
+    action, because the broadcast offsets came from one evaluation of the
+    sampled range bounds. Pass ``pins`` (a list) to receive the pinned
+    DataFrame for ``.unpersist()`` after the dependent action, or
+    ``spark.catalog.clearCache()`` between queries.
     """
     ranged = (
         df.repartitionByRange(n_parts, id_col)
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
+    if pins is not None:
+        pins.append(ranged)
     part_sums = {
         r["_pid"]: r["s"]
         for r in ranged.groupBy("_pid").agg(F.sum(token_col).alias("s")).collect()

@@ -36,6 +36,7 @@ def ranged_prefix(
     order_cols: list[str],
     sum_cols: list[str],
     nparts: int = 32,
+    pins: list | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Attach a global 1-based rank ``_r`` and, for each ``c`` in
     ``sum_cols``, an inclusive prefix sum ``cum_<c>`` over the total order
@@ -44,20 +45,26 @@ def ranged_prefix(
     Python ints — handy as literals for closed-form expressions).
 
     ``sum_cols`` must be integer-typed; prefix sums are exact BIGINT.
-    The returned frame is cached (it is consumed at least twice: once for
-    the offset collect, once downstream) and stays pinned for the life of
-    the returned DataFrame: the offsets were collected from ONE evaluation
-    of the range partitioning, so the downstream consumer must see that
-    same evaluation. Callers running many queries in one session should
-    ``spark.catalog.clearCache()`` (or ``.unpersist()`` the result's
-    lineage) after their terminal action — bench.py and
-    tools/check_oracle.py both do.
+
+    Pinned-frame contract: the intermediate range-partitioned frame is
+    cached (consumed twice: the offset collect here, and the downstream
+    plan) and MUST stay pinned until the caller's terminal action — the
+    offsets were collected from ONE evaluation of the (sampled, therefore
+    nondeterministic) range partitioning, and an uncached re-evaluation
+    could re-draw the bounds and misalign the offsets. Release it after
+    the dependent action via either
+      * ``pins``: pass a list and the pinned DataFrame is appended for the
+        caller to ``.unpersist()`` when done (the library-caller path), or
+      * ``spark.catalog.clearCache()`` between queries (what bench.py and
+        tools/check_oracle.py do).
     """
     ranged = (
         df.repartitionByRange(nparts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
+    if pins is not None:
+        pins.append(ranged)
     aggs = [F.count("*").alias("_n")] + [
         F.sum(c).cast("long").alias(f"_s_{c}") for c in sum_cols
     ]

@@ -53,3 +53,28 @@ def test_packing_invariants(spark):
     # shard ids are monotone in doc order
     seq = [r["shard_id"] for r in out.orderBy("doc_id").collect()]
     assert all(a <= b for a, b in zip(seq, seq[1:]))
+
+
+def test_pins_registry_releases_intermediate_cache(spark):
+    """Library-caller path for the pinned-frame contract (r4 advice #7/
+    verdict item #7): the pins list receives the cached intermediate, and
+    unpersisting it after the terminal action leaves no storage behind."""
+    from etl_for_dumdums_spark.operators.packing import assign_token_shards
+    from etl_for_dumdums_spark.operators.ranked import ranged_prefix
+
+    spark.catalog.clearCache()  # drop pins left by earlier (contract-
+    # documented) tests so the storage assertions below see only ours
+    df = spark.range(1, 501).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tok")
+    )
+    pins = []
+    packed = assign_token_shards(df, "doc_id", "n_tok", 1000, pins=pins)
+    assert packed.count() == 500  # terminal action
+    pref, totals = ranged_prefix(spark, df, ["doc_id"], ["n_tok"], pins=pins)
+    assert pref.count() == 500 and totals["_n"] == 500
+    assert len(pins) == 2
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo(), "expected live cached storage before release"
+    for p in pins:
+        p.unpersist(blocking=True)
+    assert not jsc.getRDDStorageInfo(), "pins released but storage remains"
