@@ -9,14 +9,18 @@ payloads, not just the self-describing raw formats.
 
 Scope (stated, not hidden):
 
-* PNG — 8-bit-depth, color types 2 (RGB) and 6 (RGBA), non-interlaced.
-  All five scanline filters (None/Sub/Up/Average/Paeth) are implemented,
-  so PNGs produced by other encoders decode correctly; palette/16-bit/
-  interlaced images raise ``NotImplementedError`` (the honest gate).
-  ``encode_png`` emits filter-0 scanlines — valid output every PNG reader
-  accepts.
-* WAV — RIFF/WAVE, PCM (format 1), 16-bit samples, any channel count /
-  rate. Float/ADPCM/extensible raise ``NotImplementedError``.
+* PNG — 8-bit-depth, color types 0 (grayscale), 2 (RGB), 3 (palette,
+  with tRNS alpha), 4 (gray+alpha) and 6 (RGBA), non-interlaced. All five
+  scanline filters (None/Sub/Up/Average/Paeth) are implemented, so PNGs
+  produced by other encoders decode correctly; 16-bit and interlaced
+  images raise ``NotImplementedError`` (the honest gate). ``encode_png``
+  emits filter-0 scanlines — valid output every PNG reader accepts.
+* WAV — RIFF/WAVE: linear PCM (format 1) at 8/16/24/32 bits, IEEE float
+  (format 3) at 32/64 bits, and WAVE_FORMAT_EXTENSIBLE wrapping either,
+  any channel count / rate — every linear-sample WAV a crawl yields.
+  Wider-than-16 samples convert to int16 deterministically (arithmetic
+  shift / clip-scale-round). Compressed formats (ADPCM, mu-law, mp3)
+  raise ``NotImplementedError``.
 
 Everything is deterministic byte arithmetic: decode(encode(x)) == x
 exactly, and the kernels stay oracle-checkable.
@@ -80,15 +84,19 @@ def decode_png(payload: bytes):
     """PNG bytes → (h, w, channels) uint8 numpy array.
 
     Real decode: chunk walk, zlib inflate, and full scanline un-filtering
-    (all five PNG filter types). Raises ``NotImplementedError`` for the
-    out-of-scope shapes (palette, 16-bit, interlaced) and ``ValueError``
-    for malformed streams."""
+    (all five PNG filter types). 8-bit color types 0 (grayscale — returned
+    replicated to RGB), 2 (RGB), 3 (palette via PLTE, plus tRNS alpha when
+    present), 4 (gray+alpha → RGBA) and 6 (RGBA) all decode. Raises
+    ``NotImplementedError`` for the out-of-scope shapes (16-bit,
+    sub-8-bit palette, interlaced) and ``ValueError`` for malformed
+    streams."""
     import numpy as np
 
     if payload is None or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, w = 8, None
     idat = bytearray()
+    plte = trns = None
     h = bit_depth = color_type = interlace = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -99,19 +107,26 @@ def decode_png(payload: bytes):
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG shape out of scope (bit_depth={bit_depth}, "
             f"color_type={color_type}, interlace={interlace}) — "
-            "only 8-bit RGB/RGBA non-interlaced is implemented"
+            "8-bit non-interlaced color types 0/2/3/4/6 are implemented"
         )
-    ch = 3 if color_type == 2 else 4
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    # bytes per pixel in the FILTERED stream (what un-filtering operates on)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -146,7 +161,22 @@ def decode_png(payload: bytes):
             out[y] = row
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
-    return out.astype(np.uint8).reshape(h, w, ch)
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if color_type == 0:  # grayscale → RGB (same contract as JPEG gray)
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:  # gray+alpha → RGBA
+        return np.concatenate([np.repeat(px[..., :1], 3, axis=2), px[..., 1:]], axis=2)
+    if color_type == 3:  # palette lookup (+ tRNS alpha when present)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha[: trns.shape[0]] = trns
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+    return px
 
 
 def is_png(payload: bytes) -> bool:
@@ -183,14 +213,22 @@ def encode_wav(samples, rate: int, channels: int = 1) -> bytes:
 def decode_wav(payload: bytes):
     """WAV bytes → (rate, channels, int16 numpy array shaped (n, channels)).
 
-    Real decode: RIFF chunk walk; PCM (format 1) 16-bit only — float,
-    ADPCM, and WAVE_FORMAT_EXTENSIBLE raise ``NotImplementedError``."""
+    Real decode: RIFF chunk walk. Supported sample formats — PCM (format 1)
+    at 8 (unsigned), 16, 24 and 32 bits, IEEE float (format 3) at 32/64
+    bits, and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — i.e. every
+    linear-sample WAV a crawl realistically yields. Wider-than-16 samples
+    convert to the int16 domain deterministically: integers by arithmetic
+    right-shift of the extra bits, floats by clip to [-1, 1] x 32767 with
+    numpy round-half-even — bit-stable across runs/engines. Compressed
+    formats (ADPCM, mu-law/A-law, mp3-in-WAV) raise
+    ``NotImplementedError`` — the honest gate."""
     import numpy as np
 
     if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     rate = channels = None
+    audio_format = bits = None
     data = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
@@ -201,17 +239,45 @@ def decode_wav(payload: bytes):
             audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
-            if audio_format != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"WAV format out of scope (format={audio_format}, "
-                    f"bits={bits}) — only PCM16 is implemented"
-                )
+            if audio_format == 0xFFFE:
+                # extensible: the real format code is the GUID's first two
+                # bytes (cbSize >= 22: 16 valid-bits + 32 channel-mask + GUID)
+                if len(body) < 26:
+                    raise ValueError("extensible WAV fmt chunk truncated")
+                (audio_format,) = struct.unpack_from("<H", body, 24)
         elif tag == b"data":
             data = body
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    a = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
-    return rate, channels, a
+    if audio_format == 1:  # linear PCM
+        if bits == 16:
+            a = np.frombuffer(data, dtype="<i2")
+        elif bits == 8:  # 8-bit PCM is unsigned per the spec
+            a = ((np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128) << 8).astype("<i2")
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.int64)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v = v - ((v & 0x800000) << 1)  # sign-extend 24-bit
+            a = (v >> 8).astype("<i2")
+        elif bits == 32:
+            a = (np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16).astype("<i2")
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits} out of scope")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(data, dtype="<f8")
+        else:
+            raise NotImplementedError(f"float bit depth {bits} out of scope")
+        a = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype("<i2")
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format} out of scope — linear PCM and IEEE"
+            " float are implemented; compressed formats are not"
+        )
+    return rate, channels, a.reshape(-1, channels)
 
 
 def is_wav(payload: bytes) -> bool:

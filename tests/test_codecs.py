@@ -129,12 +129,18 @@ def test_png_out_of_scope_gates():
     good = encode_png(img)
     with pytest.raises(ValueError):
         decode_png(b"JFIF" + good)
-    # palette color type (3) is out of scope — honest NotImplementedError
+    # palette (3) now decodes, but a palette stream MISSING its PLTE is
+    # malformed — ValueError, not a crash downstream
     pal = bytearray(good)
     # IHDR body starts at 8 (sig) + 8 (len+tag); color type is byte 9 of body
     pal[8 + 8 + 9] = 3
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(pal))
+    # 16-bit depth remains the honest out-of-scope gate
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16  # bit depth byte
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(deep))
     assert is_png(good) and not is_png(b"nope")
 
 
