@@ -80,6 +80,63 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid: (x-offset, y-offset, x-step, y-step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, offset: int, n_rows: int, n_px: int, ch: int):
+    """Un-filter ``n_rows`` scanlines of ``n_px`` pixels starting at
+    ``offset`` in the inflated stream; returns ((n_rows, n_px*ch) uint8,
+    new offset). One call per image (plain) or per Adam7 pass (each pass
+    is filtered independently, as if it were its own image)."""
+    import numpy as np
+
+    stride = n_px * ch
+    need = n_rows * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((n_rows, stride), dtype=np.int64)
+    for y in range(n_rows):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(
+            np.int64
+        )
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
+            # per-lane cumulative sum mod 256 — vectorized along the row
+            lanes = line.reshape(-1, ch)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) % 256
+        elif ftype == 3:  # Average
+            row = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (line[x] + (left + prev[x]) // 2) % 256
+            out[y] = row
+        elif ftype == 4:  # Paeth
+            row = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                row[x] = (line[x] + _paeth(int(left), int(prev[x]), int(ul))) % 256
+            out[y] = row
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.astype(np.uint8), offset + need
+
+
 def decode_png(payload: bytes):
     """PNG bytes → (h, w, channels) uint8 numpy array.
 
@@ -117,51 +174,34 @@ def decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace != 0:
+    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG shape out of scope (bit_depth={bit_depth}, "
             f"color_type={color_type}, interlace={interlace}) — "
-            "8-bit non-interlaced color types 0/2/3/4/6 are implemented"
+            "8-bit color types 0/2/3/4/6 (plain + Adam7) are implemented"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     # bytes per pixel in the FILTERED stream (what un-filtering operates on)
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data has wrong length")
-    out = np.zeros((h, stride), dtype=np.int64)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int64)
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
-        if ftype == 0:  # None
-            out[y] = line
-        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
-            # per-lane cumulative sum mod 256 — vectorized along the row
-            lanes = line.reshape(-1, ch)
-            out[y] = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
-        elif ftype == 2:  # Up
-            out[y] = (line + prev) % 256
-        elif ftype == 3:  # Average
-            row = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                row[x] = (line[x] + (left + prev[x]) // 2) % 256
-            out[y] = row
-        elif ftype == 4:  # Paeth
-            row = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                ul = prev[x - ch] if x >= ch else 0
-                row[x] = (line[x] + _paeth(int(left), int(prev[x]), int(ul))) % 256
-            out[y] = row
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    if interlace == 0:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG scanline data has wrong length")
+        px = _unfilter(raw, 0, h, w, ch)[0].reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images scattered on a grid
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _unfilter(raw, off, ph, pw, ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("PNG Adam7 data has wrong length")
+        px = img
     if color_type == 0:  # grayscale → RGB (same contract as JPEG gray)
         return np.repeat(px, 3, axis=2)
     if color_type == 4:  # gray+alpha → RGBA

@@ -158,7 +158,11 @@ def test_wav_roundtrip_mono_and_stereo():
 
 def test_wav_out_of_scope_gates():
     payload = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
-    # fmt audio_format field (offset 20) → 3 (IEEE float): out of scope
+    # fmt audio_format field (offset 20) → 2 (MS ADPCM): compressed, gated
+    struct.pack_into("<H", payload, 20, 2)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+    # IEEE float decodes at 32/64-bit, but a float16 claim is out of scope
     struct.pack_into("<H", payload, 20, 3)
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(payload))
@@ -227,3 +231,49 @@ def test_rgb_and_pcm_stats_decode_real_codec_payloads(spark):
     assert a["peak"] == 3000
     assert a["zero_cross"] == 1
     assert a["duration_ms"] == 3 * 1000 // 8000
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: the test constructs the interlaced stream per the spec's
+    pass grid (independent of the decoder's table) with filter-0 lines,
+    for awkward sizes where passes go empty or 1-pixel, and checks
+    decode == source pixels."""
+    import struct
+    import zlib
+
+    PASSES = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def interlaced_png(img):
+        h, w, ch = img.shape
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+        raw = bytearray()
+        for x0, y0, dx, dy in PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(3)
+    for h, w, ch in [(8, 8, 3), (5, 7, 3), (3, 3, 1), (1, 1, 3), (2, 9, 4), (16, 5, 3)]:
+        img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        got = decode_png(interlaced_png(img))
+        if ch == 1:  # grayscale contract: replicated to RGB
+            assert got.shape == (h, w, 3)
+            assert (got == np.repeat(img, 3, axis=2)).all(), (h, w, ch)
+        else:
+            assert (got == img).all(), (h, w, ch)
