@@ -29,6 +29,8 @@ from etl_for_dumdums_spark.catalog import (  # noqa: E402
     EXTRA_QUERIES,
     ORACLE,
     QUERIES,
+    SAMPLED_ORACLE,
+    SAMPLED_QUERIES,
     TABLE_NAMES,
     load_all,
 )
@@ -72,12 +74,24 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/tmp/sfscale1000")
     ap.add_argument("--memory-limit", default="60GB")
+    ap.add_argument(
+        "--sampled",
+        action="store_true",
+        help="use the deterministic key-sampled variants (catalog/sampled.py)"
+        " where registered — the tier for queries whose full-output oracle"
+        " is infeasible at this scale",
+    )
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
     load_all()
     queries = {**QUERIES, **EXTRA_QUERIES}
     oracle = {**ORACLE, **EXTRA_ORACLE}
+    if args.sampled:
+        import etl_for_dumdums_spark.catalog.sampled  # noqa: F401 (registers)
+
+        queries.update(SAMPLED_QUERIES)
+        oracle.update(SAMPLED_ORACLE)
     spark = get_spark("spot-scale")
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{args.memory_limit}'")
