@@ -207,10 +207,20 @@ def test_kernel_wiring_decode_and_rgb_stats(spark):
     assert is_jpeg(resized)
     assert image_payload_to_array(resized).shape == (8, 8, 3)
 
+    from etl_for_dumdums_spark.operators.jpeg import encode_jpeg_progressive
+
     media = spark.createDataFrame(
-        [(1, bytearray(payload)), (2, None)], ["media_id", "payload"]
+        [
+            (1, bytearray(payload)),
+            (2, None),
+            (3, bytearray(encode_jpeg_progressive(img, 90))),
+        ],
+        ["media_id", "payload"],
     )
     rows = {r.media_id: r for r in rgb_stats(media).collect()}
     assert rows[1].dec_width == 16 and rows[1].dec_height == 32
     assert rows[1].mean_r is not None
     assert rows[2].mean_r is None
+    # the progressive twin decodes IN the kernel to the identical stats
+    assert rows[3].dec_width == 16 and rows[3].mean_r == rows[1].mean_r
+    assert rows[3].brightness == rows[1].brightness
