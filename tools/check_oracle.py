@@ -194,6 +194,28 @@ def main():
             c.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{src}')")
         return c
 
+    def fresh_con(old=None):
+        """Close + rebuild the oracle connection, retrying with backoff:
+        under transient box-wide memory pressure even duckdb.connect()/view
+        creation can OOM, and an escaped exception there used to abort the
+        whole sweep (r5: events_sequence_pattern at 100x under a concurrent
+        pytest run killed the remaining ~120 queries)."""
+        if old is not None:
+            try:
+                old.close()
+            except Exception:
+                pass
+        last = None
+        for wait in (0, 15, 60):
+            if wait:
+                print(f"NOTE: oracle connection rebuild failed; retrying in {wait}s")
+                time.sleep(wait)
+            try:
+                return make_con()
+            except Exception as e:  # pragma: no cover - only under box OOM
+                last = e
+        raise last
+
     con = make_con()
 
     n_pass = n_fail = n_skip = 0
@@ -220,8 +242,7 @@ def main():
                 # (~180 scale-up oracles in, even 16KB allocations start
                 # failing under the memory_limit) — rebuild and retry once
                 # before declaring a failure
-                con.close()
-                con = make_con()
+                con = fresh_con(con)
                 atab = con.execute(oracle[name]).arrow()
             dcols = atab.column_names
             drows = [tuple(d[c] for c in dcols) for d in atab.to_pylist()]
@@ -229,12 +250,9 @@ def main():
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             # a fatal error (OOM) invalidates the whole DuckDB database, not
-            # just the statement — rebuild so later queries aren't poisoned
-            try:
-                con.close()
-            except Exception:
-                pass
-            con = make_con()
+            # just the statement — rebuild (with backoff) so later queries
+            # aren't poisoned and a rebuild-time OOM can't abort the sweep
+            con = fresh_con(con)
             continue
 
         ok = True
