@@ -184,7 +184,12 @@ def main():
         # replica spills to disk instead of taking the whole box down (a
         # fatal DuckDB OOM also invalidates the database, poisoning every
         # later query in the sweep with "Connection has already been closed")
-        c.execute("SET memory_limit='40GB'")
+        # 24GB, not more: the limit is ACCOUNTING headroom, not a target —
+        # a long sweep accumulates buffer state toward the limit, and when a
+        # query OOMs at the limit the retry's fresh pool must coexist with
+        # the old one's not-yet-returned pages (no swap on this box). Spill
+        # (temp_directory) keeps big windows correct at the lower ceiling.
+        c.execute("SET memory_limit='24GB'")
         c.execute("SET temp_directory='/tmp/duck_spill'")
         for tname in TABLE_NAMES:
             # driver testdata is one file per table; Spark-written scale-up
@@ -205,6 +210,10 @@ def main():
                 old.close()
             except Exception:
                 pass
+        import gc
+
+        gc.collect()  # drop lingering result/relation refs so the old
+        # database's buffer pool is actually destroyed before the new one
         last = None
         for wait in (0, 15, 60):
             if wait:
