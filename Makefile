@@ -42,6 +42,8 @@ oracle-1000x-spot:
 	python tools/spot_check_scale.py --sf /tmp/sfscale1000 \
 	  agg_pricing_summary win_top_n_per_group join_agg_then_left \
 	  events_session_native dedup_minhash_lsh
+	python tools/spot_check_scale.py --sf /tmp/sfscale1000 --sampled \
+	  events_sequence_pattern
 
 test:
 	python -m pytest tests/ -q
