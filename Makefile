@@ -25,8 +25,11 @@ bench-scale-100: scale-data-100
 # dedup_cc_groups, join_range_interval) are verified at 100x via the
 # sampled tier below instead of full-output comparison.
 ORACLE_100X_EXCLUDE = win_lag_deltas,win_rolling_frames,scalar_string_ops,scalar_math_conditional,scalar_clean_html,scalar_array_ops,dedup_prefix_jaccard,text_chunk_tokens,dedup_cc_groups,join_range_interval
+# chunked: a single-process sweep over ~180 scale-up oracles accumulates
+# process memory (JVM native buffers + DuckDB pools) until KB-scale mallocs
+# fail on this no-swap box; fresh-process chunks restart the lifecycle.
 oracle-100x:
-	python tools/check_oracle.py --sf /tmp/sfscale100 --exclude $(ORACLE_100X_EXCLUDE)
+	python tools/run_oracle_chunked.py --sf /tmp/sfscale100 --exclude $(ORACLE_100X_EXCLUDE)
 
 # sampled at-scale parity for the per-row-output queries: both engines
 # compare on a deterministic hash-sampled key subset (the sampling rule is
