@@ -9,18 +9,21 @@ payloads, not just the self-describing raw formats.
 
 Scope (stated, not hidden):
 
-* PNG — 8-bit-depth, color types 0 (grayscale), 2 (RGB), 3 (palette,
-  with tRNS alpha), 4 (gray+alpha) and 6 (RGBA), non-interlaced. All five
-  scanline filters (None/Sub/Up/Average/Paeth) are implemented, so PNGs
-  produced by other encoders decode correctly; 16-bit and interlaced
-  images raise ``NotImplementedError`` (the honest gate). ``encode_png``
-  emits filter-0 scanlines — valid output every PNG reader accepts.
+* PNG — color types 0 (grayscale), 2 (RGB), 3 (palette, with tRNS
+  alpha), 4 (gray+alpha) and 6 (RGBA) at 8-bit depth (palette) or
+  8/16-bit (the rest; 16-bit decodes by MSB — the standard 16->8
+  downsample), plain AND Adam7 interlaced. All five scanline filters
+  (None/Sub/Up/Average/Paeth) are implemented, so PNGs produced by other
+  encoders decode correctly; sub-8-bit depths raise
+  ``NotImplementedError`` (the honest gate). ``encode_png`` emits
+  filter-0 scanlines — valid output every PNG reader accepts.
 * WAV — RIFF/WAVE: linear PCM (format 1) at 8/16/24/32 bits, IEEE float
-  (format 3) at 32/64 bits, and WAVE_FORMAT_EXTENSIBLE wrapping either,
-  any channel count / rate — every linear-sample WAV a crawl yields.
-  Wider-than-16 samples convert to int16 deterministically (arithmetic
-  shift / clip-scale-round). Compressed formats (ADPCM, mu-law, mp3)
-  raise ``NotImplementedError``.
+  (format 3) at 32/64 bits, G.711 mu-law/A-law (formats 7/6 — the
+  expansion tables computed from the standard's rule, not pasted), and
+  WAVE_FORMAT_EXTENSIBLE wrapping any of them — every linear or
+  companded WAV a crawl yields. Wider-than-16 samples convert to int16
+  deterministically (arithmetic shift / clip-scale-round). True
+  compressed formats (ADPCM, mp3-in-WAV) raise ``NotImplementedError``.
 
 Everything is deterministic byte arithmetic: decode(encode(x)) == x
 exactly, and the kernels stay oracle-checkable.
@@ -141,12 +144,12 @@ def decode_png(payload: bytes):
     """PNG bytes → (h, w, channels) uint8 numpy array.
 
     Real decode: chunk walk, zlib inflate, and full scanline un-filtering
-    (all five PNG filter types). 8-bit color types 0 (grayscale — returned
-    replicated to RGB), 2 (RGB), 3 (palette via PLTE, plus tRNS alpha when
-    present), 4 (gray+alpha → RGBA) and 6 (RGBA) all decode. Raises
-    ``NotImplementedError`` for the out-of-scope shapes (16-bit,
-    sub-8-bit palette, interlaced) and ``ValueError`` for malformed
-    streams."""
+    (all five PNG filter types), plain and Adam7 interlaced. Color types
+    0 (grayscale — returned replicated to RGB), 2 (RGB), 3 (palette via
+    PLTE, plus tRNS alpha when present), 4 (gray+alpha → RGBA) and 6
+    (RGBA) decode at 8-bit; 0/2/4/6 also at 16-bit (MSB downsample).
+    Raises ``NotImplementedError`` for the out-of-scope shapes (sub-8-bit
+    depths, 16-bit palette) and ``ValueError`` for malformed streams."""
     import numpy as np
 
     if payload is None or payload[:8] != _PNG_SIG:
@@ -174,34 +177,45 @@ def decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
+    if (
+        bit_depth not in (8, 16)
+        or color_type not in (0, 2, 3, 4, 6)
+        or (bit_depth == 16 and color_type == 3)
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
             f"PNG shape out of scope (bit_depth={bit_depth}, "
-            f"color_type={color_type}, interlace={interlace}) — "
-            "8-bit color types 0/2/3/4/6 (plain + Adam7) are implemented"
+            f"color_type={color_type}, interlace={interlace}) — 8/16-bit "
+            "color types 0/2/4/6 and 8-bit palette (plain + Adam7) are"
+            " implemented"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    # bytes per pixel in the FILTERED stream (what un-filtering operates on)
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    # bytes per pixel in the FILTERED stream (what un-filtering operates
+    # on): PNG filters are byte-wise with the left-neighbor at bpp bytes
+    bpp = ch * (bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(raw) != h * (w * ch + 1):
+        if len(raw) != h * (w * bpp + 1):
             raise ValueError("PNG scanline data has wrong length")
-        px = _unfilter(raw, 0, h, w, ch)[0].reshape(h, w, ch)
+        px = _unfilter(raw, 0, h, w, bpp)[0].reshape(h, w, bpp)
     else:  # Adam7: 7 independently-filtered sub-images scattered on a grid
-        img = np.zeros((h, w, ch), dtype=np.uint8)
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = -(-(w - x0) // dx) if w > x0 else 0
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub, off = _unfilter(raw, off, ph, pw, ch)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub, off = _unfilter(raw, off, ph, pw, bpp)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         if off != len(raw):
             raise ValueError("PNG Adam7 data has wrong length")
         px = img
+    if bit_depth == 16:
+        # network byte order: the MSB is the standard 16->8 downsample
+        px = px.reshape(h, w, ch, 2)[..., 0]
     if color_type == 0:  # grayscale → RGB (same contract as JPEG gray)
         return np.repeat(px, 3, axis=2)
     if color_type == 4:  # gray+alpha → RGBA
@@ -312,12 +326,61 @@ def decode_wav(payload: bytes):
         else:
             raise NotImplementedError(f"float bit depth {bits} out of scope")
         a = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype("<i2")
+    elif audio_format == 6:  # G.711 A-law — table-driven exact expansion
+        a = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 7:  # G.711 mu-law
+        a = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
     else:
         raise NotImplementedError(
-            f"WAV format {audio_format} out of scope — linear PCM and IEEE"
-            " float are implemented; compressed formats are not"
+            f"WAV format {audio_format} out of scope — linear PCM, IEEE"
+            " float and G.711 mu-law/A-law are implemented; ADPCM/mp3-in-WAV"
+            " are not"
         )
     return rate, channels, a.reshape(-1, channels)
+
+
+def _build_mulaw_table():
+    """G.711 mu-law byte → int16, derived from the standard's expansion
+    rule (invert bits; sign/exponent/mantissa; magnitude =
+    ((2*mantissa + 33) << exponent) - 33, scaled by 4 to 16-bit) — the
+    same table every telephony codec ships, computed not pasted."""
+    import numpy as np
+
+    out = np.zeros(256, dtype="<i2")
+    for byte in range(256):
+        u = ~byte & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((2 * mant) + 33) << exp) - 33
+        val = mag * 4
+        out[byte] = -val if sign else val
+    return out
+
+
+def _build_alaw_table():
+    """G.711 A-law byte → int16 (XOR 0x55 toggle; chord/step expansion,
+    scaled by 8 to 16-bit)."""
+    import numpy as np
+
+    out = np.zeros(256, dtype="<i2")
+    for byte in range(256):
+        a = byte ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp == 0:
+            mag = (mant << 1) + 1
+        else:
+            mag = ((mant << 1) + 33) << (exp - 1)
+        val = mag * 8
+        # A-law sign convention is inverted vs mu-law: bit 7 SET = positive
+        out[byte] = val if sign else -val
+    return out
+
+
+_MULAW_TABLE = _build_mulaw_table()
+_ALAW_TABLE = _build_alaw_table()
 
 
 def is_wav(payload: bytes) -> bool:

@@ -136,9 +136,9 @@ def test_png_out_of_scope_gates():
     pal[8 + 8 + 9] = 3
     with pytest.raises(ValueError):
         decode_png(bytes(pal))
-    # 16-bit depth remains the honest out-of-scope gate
+    # sub-8-bit depths remain the honest out-of-scope gate (16-bit decodes now)
     deep = bytearray(good)
-    deep[8 + 8 + 8] = 16  # bit depth byte
+    deep[8 + 8 + 8] = 4  # bit depth byte
     with pytest.raises(NotImplementedError):
         decode_png(bytes(deep))
     assert is_png(good) and not is_png(b"nope")
@@ -277,3 +277,36 @@ def test_png_adam7_interlaced_decode():
             assert (got == np.repeat(img, 3, axis=2)).all(), (h, w, ch)
         else:
             assert (got == img).all(), (h, w, ch)
+
+
+def test_png_16bit_decode_msb():
+    """16-bit PNGs decode by MSB (the standard 16->8 downsample), with
+    byte-wise filters whose left-neighbor offset is the 16-bit bpp —
+    exercised here with a filter-1 (Sub) scanline."""
+    img16 = np.array(
+        [[[0x1234, 0x5678, 0x9ABC], [0x1234 + 0x0100, 0x5678, 0x9ABC]]],
+        dtype=np.uint16,
+    )  # second pixel: R MSB +1 — a Sub filter stores the byte delta
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    row = img16[0].astype(">u2").tobytes()
+    # filter 1 (Sub): first pixel raw, second stores byte-difference at bpp=6
+    bpp = 6
+    filtered = bytearray(row[:bpp])
+    for i in range(bpp, len(row)):
+        filtered.append((row[i] - row[i - bpp]) % 256)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x01" + bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert got.shape == (1, 2, 3)
+    assert got[0, 0].tolist() == [0x12, 0x56, 0x9A]
+    assert got[0, 1].tolist() == [0x13, 0x56, 0x9A]

@@ -230,13 +230,22 @@ def test_decode_wav_linear_formats():
     assert (rate, ch) == (16000, 2)
     assert a.tolist() == [[10, -10], [20, -20]]
 
-    # compressed formats still gate honestly
+    # G.711 mu-law (format 7): table-exact values from the standard's
+    # expansion (sun g711 reference points: 0x00 -> -32124, 0x80 -> +32124,
+    # 0xFF/0x7F -> 0)
+    mu = _wav(7, 1, 8000, 8, bytes([0x00, 0x80, 0xFF, 0x7F]))
+    assert list(decode_wav(mu)[2].reshape(-1)) == [-32124, 32124, 0, 0]
+
+    # G.711 A-law (format 6): sign bit SET = positive (0xD5 -> +8,
+    # 0x55 -> -8, 0xAA -> +32256, 0x2A -> -32256)
+    al = _wav(6, 1, 8000, 8, bytes([0xD5, 0x55, 0xAA, 0x2A]))
+    assert list(decode_wav(al)[2].reshape(-1)) == [8, -8, 32256, -32256]
+
+    # true compressed formats still gate honestly
     import pytest
 
     with pytest.raises(NotImplementedError):
-        decode_wav(_wav(2, 1, 8000, 4, b"\x00\x00"))  # ADPCM
-    with pytest.raises(NotImplementedError):
-        decode_wav(_wav(7, 1, 8000, 8, b"\x00\x00"))  # mu-law
+        decode_wav(_wav(2, 1, 8000, 4, b"\x00\x00"))  # MS ADPCM
 
 
 def test_decode_png_gray_palette_alpha():
@@ -288,10 +297,18 @@ def test_decode_png_gray_palette_alpha():
     # palette index out of range is malformed, not a crash elsewhere
     with pytest.raises(ValueError):
         decode_png(png(3, 1, [[5]], extra=plte))
-    # 16-bit still gates honestly
+    # 16-bit grayscale now decodes (MSB downsample): 1x1 sample 0xAB 0xCD
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    bad = (
+    deep = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00\xab\xcd")) + chunk(b"IEND", b"")
+    )
+    g16 = decode_png(deep)
+    assert g16.shape == (1, 1, 3) and g16[0, 0].tolist() == [0xAB, 0xAB, 0xAB]
+    # 16-bit PALETTE is not a legal PNG shape — stays gated
+    ihdr16p = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16p)
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
