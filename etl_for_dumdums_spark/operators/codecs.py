@@ -148,6 +148,9 @@ def decode_png(payload: bytes):
     0 (grayscale — returned replicated to RGB), 2 (RGB), 3 (palette via
     PLTE, plus tRNS alpha when present), 4 (gray+alpha → RGBA) and 6
     (RGBA) decode at 8-bit; 0/2/4/6 also at 16-bit (MSB downsample).
+    A tRNS chunk on color types 0/2 is the spec's color key: pixels that
+    match the key at FULL bit depth get alpha 0 and the image is returned
+    RGBA (matching reference decoders, not silently opaque).
     Raises ``NotImplementedError`` for the out-of-scope shapes (sub-8-bit
     depths, 16-bit palette) and ``ValueError`` for malformed streams."""
     import numpy as np
@@ -213,9 +216,27 @@ def decode_png(payload: bytes):
         if off != len(raw):
             raise ValueError("PNG Adam7 data has wrong length")
         px = img
+    key_mask = None
+    if trns is not None and color_type in (0, 2):
+        # color-key transparency: tRNS holds one big-endian uint16 per
+        # channel; the match is at FULL bit depth (so an 8-bit image with
+        # a key value > 255 legitimately never matches)
+        if trns.shape[0] != 2 * ch:
+            raise ValueError("tRNS color-key chunk has wrong length")
+        key = np.frombuffer(trns.tobytes(), dtype=">u2").astype(np.int64)
+        if bit_depth == 16:
+            v16 = px.reshape(h, w, ch, 2).astype(np.int64)
+            full = v16[..., 0] * 256 + v16[..., 1]
+        else:
+            full = px.reshape(h, w, ch).astype(np.int64)
+        key_mask = (full == key).all(axis=2)
     if bit_depth == 16:
         # network byte order: the MSB is the standard 16->8 downsample
         px = px.reshape(h, w, ch, 2)[..., 0]
+    if key_mask is not None:
+        alpha = np.where(key_mask, 0, 255).astype(np.uint8)[..., None]
+        rgb = np.repeat(px, 3, axis=2) if color_type == 0 else px
+        return np.concatenate([rgb, alpha], axis=2)
     if color_type == 0:  # grayscale → RGB (same contract as JPEG gray)
         return np.repeat(px, 3, axis=2)
     if color_type == 4:  # gray+alpha → RGBA
@@ -273,8 +294,9 @@ def decode_wav(payload: bytes):
     linear-sample WAV a crawl realistically yields. Wider-than-16 samples
     convert to the int16 domain deterministically: integers by arithmetic
     right-shift of the extra bits, floats by clip to [-1, 1] x 32767 with
-    numpy round-half-even — bit-stable across runs/engines. Compressed
-    formats (ADPCM, mu-law/A-law, mp3-in-WAV) raise
+    numpy round-half-even — bit-stable across runs/engines. G.711 mu-law
+    (format 6) and A-law (format 7) decode via the table-driven companding
+    expansion. Remaining compressed formats (ADPCM, mp3-in-WAV) raise
     ``NotImplementedError`` — the honest gate."""
     import numpy as np
 

@@ -283,10 +283,11 @@ def resize_rgb_raw(payload: bytes, width: int, height: int) -> bytes:
 
 
 def rgb_stats(media: DataFrame) -> DataFrame:
-    """mapInPandas REAL feature extraction for RGB8-raw AND PNG rows:
-    decoded dimensions + per-channel means + brightness, one vectorized
-    numpy reduction per image. Payloads without an in-container decoder
-    (WebP/...) pass through with NULLs — the honest gate."""
+    """mapInPandas REAL feature extraction for RGB8-raw, PNG AND JPEG
+    (baseline + progressive) rows: decoded dimensions + per-channel means
+    + brightness, one vectorized numpy reduction per image. Payloads
+    without an in-container decoder (WebP, arithmetic-coded JPEG) pass
+    through with NULLs — the honest gate."""
     import numpy as np
 
     from .codecs import is_png
@@ -460,7 +461,7 @@ def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
                 try:
                     rate, a = audio_payload_to_pcm(bytes(p))
                 except (NotImplementedError, ValueError):
-                    # a float/ADPCM/extensible WAV passes is_wav() but has no
+                    # an ADPCM/mp3-in-WAV passes is_wav() but has no
                     # in-container decoder; malformed bodies raise ValueError
                     # — both emit a NULL row, matching rgb_stats (r4 advice #1)
                     rows.append((mid, None, None, None, None, None, None, None))

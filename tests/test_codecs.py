@@ -310,3 +310,82 @@ def test_png_16bit_decode_msb():
     assert got.shape == (1, 2, 3)
     assert got[0, 0].tolist() == [0x12, 0x56, 0x9A]
     assert got[0, 1].tolist() == [0x13, 0x56, 0x9A]
+
+
+def test_png_trns_color_key_types_0_and_2():
+    """A tRNS chunk on color types 0/2 is the spec's color key: pixels
+    matching the key at FULL bit depth decode with alpha 0, the rest 255,
+    and the image comes back RGBA (PNG spec 11.3.2.1)."""
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # --- type 2 (RGB, 8-bit): key = (10, 20, 30); pixel 0 matches
+    rows = b"\x00" + bytes([10, 20, 30, 10, 20, 31])  # filter 0, 2 pixels
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"tRNS", struct.pack(">HHH", 10, 20, 30))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert got.shape == (1, 2, 4)
+    assert got[0, 0].tolist() == [10, 20, 30, 0]
+    assert got[0, 1].tolist() == [10, 20, 31, 255]
+
+    # --- type 0 (gray, 8-bit): key = 77 → RGBA with gray replicated
+    rows = b"\x00" + bytes([77, 78])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + chunk(b"tRNS", struct.pack(">H", 77))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert got.shape == (1, 2, 4)
+    assert got[0, 0].tolist() == [77, 77, 77, 0]
+    assert got[0, 1].tolist() == [78, 78, 78, 255]
+
+    # --- FULL-bit-depth match: 16-bit gray, key 0x1234 — the MSB-equal
+    # pixel 0x1235 must NOT match even though both downsample to 0x12
+    row16 = np.array([0x1234, 0x1235], dtype=">u2").tobytes()
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + chunk(b"tRNS", struct.pack(">H", 0x1234))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + row16))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert got.shape == (1, 2, 4)
+    assert got[0, 0, 3] == 0 and got[0, 1, 3] == 255
+    assert got[0, 0, 0] == 0x12 and got[0, 1, 0] == 0x12
+
+    # --- an 8-bit image with a key value > 255 legitimately never matches
+    rows = b"\x00" + bytes([10, 20, 30])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"tRNS", struct.pack(">HHH", 300, 20, 30))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert got.shape == (1, 1, 4)
+    assert got[0, 0, 3] == 255
+
+    # --- malformed: wrong-length key chunk raises ValueError
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"tRNS", b"\x00\x01\x02")
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes([1, 2, 3])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(payload)

@@ -38,6 +38,8 @@ def main() -> int:
         names[i : i + args.chunk_size] for i in range(0, len(names), args.chunk_size)
     ]
     total_pass = total_fail = total_skip = 0
+    accounted: set[str] = set()
+    crashed_chunks = 0
     here = Path(__file__).resolve().parent
     for i, chunk in enumerate(chunks, 1):
         print(f"--- chunk {i}/{len(chunks)} ({len(chunk)} queries)", flush=True)
@@ -51,18 +53,29 @@ def main() -> int:
         if proc.returncode not in (0, 1):  # 1 = some FAILs; >1 = crash
             sys.stderr.write(proc.stderr[-2000:])
             print(f"chunk {i} crashed (rc={proc.returncode})", flush=True)
+            crashed_chunks += 1
         for line in out.splitlines():
+            parts = line.split()
+            if len(parts) >= 2 and parts[0] in ("PASS", "FAIL", "SKIP"):
+                accounted.add(parts[1].rstrip(":"))
             if line.startswith("PASS "):
                 total_pass += 1
             elif line.startswith("FAIL "):
                 total_fail += 1
             elif line.startswith("SKIP "):
                 total_skip += 1
+    # a crashed chunk's remaining queries produce no PASS/FAIL/SKIP line —
+    # name them explicitly so a partial sweep is loud, not inferable from
+    # the "of N" denominator alone
+    unaccounted = [n for n in names if n not in accounted]
+    if unaccounted:
+        print(f"UNACCOUNTED ({len(unaccounted)}): {', '.join(unaccounted)}")
     print(
         f"TOTAL: {total_pass} pass, {total_fail} fail, {total_skip} rows-only"
         f" of {len(names)}"
+        + (f" ({crashed_chunks} chunk(s) crashed)" if crashed_chunks else "")
     )
-    return 1 if total_fail else 0
+    return 1 if (total_fail or unaccounted or crashed_chunks) else 0
 
 
 if __name__ == "__main__":
