@@ -12,18 +12,21 @@ Scope (stated, not hidden):
 * PNG — color types 0 (grayscale), 2 (RGB), 3 (palette, with tRNS
   alpha), 4 (gray+alpha) and 6 (RGBA) at 8-bit depth (palette) or
   8/16-bit (the rest; 16-bit decodes by MSB — the standard 16->8
-  downsample), plain AND Adam7 interlaced. All five scanline filters
-  (None/Sub/Up/Average/Paeth) are implemented, so PNGs produced by other
-  encoders decode correctly; sub-8-bit depths raise
+  downsample), plain AND Adam7 interlaced; tRNS on types 0/2 applies
+  the spec's full-bit-depth color key (output becomes RGBA). All five
+  scanline filters (None/Sub/Up/Average/Paeth) are implemented, so PNGs
+  produced by other encoders decode correctly; sub-8-bit depths raise
   ``NotImplementedError`` (the honest gate). ``encode_png`` emits
   filter-0 scanlines — valid output every PNG reader accepts.
 * WAV — RIFF/WAVE: linear PCM (format 1) at 8/16/24/32 bits, IEEE float
   (format 3) at 32/64 bits, G.711 mu-law/A-law (formats 7/6 — the
-  expansion tables computed from the standard's rule, not pasted), and
-  WAVE_FORMAT_EXTENSIBLE wrapping any of them — every linear or
-  companded WAV a crawl yields. Wider-than-16 samples convert to int16
-  deterministically (arithmetic shift / clip-scale-round). True
-  compressed formats (ADPCM, mp3-in-WAV) raise ``NotImplementedError``.
+  expansion tables computed from the standard's rule, not pasted),
+  IMA/DVI ADPCM (format 0x11 — block-parallel table-driven expansion,
+  fact-chunk-trimmed), and WAVE_FORMAT_EXTENSIBLE wrapping the linear
+  ones — every linear, companded or IMA-compressed WAV a crawl yields.
+  Wider-than-16 samples convert to int16 deterministically (arithmetic
+  shift / clip-scale-round). The remaining compressed formats (MS-ADPCM
+  format 2, mp3-in-WAV) raise ``NotImplementedError``.
 
 Everything is deterministic byte arithmetic: decode(encode(x)) == x
 exactly, and the kernels stay oracle-checkable.
@@ -296,8 +299,9 @@ def decode_wav(payload: bytes):
     right-shift of the extra bits, floats by clip to [-1, 1] x 32767 with
     numpy round-half-even — bit-stable across runs/engines. G.711 mu-law
     (format 6) and A-law (format 7) decode via the table-driven companding
-    expansion. Remaining compressed formats (ADPCM, mp3-in-WAV) raise
-    ``NotImplementedError`` — the honest gate."""
+    expansion; IMA/DVI ADPCM (format 0x11) decodes block-parallel with the
+    spec's step/index tables. Remaining compressed formats (MS-ADPCM,
+    mp3-in-WAV) raise ``NotImplementedError`` — the honest gate."""
     import numpy as np
 
     if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -305,6 +309,7 @@ def decode_wav(payload: bytes):
     pos = 12
     rate = channels = None
     audio_format = bits = None
+    block_align = fact_samples = None
     data = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
@@ -312,7 +317,7 @@ def decode_wav(payload: bytes):
         body = payload[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
-            audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
+            audio_format, channels, rate, _br, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
             if audio_format == 0xFFFE:
@@ -321,6 +326,8 @@ def decode_wav(payload: bytes):
                 if len(body) < 26:
                     raise ValueError("extensible WAV fmt chunk truncated")
                 (audio_format,) = struct.unpack_from("<H", body, 24)
+        elif tag == b"fact":
+            (fact_samples,) = struct.unpack_from("<I", body)
         elif tag == b"data":
             data = body
     if rate is None or data is None:
@@ -352,13 +359,90 @@ def decode_wav(payload: bytes):
         a = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
     elif audio_format == 7:  # G.711 mu-law
         a = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 0x11:  # IMA/DVI ADPCM — block-parallel expansion
+        a = _decode_ima_adpcm(data, channels, block_align)
+        if fact_samples is not None:
+            # the fact chunk states the true per-channel frame count; the
+            # last block is zero-padded to block_align beyond it
+            a = a[: fact_samples * channels]
     else:
         raise NotImplementedError(
             f"WAV format {audio_format} out of scope — linear PCM, IEEE"
-            " float and G.711 mu-law/A-law are implemented; ADPCM/mp3-in-WAV"
-            " are not"
+            " float, G.711 mu-law/A-law and IMA ADPCM are implemented;"
+            " MS-ADPCM/mp3-in-WAV are not"
         )
     return rate, channels, a.reshape(-1, channels)
+
+
+# IMA ADPCM step-size table (89 entries) and 3-bit index-adjust table, from
+# the IMA "Recommended Practices for Enhancing Digital Audio Compatibility"
+# reference algorithm (same public tables every DVI/IMA decoder ships).
+# Reference parity target: the reference repo has no audio layer; this
+# extends the multimodal binary-column surface (SURVEY §2 multimodal).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):
+    """IMA ADPCM `data` chunk → interleaved int16 samples (1-D).
+
+    Blocks are independent (each carries its own predictor + step index
+    header), so the sequential recurrence is vectorized ACROSS blocks:
+    one numpy step per intra-block sample position over all
+    (block, channel) lanes at once — O(samples_per_block) python
+    iterations regardless of stream length, the same lane-parallel shape
+    the mapInPandas kernels need at scale."""
+    import numpy as np
+
+    if not block_align or block_align < 4 * channels or block_align % 4:
+        raise ValueError("IMA ADPCM WAV has invalid block alignment")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros(0, dtype="<i2")
+    blocks = np.frombuffer(
+        data[: nblocks * block_align], dtype=np.uint8
+    ).reshape(nblocks, block_align)
+    # per-channel 4-byte block header: int16 LE predictor (= output sample
+    # 0), uint8 step index, reserved byte
+    hdr = blocks[:, : 4 * channels].reshape(nblocks, channels, 4)
+    pred = hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8)
+    pred -= (pred & 0x8000) << 1  # sign-extend
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    # body: 4-byte (8-nibble) words, channel-interleaved word by word
+    body = blocks[:, 4 * channels :]
+    ngroups = body.shape[1] // (4 * channels)
+    body = body[:, : ngroups * 4 * channels].reshape(nblocks, ngroups, channels, 4)
+    nib = np.empty((nblocks, ngroups, channels, 8), dtype=np.uint8)
+    nib[..., 0::2] = body & 0x0F  # low nibble is the EARLIER sample
+    nib[..., 1::2] = body >> 4
+    # (block, channel, time): time axis = ngroups * 8 coded samples
+    nib = nib.transpose(0, 2, 1, 3).reshape(nblocks, channels, ngroups * 8)
+    steps = np.asarray(_IMA_STEPS, dtype=np.int32)
+    adjust = np.asarray(_IMA_INDEX_ADJUST, dtype=np.int32)
+    out = np.empty((nblocks, ngroups * 8 + 1, channels), dtype="<i2")
+    out[:, 0, :] = pred.astype("<i2")
+    for t in range(ngroups * 8):
+        n = nib[:, :, t].astype(np.int32)
+        step = steps[index]
+        # diff = (step * magnitude) / 8 + step / 8, in shift arithmetic
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff), -32768, 32767)
+        index = np.clip(index + adjust[n & 7], 0, 88)
+        out[:, t + 1, :] = pred.astype("<i2")
+    return out.reshape(-1)
 
 
 def _build_mulaw_table():

@@ -389,3 +389,157 @@ def test_png_trns_color_key_types_0_and_2():
     )
     with pytest.raises(ValueError):
         decode_png(payload)
+
+
+# --- IMA ADPCM: independent scalar reference implementation, typed from the
+# IMA spec's pseudo-code (NOT from the production decoder) to serve as the
+# cross-check. Tables re-stated independently on purpose.
+_REF_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+_REF_IMA_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ref_ima_step(nibble, pred, index):
+    """One spec decode step: nibble + (pred, index) -> (pred', index')."""
+    step = _REF_IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _REF_IMA_ADJ[nibble & 7]))
+    return pred, index
+
+
+def _ref_ima_encode_nibble(sample, pred, index):
+    """Spec encoder: quantize (sample - pred) against the current step."""
+    step = _REF_IMA_STEPS[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def _ima_encode_wav(signal, rate, channels, samples_per_block):
+    """Independent IMA-ADPCM WAV writer: (n, channels) int16 -> RIFF bytes.
+    Blocks hold `samples_per_block` frames (header frame + 8-aligned coded
+    frames); the last block zero-pads and the fact chunk states the true
+    frame count."""
+    assert (samples_per_block - 1) % 8 == 0
+    n = signal.shape[0]
+    block_align = 4 * channels + ((samples_per_block - 1) // 2) * channels
+    blocks = bytearray()
+    expected = []  # the exact decoded frames the spec mandates
+    for b0 in range(0, n, samples_per_block):
+        frames = signal[b0 : b0 + samples_per_block]
+        pad = samples_per_block - frames.shape[0]
+        if pad:
+            frames = np.vstack([frames, np.zeros((pad, channels), np.int16)])
+        preds = [int(frames[0, c]) for c in range(channels)]
+        idxs = []
+        for c in range(channels):
+            # header index: the step best matching the first coded delta
+            d = abs(int(frames[1, c]) - preds[c]) if samples_per_block > 1 else 0
+            idxs.append(
+                max(i for i in range(89) if _REF_IMA_STEPS[i] <= max(d, 7))
+                if d
+                else 0
+            )
+            blocks += struct.pack("<hBB", preds[c], idxs[c], 0)
+        expected.append([list(preds)])
+        nibs = [[] for _ in range(channels)]
+        for t in range(1, samples_per_block):
+            row = []
+            for c in range(channels):
+                nib = _ref_ima_encode_nibble(int(frames[t, c]), preds[c], idxs[c])
+                preds[c], idxs[c] = _ref_ima_step(nib, preds[c], idxs[c])
+                nibs[c].append(nib)
+                row.append(preds[c])
+            expected[-1].append(row)
+        # pack: per 8-sample group, channel-interleaved 4-byte words,
+        # low nibble first within each byte
+        for g in range(0, samples_per_block - 1, 8):
+            for c in range(channels):
+                for k in range(0, 8, 2):
+                    blocks.append(nibs[c][g + k] | (nibs[c][g + k + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, rate,
+        rate * block_align // samples_per_block, block_align, 4, 2,
+        samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)[:8]
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    flat = [v for blk in expected for row in blk for v in row]
+    return (
+        b"RIFF" + struct.pack("<I", len(body)) + body,
+        np.array(flat, dtype=np.int16).reshape(-1, channels),
+    )
+
+
+def test_wav_ima_adpcm_decodes_mono_and_stereo():
+    """decode_wav(format 0x11) must match the spec's scalar recurrence
+    EXACTLY (cross-checked against an independent reference decoder built
+    from the IMA pseudo-code) and track the source signal closely."""
+    rng = np.random.default_rng(11)
+    t = np.arange(2000)
+    for channels in (1, 2):
+        sig = (
+            8000 * np.sin(2 * np.pi * t / 37)[:, None]
+            + rng.normal(0, 300, size=(t.size, 1))
+        )
+        sig = np.repeat(sig, channels, axis=1)
+        if channels == 2:
+            sig[:, 1] = -0.5 * sig[:, 0]  # distinct per-channel content
+        sig = np.clip(sig, -32768, 32767).astype(np.int16)
+        payload, expected = _ima_encode_wav(sig, 8000, channels, 505)
+        rate, ch, got = decode_wav(payload)
+        assert (rate, ch) == (8000, channels)
+        # fact chunk trims the final block's padding
+        assert got.shape == (sig.shape[0], channels)
+        assert (got == expected[: sig.shape[0]]).all()
+        # lossy but close: ADPCM tracks within a few steps of the signal
+        err = (got.astype(np.int64) - sig.astype(np.int64))
+        assert np.abs(err).mean() < 200.0
+        assert np.abs(err).max() < 4000
+
+
+def test_wav_ima_adpcm_gates_and_validation():
+    # MS-ADPCM (format 2) stays gated
+    def _wav(fmt_code, ch, rate, bits, data, block_align=4):
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate, block_align, bits)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(NotImplementedError, match="MS-ADPCM|format 2"):
+        decode_wav(_wav(2, 1, 8000, 4, b"\x00" * 8))
+    # invalid block alignment is a malformed stream, not a gate
+    with pytest.raises(ValueError):
+        decode_wav(_wav(0x11, 1, 8000, 4, b"\x00" * 8, block_align=3))
