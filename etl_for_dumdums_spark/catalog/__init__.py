@@ -183,5 +183,6 @@ def load_all() -> None:
         features,
         warehouse,
         native4,
+        ingest,
     )
     from . import sampled  # noqa: F401  (last: wraps already-registered queries)

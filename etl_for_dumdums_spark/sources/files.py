@@ -107,7 +107,10 @@ def quarantine_split(df: DataFrame, pins: list | None = None) -> tuple[DataFrame
     ONLY the corrupt column of a raw CSV/JSON scan
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the column is populated during
     parsing, so a pruned re-scan could not reproduce it), and both halves
-    re-read the parse anyway. Same pinned-frame contract as
+    re-read the parse anyway. The cache also FREEZES full-schema
+    malformedness: Spark checks a row's token count only on the unpruned
+    parse, so without the cache the quarantine counts could shift under
+    downstream column pruning (pinned in tests/test_file_sources.py). Same pinned-frame contract as
     operators/ranked.py: pass ``pins`` to receive the cached frame for
     ``.unpersist()`` after the terminal action, or clear the cache
     between queries."""
