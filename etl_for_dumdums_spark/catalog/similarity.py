@@ -1424,3 +1424,108 @@ def sim_lsh_multiprobe(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_trained_topk — the TRAINED production ANN path (operators/ivf.py:
+# KMeans|| sample-train → broadcast assign-all → centroid-ranked probe →
+# bucket-join scoring) under the full value oracle. The trick that makes a
+# learned index oracle-able: with nprobe = K (every bucket probed) the IVF
+# result is MATHEMATICALLY the brute-force top-k — independent of which
+# centroids KMeans picked — because the probed candidate set is the whole
+# corpus and the scoring/tie-break (quantized-integer cosine, then
+# neighbor_id) is identical to the brute path. So the oracle states the
+# brute truth in pure SQL, and a hash match proves the ENTIRE trained
+# pipeline end-to-end: train, assign (every vector lands in exactly one
+# bucket), probe ranking (all K buckets reached), join, scoring.
+#
+# The approximate paths stay honest via EAGER in-query assertions (the
+# driver sees a FAIL if they break): recall@k is computed for nprobe=1 and
+# nprobe=2 against the same truth and must be monotone (probing a superset
+# of buckets can only add brute-top-k members to the candidate pool — a
+# theorem, not a tunable) and within [0, k]. Recall VALUES aren't asserted
+# or output: k-means|| sampling isn't bit-stable across partitionings, so
+# pinning them would make the oracle environment-dependent.
+#
+# Scale design (100 TB): KMeans trains on a bounded deterministic sample
+# (vec_id < 2000 — sample-train/assign-all, the module's stated shape);
+# assignment is one broadcast-centroids pass; the full-probe leg is the
+# correctness gate only — production searches use nprobe << K, whose cost
+# is |corpus|/K per probed bucket.
+# ---------------------------------------------------------------------------
+_IVF_TRAIN_K = 8
+_IVF_TRAIN_QUERIES = 6
+
+
+@register(
+    "sim_ivf_trained_topk",
+    extra=True,
+    sql=f"""
+    WITH iv AS (
+      SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+      FROM iv WHERE vec_id < {_IVF_TRAIN_QUERIES}),
+    scored AS (
+      SELECT q.query_id, iv.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='q.qv', b='iv.v')}
+                   / sqrt(q.qnrm * 1.0 * iv.nrm), {DP}) AS cosine
+      FROM q JOIN iv ON iv.vec_id != q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cosine
+    FROM ranked WHERE rn <= {_TOPK} ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_trained_topk(spark, sf_dir):
+    from ..operators.ivf import ivf_topk, train_ivf_index
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    assigned, centroids = train_ivf_index(
+        emb,
+        k=_IVF_TRAIN_K,
+        train_on=emb.filter(F.col("vec_id") < 2000),
+    )
+    qids = list(range(_IVF_TRAIN_QUERIES))
+
+    def run(nprobe):
+        return ivf_topk(
+            emb, assigned, qids, k=_TOPK, round_dp=DP,
+            nprobe=nprobe, centroids=centroids,
+        )
+
+    # full probe == brute truth (returned frame; the oracle restates it)
+    full = run(_IVF_TRAIN_K)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in full.collect()
+    }
+
+    def recall(nprobe):
+        got = run(nprobe).collect()
+        per = {}
+        for r in got:
+            key = (r["query_id"], r["neighbor_id"])
+            per.setdefault(r["query_id"], 0)
+            if key in truth:
+                per[r["query_id"]] += 1
+        return per
+
+    r1, r2 = recall(1), recall(2)
+    for qid in r1:
+        if not (0 <= r1[qid] <= _TOPK and 0 <= r2.get(qid, 0) <= _TOPK):
+            raise AssertionError(f"IVF recall out of bounds for query {qid}")
+        if r2.get(qid, 0) < r1[qid]:
+            raise AssertionError(
+                f"IVF recall not monotone in nprobe for query {qid}: "
+                f"nprobe=1 {r1[qid]} > nprobe=2 {r2.get(qid, 0)}"
+            )
+    return full.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "cosine",
+    ).orderBy("query_id", "rank")

@@ -34,17 +34,29 @@ def train_ivf_index(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 20,
+    train_on: DataFrame | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Train k-means centroids and assign every vector to its bucket.
+
+    ``train_on`` (optional) is the training subset — the 100 TB shape is
+    sample-train/assign-all: KMeans cost is O(n·k·dim·iters), so training
+    runs on a bounded deterministic sample while the broadcast-centroid
+    assignment pass covers the full corpus.
 
     Returns (assignments DataFrame with (id, bucket), centroid list)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
-    feats = embeddings.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    def feat(df):
+        return df.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+
+    feats = feat(embeddings)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(
+        feat(train_on) if train_on is not None else feats
     )
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     assigned = (
         model.transform(feats)
         .select(F.col(id_col), F.col("prediction").alias("bucket"))
