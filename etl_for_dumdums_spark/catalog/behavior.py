@@ -745,37 +745,32 @@ def _sequence_pattern(events):
         F.sum("f3").cast("long").alias("u3"),
         F.sum("f4").cast("long").alias("u4"),
     )
+    # ONE pipeline, four output rows: the single-row aggregate explodes into
+    # the per-pattern rows. (The previous union-of-4-selects shape re-executed
+    # the whole scan→sort→window→collect_list→agg pipeline once PER pattern —
+    # 4 full passes over events, the round-5 1000x probe's top cost.)
     share = lambda u: F.expr(f"CAST({u} * 1000000 div n_users AS BIGINT)")  # noqa: E731
-    rows = [
+    null_long = F.lit(None).cast("long")
+    row = lambda name, u, o: F.struct(  # noqa: E731
+        F.lit(name).alias("pattern"),
+        F.col(u).alias("n_users_matched"),
+        share(u).alias("share_ppm"),
+        o.alias("n_occurrences"),
+    )
+    return (
         agg.select(
-            F.lit(_SEQ_ADJ[0][0]).alias("pattern"),
-            F.col("u1").alias("n_users_matched"),
-            share("u1").alias("share_ppm"),
-            F.col("o1").alias("n_occurrences"),
-        ),
-        agg.select(
-            F.lit(_SEQ_ADJ[1][0]).alias("pattern"),
-            F.col("u2").alias("n_users_matched"),
-            share("u2").alias("share_ppm"),
-            F.col("o2").alias("n_occurrences"),
-        ),
-        agg.select(
-            F.lit(_SEQ_SUB[0][0]).alias("pattern"),
-            F.col("u3").alias("n_users_matched"),
-            share("u3").alias("share_ppm"),
-            F.lit(None).cast("long").alias("n_occurrences"),
-        ),
-        agg.select(
-            F.lit(_SEQ_SUB[1][0]).alias("pattern"),
-            F.col("u4").alias("n_users_matched"),
-            share("u4").alias("share_ppm"),
-            F.lit(None).cast("long").alias("n_occurrences"),
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("pattern")
+            F.explode(
+                F.array(
+                    row(_SEQ_ADJ[0][0], "u1", F.col("o1")),
+                    row(_SEQ_ADJ[1][0], "u2", F.col("o2")),
+                    row(_SEQ_SUB[0][0], "u3", null_long),
+                    row(_SEQ_SUB[1][0], "u4", null_long),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("pattern")
+    )
 
 
 # ---------------------------------------------------------------------------

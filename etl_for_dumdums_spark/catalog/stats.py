@@ -164,18 +164,31 @@ def stats_autocorr(spark, sf_dir):
     lagged = _daily(t).select(
         "revenue", *[F.lag("revenue", k).over(w).alias(f"lag_{k}") for k in _ACF_LAGS]
     )
-    per_lag = [
-        lagged.agg(
-            F.lit(k).alias("lag"),
-            R(F.corr("revenue", f"lag_{k}")).alias("autocorr"),
-            F.count(f"lag_{k}").alias("n_pairs"),
+    # one agg computes every lag's corr/count, then explodes to rows — the
+    # union-of-single-row-aggs shape re-executed the daily pipeline + window
+    # once PER lag (same plan bug as events_sequence_pattern, round 6)
+    acf = lagged.agg(
+        *[R(F.corr("revenue", f"lag_{k}")).alias(f"a_{k}") for k in _ACF_LAGS],
+        *[F.count(f"lag_{k}").alias(f"n_{k}") for k in _ACF_LAGS],
+    )
+    return (
+        acf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col(f"a_{k}").alias("autocorr"),
+                            F.col(f"n_{k}").alias("n_pairs"),
+                        )
+                        for k in _ACF_LAGS
+                    ]
+                )
+            ).alias("r")
         )
-        for k in _ACF_LAGS
-    ]
-    out = per_lag[0]
-    for df in per_lag[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("lag")
+        .select("r.*")
+        .orderBy("lag")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -401,8 +401,12 @@ def ops_dq_report(spark, sf_dir):
         F.count_if(F.col("c_custkey").isNull()).cast("long").alias("v_ref"),
     )
 
-    def rule(src, rid, kind, n_col, v_col):
-        return src.select(
+    # ONE orders scan for rules 1-4: the single-row aggregate explodes into
+    # the rule rows (the previous union-of-selects re-executed the full scan
+    # once per rule — same plan bug as events_sequence_pattern, round 6); the
+    # referential rule keeps its own (distinct-keys anti-join) pipeline.
+    def rule_struct(rid, kind, n_col, v_col):
+        return F.struct(
             F.lit(rid).alias("rule_id"),
             F.lit(kind).alias("rule_kind"),
             F.col(n_col).alias("n_checked"),
@@ -410,26 +414,24 @@ def ops_dq_report(spark, sf_dir):
             (F.col(v_col) == 0).alias("passed"),
         )
 
-    out = rule(scan, "orders.o_custkey not_null", "not_null", "n_rows", "v_notnull")
-    out = out.unionByName(
-        rule(scan, "orders.o_orderkey unique", "unique", "n_rows", "v_unique")
-    )
-    out = out.unionByName(
-        rule(scan, "orders.o_orderstatus in (O,F,P)", "accepted_values", "n_rows", "v_vals")
-    )
-    out = out.unionByName(
-        rule(
-            scan,
-            f"orders.o_totalprice in [0, {_DQ_PRICE_MAX}]",
-            "range",
-            "n_rows",
-            "v_range",
-        )
-    )
-    out = out.unionByName(
-        rule(ref, "orders.o_custkey -> customer", "referential", "n_keys", "v_ref")
-    )
-    return out.orderBy("rule_id")
+    scan_rules = scan.select(
+        F.explode(
+            F.array(
+                rule_struct("orders.o_custkey not_null", "not_null", "n_rows", "v_notnull"),
+                rule_struct("orders.o_orderkey unique", "unique", "n_rows", "v_unique"),
+                rule_struct(
+                    "orders.o_orderstatus in (O,F,P)", "accepted_values", "n_rows", "v_vals"
+                ),
+                rule_struct(
+                    f"orders.o_totalprice in [0, {_DQ_PRICE_MAX}]", "range", "n_rows", "v_range"
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    ref_rule = ref.select(
+        rule_struct("orders.o_custkey -> customer", "referential", "n_keys", "v_ref").alias("r")
+    ).select("r.*")
+    return scan_rules.unionByName(ref_rule).orderBy("rule_id")
 
 
 # ---------------------------------------------------------------------------
