@@ -1,11 +1,24 @@
 """Seeded reference-shaped fixture generators (FIXTURES.md schemas) with the
 edge rows each operator branch needs: duplicate comment ids, HTML entities,
-null closes, keyword titles, 260+ trading days per ticker."""
+null closes, keyword titles, 260+ trading days per ticker.
+
+Scaling: every generator's default volume multiplies by
+``$SPARK_GRAFT_FIXTURE_SCALE`` (default 1) — facts scale (more days, more
+rows, key ranges widen together so FK references stay valid), dims
+(users, cycles, tickers, stores) stay fixed, the realistic growth shape.
+At scale 1 the output is BIT-IDENTICAL to the unscaled generators (same
+rng call sequence), so pinned tests are unaffected; at scale N the same
+parity suites become the at-scale model evidence (tools/dag_scale.py)."""
 
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
+
+
+def fixture_scale() -> int:
+    return max(1, int(os.environ.get("SPARK_GRAFT_FIXTURE_SCALE", "1")))
 
 TICKERS = [
     ("AAA", "Technology"),
@@ -16,7 +29,8 @@ TICKERS = [
 ]
 
 
-def gen_stock_prices(n_days: int = 300, seed: int = 7) -> list[dict]:
+def gen_stock_prices(n_days: int | None = None, seed: int = 7) -> list[dict]:
+    n_days = 300 * fixture_scale() if n_days is None else n_days
     rng = random.Random(seed)
     rows = []
     start = dt.date(2023, 1, 2)
@@ -84,7 +98,8 @@ _COMMENT_TEXTS = [
 ]
 
 
-def gen_hn_stories(n: int = 400, seed: int = 11) -> list[dict]:
+def gen_hn_stories(n: int | None = None, seed: int = 11) -> list[dict]:
+    n = 400 * fixture_scale() if n is None else n
     rng = random.Random(seed)
     rows = []
     start = dt.datetime(2023, 6, 5, 12, 0, 0)
@@ -108,7 +123,9 @@ def gen_hn_stories(n: int = 400, seed: int = 11) -> list[dict]:
     return rows
 
 
-def gen_hn_comments(n: int = 300, seed: int = 13) -> list[dict]:
+def gen_hn_comments(n: int | None = None, seed: int = 13, n_stories: int | None = None) -> list[dict]:
+    n = 300 * fixture_scale() if n is None else n
+    n_stories = 400 * fixture_scale() if n_stories is None else n_stories
     rng = random.Random(seed)
     rows = []
     start = dt.datetime(2023, 6, 5, 12, 0, 0)
@@ -117,8 +134,8 @@ def gen_hn_comments(n: int = 300, seed: int = 13) -> list[dict]:
         cid = 5000 + i
         base = {
             "id": cid,
-            "parent_id": 1000 + rng.randint(0, 399),
-            "story_id": 1000 + rng.randint(0, 399),
+            "parent_id": 1000 + rng.randint(0, n_stories - 1),
+            "story_id": 1000 + rng.randint(0, n_stories - 1),
             "author": f"user{rng.randint(1, 60)}",
             "text": rng.choice(_COMMENT_TEXTS),
             "posted_at": posted,
@@ -165,7 +182,8 @@ _GENDERS = ["F", "Female", "M", "Male", "", None, "Unknown"]
 _INDUSTRIES = ["Bakery Prod/Dough/Mix/Icing", "Vit/Min/Prot/Unconv Diet(Human/Animal)", "Soft Drink/Water"]
 
 
-def gen_fda_events(n: int = 250, seed: int = 17) -> list[dict]:
+def gen_fda_events(n: int | None = None, seed: int = 17) -> list[dict]:
+    n = 250 * fixture_scale() if n is None else n
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -215,7 +233,8 @@ _RECALL_REASONS = [
 _STATES_US = ["CA", "NY", "TX", "IA", "WA"]
 
 
-def gen_fda_recalls(n: int = 200, seed: int = 19) -> list[dict]:
+def gen_fda_recalls(n: int | None = None, seed: int = 19) -> list[dict]:
+    n = 200 * fixture_scale() if n is None else n
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -248,7 +267,10 @@ def gen_fda_recalls(n: int = 200, seed: int = 19) -> list[dict]:
 def gen_linear_github(seed: int = 23):
     """Linear users/issues/cycles + GitHub users/PRs/reviews/comments with
     overlapping emails (case-varied), parent issues, self-reviews, and PRs
-    without reviews."""
+    without reviews. Facts (issues/prs/reviews/comments) scale; user and
+    cycle dims stay fixed."""
+    sc = fixture_scale()
+    n_issues, n_prs, n_reviews, n_comments = 120 * sc, 60 * sc, 150 * sc, 200 * sc
     rng = random.Random(seed)
     linear_users = [
         {"id": f"lu{i}", "email": None if i % 7 == 0 else f"User{i}@Example.com",
@@ -268,8 +290,12 @@ def gen_linear_github(seed: int = 23):
         for i in range(6)
     ]
     issues = []
-    for i in range(120):
-        parent = f"li{rng.randint(0, 39)}" if i >= 40 and rng.random() < 0.25 else None
+    for i in range(n_issues):
+        parent = (
+            f"li{rng.randint(0, n_issues // 3 - 1)}"
+            if i >= n_issues // 3 and rng.random() < 0.25
+            else None
+        )
         issues.append(
             {"id": f"li{i}", "identifier": f"ENG-{i}", "title": f"Issue {i}",
              "state": rng.choice(["Backlog", "In Progress", "Done"]),
@@ -292,12 +318,12 @@ def gen_linear_github(seed: int = 23):
              else dt.datetime(2024, 2, 1) + dt.timedelta(hours=rng.randint(0, 1000)),
          "additions": rng.randint(0, 500), "deletions": rng.randint(0, 300),
          "changed_files": rng.randint(1, 30)}
-        for i in range(60)
+        for i in range(n_prs)
     ]
     reviews = []
     comments = []
-    for i in range(150):
-        pr = prs[rng.randint(0, 59)]
+    for i in range(n_reviews):
+        pr = prs[rng.randint(0, n_prs - 1)]
         author = pr["author_id"] if rng.random() < 0.1 else f"gu{rng.randint(8, 27)}"  # some self
         reviews.append(
             {"id": f"rv{i}", "pull_request_id": pr["id"], "repo": pr["repo"],
@@ -306,8 +332,8 @@ def gen_linear_github(seed: int = 23):
              "submitted_at": pr["created_at"] + dt.timedelta(hours=rng.randint(1, 200)),
              "body": "lgtm"}
         )
-    for i in range(200):
-        pr = prs[rng.randint(0, 59)]
+    for i in range(n_comments):
+        pr = prs[rng.randint(0, n_prs - 1)]
         comments.append(
             {"id": f"cm{i}", "pull_request_id": pr["id"], "repo": pr["repo"],
              "author_id": f"gu{rng.randint(8, 27)}",
@@ -317,11 +343,12 @@ def gen_linear_github(seed: int = 23):
     return linear_users, github_users, cycles, issues, prs, reviews, comments
 
 
-def gen_oura(seed: int = 29):
+def gen_oura(seed: int = 29, n_days: int | None = None):
+    n_days = 120 * fixture_scale() if n_days is None else n_days
     rng = random.Random(seed)
     start = dt.date(2024, 1, 1)
     sleep, readiness, activity, sessions = [], [], [], []
-    for i in range(120):
+    for i in range(n_days):
         day = start + dt.timedelta(days=i)
         if rng.random() < 0.9:
             sleep.append({"id": f"sl{i}", "day": day, "score": rng.randint(40, 100),
@@ -372,9 +399,10 @@ def gen_oura(seed: int = 29):
     return sleep, readiness, activity, sessions
 
 
-def gen_trends(n_days: int = 200, seed: int = 31) -> list[dict]:
+def gen_trends(n_days: int | None = None, seed: int = 31) -> list[dict]:
     """Contiguous daily interest series per keyword (lag-7/30 + centered
     peak support)."""
+    n_days = 200 * fixture_scale() if n_days is None else n_days
     rng = random.Random(seed)
     rows = []
     start = dt.date(2024, 1, 1)
@@ -397,7 +425,8 @@ _VENDORS = ["Acme Spirits", "Prairie Distribution", "Hawkeye Beverages"]
 _ITEMS = ["Old Oak 750ml", "Crystal Clear 1L", "Island Gold 750ml", "Agave Sun 375ml"]
 
 
-def gen_iowa_sales(n: int = 600, seed: int = 37) -> list[dict]:
+def gen_iowa_sales(n: int | None = None, seed: int = 37) -> list[dict]:
+    n = 600 * fixture_scale() if n is None else n
     rng = random.Random(seed)
     rows = []
     for i in range(n):
