@@ -21,12 +21,13 @@ Scope (stated, not hidden):
 * WAV — RIFF/WAVE: linear PCM (format 1) at 8/16/24/32 bits, IEEE float
   (format 3) at 32/64 bits, G.711 mu-law/A-law (formats 7/6 — the
   expansion tables computed from the standard's rule, not pasted),
-  IMA/DVI ADPCM (format 0x11 — block-parallel table-driven expansion,
-  fact-chunk-trimmed), and WAVE_FORMAT_EXTENSIBLE wrapping the linear
-  ones — every linear, companded or IMA-compressed WAV a crawl yields.
-  Wider-than-16 samples convert to int16 deterministically (arithmetic
-  shift / clip-scale-round). The remaining compressed formats (MS-ADPCM
-  format 2, mp3-in-WAV) raise ``NotImplementedError``.
+  IMA/DVI ADPCM (format 0x11) and MS-ADPCM (format 2) — both
+  block-parallel table-driven expansions, fact-chunk-trimmed — and
+  WAVE_FORMAT_EXTENSIBLE wrapping the linear ones: every linear,
+  companded or ADPCM-compressed WAV a crawl yields. Wider-than-16
+  samples convert to int16 deterministically (arithmetic shift /
+  clip-scale-round). Formats needing an entropy decoder (mp3-in-WAV
+  0x55, WMA, …) raise ``NotImplementedError``.
 
 Everything is deterministic byte arithmetic: decode(encode(x)) == x
 exactly, and the kernels stay oracle-checkable.
@@ -299,9 +300,10 @@ def decode_wav(payload: bytes):
     right-shift of the extra bits, floats by clip to [-1, 1] x 32767 with
     numpy round-half-even — bit-stable across runs/engines. G.711 mu-law
     (format 6) and A-law (format 7) decode via the table-driven companding
-    expansion; IMA/DVI ADPCM (format 0x11) decodes block-parallel with the
-    spec's step/index tables. Remaining compressed formats (MS-ADPCM,
-    mp3-in-WAV) raise ``NotImplementedError`` — the honest gate."""
+    expansion; IMA/DVI ADPCM (format 0x11) and MS-ADPCM (format 2) decode
+    block-parallel with their specs' tables. Formats needing an entropy
+    decoder (mp3-in-WAV 0x55, …) raise ``NotImplementedError`` — the
+    honest gate."""
     import numpy as np
 
     if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -365,11 +367,15 @@ def decode_wav(payload: bytes):
             # the fact chunk states the true per-channel frame count; the
             # last block is zero-padded to block_align beyond it
             a = a[: fact_samples * channels]
+    elif audio_format == 2:  # MS-ADPCM — block-parallel expansion
+        a = _decode_ms_adpcm(data, channels, block_align)
+        if fact_samples is not None:
+            a = a[: fact_samples * channels]
     else:
         raise NotImplementedError(
             f"WAV format {audio_format} out of scope — linear PCM, IEEE"
-            " float, G.711 mu-law/A-law and IMA ADPCM are implemented;"
-            " MS-ADPCM/mp3-in-WAV are not"
+            " float, G.711 mu-law/A-law and IMA/MS ADPCM are implemented;"
+            " mp3-in-WAV (format 0x55) and other compressed codecs are not"
         )
     return rate, channels, a.reshape(-1, channels)
 
@@ -389,6 +395,85 @@ _IMA_STEPS = [
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
 ]
 _IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+# MS-ADPCM fixed tables (WAVE format 2, Microsoft ADPCM spec / RIFF
+# registry): the 7 standard predictor-coefficient pairs (scaled by 256)
+# and the 16-entry delta-adaptation table. Encoders may declare extra
+# coefficient pairs in the fmt chunk, but the standard 7 are mandatory and
+# universally used; predictor indexes beyond them raise ValueError.
+_MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _trunc_div_256(x):
+    """C-style truncate-toward-zero division by 256 (the spec's integer
+    division; floor-shift differs for negatives)."""
+    import numpy as np
+
+    return np.sign(x) * (np.abs(x) >> 8)
+
+
+def _decode_ms_adpcm(data: bytes, channels: int, block_align: int):
+    """MS-ADPCM `data` chunk → interleaved int16 samples (1-D).
+
+    Same lane-parallel shape as IMA: blocks are independent (each carries
+    predictor index, initial delta and the two seed samples per channel),
+    so the recurrence vectorizes across (block, channel) lanes with one
+    numpy step per intra-block sample position."""
+    import numpy as np
+
+    hdr_bytes = 7 * channels  # 1B coef idx + 2B delta + 2B s1 + 2B s2, per ch
+    if not block_align or block_align < hdr_bytes:
+        raise ValueError("MS-ADPCM WAV has invalid block alignment")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros(0, dtype="<i2")
+    blocks = np.frombuffer(
+        data[: nblocks * block_align], dtype=np.uint8
+    ).reshape(nblocks, block_align)
+    idx = blocks[:, :channels].astype(np.int64)
+    if int(idx.max(initial=0)) >= len(_MS_COEF1):
+        raise ValueError("MS-ADPCM predictor index out of range")
+
+    def i16(col):  # little-endian int16 field per channel at byte offset col
+        lo = blocks[:, col : col + 2 * channels : 2].astype(np.int64)
+        hi = blocks[:, col + 1 : col + 2 * channels : 2].astype(np.int64)
+        v = lo | (hi << 8)
+        return v - ((v & 0x8000) << 1)
+
+    delta = i16(channels)
+    s1 = i16(3 * channels)  # newer seed sample
+    s2 = i16(5 * channels)  # older seed sample
+    c1 = np.asarray(_MS_COEF1, dtype=np.int64)[idx]
+    c2 = np.asarray(_MS_COEF2, dtype=np.int64)[idx]
+    body = blocks[:, hdr_bytes:]
+    # nibble stream: high nibble first within each byte; samples alternate
+    # channels in stream order (t0·ch0, t0·ch1, t1·ch0, ...)
+    nib = np.empty((nblocks, body.shape[1], 2), dtype=np.uint8)
+    nib[:, :, 0] = body >> 4
+    nib[:, :, 1] = body & 0x0F
+    flat = nib.reshape(nblocks, -1)
+    n_coded = (flat.shape[1] // channels) * channels
+    steps = n_coded // channels
+    flat = flat[:, :n_coded].reshape(nblocks, steps, channels)
+    adapt = np.asarray(_MS_ADAPT, dtype=np.int64)
+    out = np.empty((nblocks, steps + 2, channels), dtype="<i2")
+    out[:, 0, :] = s2.astype("<i2")  # output order: older seed first
+    out[:, 1, :] = s1.astype("<i2")
+    for t in range(steps):
+        n = flat[:, t, :].astype(np.int64)
+        signed = n - ((n & 8) << 1)  # 4-bit two's complement
+        pred = _trunc_div_256(s1 * c1 + s2 * c2) + signed * delta
+        pred = np.clip(pred, -32768, 32767)
+        out[:, t + 2, :] = pred.astype("<i2")
+        s2, s1 = s1, pred
+        delta = np.maximum(16, _trunc_div_256(adapt[n] * delta))
+    return out.reshape(-1)
 
 
 def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):

@@ -158,8 +158,9 @@ def test_wav_roundtrip_mono_and_stereo():
 
 def test_wav_out_of_scope_gates():
     payload = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
-    # fmt audio_format field (offset 20) → 2 (MS ADPCM): compressed, gated
-    struct.pack_into("<H", payload, 20, 2)
+    # fmt audio_format field (offset 20) → 0x55 (mp3-in-WAV): needs an
+    # entropy decoder, gated (MS/IMA ADPCM now decode)
+    struct.pack_into("<H", payload, 20, 0x55)
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(payload))
     # IEEE float decodes at 32/64-bit, but a float16 claim is out of scope
@@ -529,7 +530,7 @@ def test_wav_ima_adpcm_decodes_mono_and_stereo():
 
 
 def test_wav_ima_adpcm_gates_and_validation():
-    # MS-ADPCM (format 2) stays gated
+    # mp3-in-WAV (format 0x55) stays gated
     def _wav(fmt_code, ch, rate, bits, data, block_align=4):
         fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate, block_align, bits)
         body = (
@@ -538,8 +539,128 @@ def test_wav_ima_adpcm_gates_and_validation():
         )
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
-    with pytest.raises(NotImplementedError, match="MS-ADPCM|format 2"):
-        decode_wav(_wav(2, 1, 8000, 4, b"\x00" * 8))
+    with pytest.raises(NotImplementedError, match="0x55|format 85"):
+        decode_wav(_wav(0x55, 1, 8000, 4, b"\x00" * 8))
+    # MS-ADPCM with a bad predictor index / block align is malformed
+    with pytest.raises(ValueError):
+        decode_wav(_wav(2, 1, 8000, 4, b"\x00" * 8, block_align=4))
     # invalid block alignment is a malformed stream, not a gate
     with pytest.raises(ValueError):
         decode_wav(_wav(0x11, 1, 8000, 4, b"\x00" * 8, block_align=3))
+
+
+# --- MS-ADPCM: independent scalar reference typed from the Microsoft ADPCM
+# spec (NOT from the production decoder); tables re-stated on purpose.
+_REF_MS_COEF = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+_REF_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _tdiv256(x):
+    """C-style truncate-toward-zero division by 256."""
+    return -((-x) >> 8) if x < 0 else x >> 8
+
+
+def _ref_ms_step(nibble, s1, s2, delta, c1, c2):
+    signed = nibble - 16 if nibble & 8 else nibble
+    pred = _tdiv256(s1 * c1 + s2 * c2) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = max(16, _tdiv256(_REF_MS_ADAPT[nibble] * delta))
+    return pred, delta
+
+
+def _ms_encode_wav(signal, rate, channels, samples_per_block, coef_idx=0):
+    """Independent MS-ADPCM WAV writer: (n, ch) int16 -> RIFF bytes plus
+    the exact decoded frames the spec's recurrence produces."""
+    assert samples_per_block > 2 and ((samples_per_block - 2) * channels) % 2 == 0
+    c1, c2 = _REF_MS_COEF[coef_idx]
+    n = signal.shape[0]
+    block_align = 7 * channels + ((samples_per_block - 2) * channels) // 2
+    blocks = bytearray()
+    expected = []
+    for b0 in range(0, n, samples_per_block):
+        frames = signal[b0 : b0 + samples_per_block]
+        pad = samples_per_block - frames.shape[0]
+        if pad:
+            frames = np.vstack([frames, np.zeros((pad, channels), np.int16)])
+        s2 = [int(frames[0, c]) for c in range(channels)]  # older seed
+        s1 = [int(frames[1, c]) for c in range(channels)]  # newer seed
+        deltas = []
+        for c in range(channels):
+            d = max(16, abs(int(frames[2, c]) - s1[c]) // 4 or 16)
+            deltas.append(d)
+        blocks += bytes([coef_idx] * channels)
+        for c in range(channels):
+            blocks += struct.pack("<h", deltas[c])
+        for c in range(channels):
+            blocks += struct.pack("<h", s1[c])
+        for c in range(channels):
+            blocks += struct.pack("<h", s2[c])
+        expected.append([list(s2), list(s1)])
+        nibs = []
+        for t in range(2, samples_per_block):
+            row = []
+            for c in range(channels):
+                pred0 = _tdiv256(s1[c] * c1 + s2[c] * c2)
+                want = (int(frames[t, c]) - pred0) / deltas[c]
+                nib = max(-8, min(7, int(round(want)))) & 0xF
+                newp, deltas[c] = _ref_ms_step(nib, s1[c], s2[c], deltas[c], c1, c2)
+                s2[c], s1[c] = s1[c], newp
+                nibs.append(nib)
+                row.append(newp)
+            expected[-1].append(row)
+        for k in range(0, len(nibs), 2):
+            blocks.append((nibs[k] << 4) | nibs[k + 1])
+    fmt = struct.pack(
+        "<HHIIHHHH", 2, channels, rate,
+        rate * block_align // samples_per_block, block_align, 4, 32,
+        samples_per_block,
+    ) + struct.pack("<H", 7) + b"".join(
+        struct.pack("<hh", a, b) for a, b in _REF_MS_COEF
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)[:8]
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    flat = [v for blk in expected for row in blk for v in row]
+    return (
+        b"RIFF" + struct.pack("<I", len(body)) + body,
+        np.array(flat, dtype=np.int16).reshape(-1, channels),
+    )
+
+
+def test_wav_ms_adpcm_decodes_mono_and_stereo():
+    """decode_wav(format 2) must match the spec recurrence exactly
+    (independent scalar reference) across coefficient pairs, and track the
+    source within ADPCM's lossy bounds."""
+    rng = np.random.default_rng(5)
+    t = np.arange(1500)
+    for channels, coef_idx in ((1, 0), (2, 1), (1, 5)):
+        sig = (
+            6000 * np.sin(2 * np.pi * t / 29)[:, None]
+            + rng.normal(0, 250, size=(t.size, 1))
+        )
+        sig = np.repeat(sig, channels, axis=1)
+        if channels == 2:
+            sig[:, 1] = 0.7 * sig[:, 0] + 500
+        sig = np.clip(sig, -32768, 32767).astype(np.int16)
+        payload, expected = _ms_encode_wav(sig, 8000, channels, 500, coef_idx)
+        rate, ch, got = decode_wav(payload)
+        assert (rate, ch) == (8000, channels)
+        assert got.shape == (sig.shape[0], channels)  # fact-chunk trim
+        assert (got == expected[: sig.shape[0]]).all()
+        err = got.astype(np.int64) - sig.astype(np.int64)
+        assert np.abs(err).mean() < 300.0
+
+
+def test_wav_ms_adpcm_validation():
+    # predictor index beyond the 7 standard pairs: malformed, ValueError
+    sig = np.zeros((10, 1), dtype=np.int16)
+    payload, _ = _ms_encode_wav(sig, 8000, 1, 10)
+    bad = bytearray(payload)
+    # first data byte after headers: find 'data' chunk, predictor idx is byte 0
+    di = bad.index(b"data") + 8
+    bad[di] = 9
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))

@@ -156,7 +156,7 @@ def _wav(fmt_code, channels, rate, bits, data, cb_extra=b""):
 
 
 def test_pcm_stats_undecodable_wav_yields_nulls(spark):
-    """An ADPCM-format WAV passes is_wav() but decode_wav raises
+    """An mp3-in-WAV passes is_wav() but decode_wav raises
     NotImplementedError inside the kernel — the row must pass through as
     NULLs instead of failing the whole Spark job (r4 advice finding #1)."""
     import numpy as np
@@ -164,7 +164,7 @@ def test_pcm_stats_undecodable_wav_yields_nulls(spark):
     from etl_for_dumdums_spark.operators.codecs import encode_wav, is_wav
     from etl_for_dumdums_spark.operators.multimodal import encode_pcm16, pcm_stats
 
-    adpcm_wav = _wav(2, 1, 8000, 4, b"\x12\x34\x56\x78")  # MS ADPCM: no decoder
+    adpcm_wav = _wav(0x55, 1, 8000, 4, b"\x12\x34\x56\x78")  # mp3: no decoder
     assert is_wav(adpcm_wav)  # the magic check alone cannot reject it
 
     # truncated/garbage RIFF body raises ValueError — also NULLs, not a crash
@@ -245,7 +245,7 @@ def test_decode_wav_linear_formats():
     import pytest
 
     with pytest.raises(NotImplementedError):
-        decode_wav(_wav(2, 1, 8000, 4, b"\x00\x00"))  # MS ADPCM
+        decode_wav(_wav(0x55, 1, 8000, 4, b"\x00\x00"))  # mp3-in-WAV
 
 
 def test_decode_png_gray_palette_alpha():
