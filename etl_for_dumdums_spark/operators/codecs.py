@@ -9,15 +9,16 @@ payloads, not just the self-describing raw formats.
 
 Scope (stated, not hidden):
 
-* PNG — color types 0 (grayscale), 2 (RGB), 3 (palette, with tRNS
-  alpha), 4 (gray+alpha) and 6 (RGBA) at 8-bit depth (palette) or
-  8/16-bit (the rest; 16-bit decodes by MSB — the standard 16->8
-  downsample), plain AND Adam7 interlaced; tRNS on types 0/2 applies
-  the spec's full-bit-depth color key (output becomes RGBA). All five
+* PNG — EVERY spec-legal shape (11.2.2): grayscale at 1/2/4/8/16-bit,
+  palette at 1/2/4/8-bit (with tRNS alpha), RGB/gray+alpha/RGBA at
+  8/16-bit, plain AND Adam7 interlaced; 16-bit decodes by MSB (the
+  standard 16->8 downsample), sub-8-bit unpacks MSB-first and grayscale
+  scales by max-value ratio (exact); tRNS on types 0/2 applies the
+  spec's full-bit-depth color key (output becomes RGBA). All five
   scanline filters (None/Sub/Up/Average/Paeth) are implemented, so PNGs
-  produced by other encoders decode correctly; sub-8-bit depths raise
-  ``NotImplementedError`` (the honest gate). ``encode_png`` emits
-  filter-0 scanlines — valid output every PNG reader accepts.
+  produced by other encoders decode correctly; only malformed/illegal
+  depth-type combinations are rejected. ``encode_png`` emits filter-0
+  scanlines — valid output every PNG reader accepts.
 * WAV — RIFF/WAVE: linear PCM (format 1) at 8/16/24/32 bits, IEEE float
   (format 3) at 32/64 bits, G.711 mu-law/A-law (formats 7/6 — the
   expansion tables computed from the standard's rule, not pasted),
@@ -148,15 +149,16 @@ def decode_png(payload: bytes):
     """PNG bytes → (h, w, channels) uint8 numpy array.
 
     Real decode: chunk walk, zlib inflate, and full scanline un-filtering
-    (all five PNG filter types), plain and Adam7 interlaced. Color types
-    0 (grayscale — returned replicated to RGB), 2 (RGB), 3 (palette via
-    PLTE, plus tRNS alpha when present), 4 (gray+alpha → RGBA) and 6
-    (RGBA) decode at 8-bit; 0/2/4/6 also at 16-bit (MSB downsample).
-    A tRNS chunk on color types 0/2 is the spec's color key: pixels that
-    match the key at FULL bit depth get alpha 0 and the image is returned
-    RGBA (matching reference decoders, not silently opaque).
-    Raises ``NotImplementedError`` for the out-of-scope shapes (sub-8-bit
-    depths, 16-bit palette) and ``ValueError`` for malformed streams."""
+    (all five PNG filter types), plain and Adam7 interlaced. Every
+    spec-legal depth/type combination decodes: grayscale 1/2/4/8/16-bit
+    (replicated to RGB; sub-8 scales by max-value ratio), palette
+    1/2/4/8-bit via PLTE (plus tRNS alpha when present), RGB/gray+alpha/
+    RGBA at 8/16-bit (16-bit by MSB downsample). A tRNS chunk on color
+    types 0/2 is the spec's color key: pixels that match the key at FULL
+    bit depth get alpha 0 and the image is returned RGBA (matching
+    reference decoders, not silently opaque). Raises
+    ``NotImplementedError`` only for spec-illegal shapes and
+    ``ValueError`` for malformed streams."""
     import numpy as np
 
     if payload is None or payload[:8] != _PNG_SIG:
@@ -184,42 +186,78 @@ def decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if (
-        bit_depth not in (8, 16)
-        or color_type not in (0, 2, 3, 4, 6)
-        or (bit_depth == 16 and color_type == 3)
-        or interlace not in (0, 1)
-    ):
+    legal_wide = (
+        bit_depth in (8, 16)
+        and color_type in (0, 2, 3, 4, 6)
+        and not (bit_depth == 16 and color_type == 3)
+    )
+    # sub-8-bit depths are legal only for grayscale and palette (PNG spec
+    # 11.2.2 — types 2/4/6 require depth 8/16, 16-bit palette is illegal)
+    legal_packed = bit_depth in (1, 2, 4) and color_type in (0, 3)
+    if not (legal_wide or legal_packed) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG shape out of scope (bit_depth={bit_depth}, "
-            f"color_type={color_type}, interlace={interlace}) — 8/16-bit "
-            "color types 0/2/4/6 and 8-bit palette (plain + Adam7) are"
-            " implemented"
+            f"color_type={color_type}, interlace={interlace}) — every "
+            "spec-legal depth/type combination (1/2/4/8/16-bit gray, "
+            "1/2/4/8-bit palette, 8/16-bit RGB/gray+alpha/RGBA, plain + "
+            "Adam7) is implemented; anything else is a malformed stream"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    # bytes per pixel in the FILTERED stream (what un-filtering operates
-    # on): PNG filters are byte-wise with the left-neighbor at bpp bytes
-    bpp = ch * (bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
-    if interlace == 0:
-        if len(raw) != h * (w * bpp + 1):
-            raise ValueError("PNG scanline data has wrong length")
-        px = _unfilter(raw, 0, h, w, bpp)[0].reshape(h, w, bpp)
-    else:  # Adam7: 7 independently-filtered sub-images scattered on a grid
-        img = np.zeros((h, w, bpp), dtype=np.uint8)
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = -(-(w - x0) // dx) if w > x0 else 0
-            ph = -(-(h - y0) // dy) if h > y0 else 0
-            if pw == 0 or ph == 0:
-                continue
-            sub, off = _unfilter(raw, off, ph, pw, bpp)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-        if off != len(raw):
-            raise ValueError("PNG Adam7 data has wrong length")
-        px = img
+    if bit_depth < 8:
+        # bit-packed scanlines: filters operate on BYTES with left-neighbor
+        # distance 1; pixels unpack MSB-first within each byte
+        def unpack(rows2d, width):
+            bits = np.unpackbits(rows2d, axis=1)
+            vals = bits[:, : width * bit_depth].reshape(
+                rows2d.shape[0], width, bit_depth
+            )
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            return (vals * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace == 0:
+            rb = (w * bit_depth + 7) // 8
+            rows2d, off = _unfilter(raw, 0, h, rb, 1)
+            if off != len(raw):
+                raise ValueError("PNG scanline data has wrong length")
+            px = unpack(rows2d, w)[..., None]
+        else:
+            img = np.zeros((h, w, 1), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = -(-(w - x0) // dx) if w > x0 else 0
+                ph = -(-(h - y0) // dy) if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                rb = (pw * bit_depth + 7) // 8
+                sub, off = _unfilter(raw, off, ph, rb, 1)
+                img[y0::dy, x0::dx, 0] = unpack(sub, pw)
+            if off != len(raw):
+                raise ValueError("PNG Adam7 data has wrong length")
+            px = img
+    else:
+        # bytes per pixel in the FILTERED stream (what un-filtering operates
+        # on): PNG filters are byte-wise with the left-neighbor at bpp bytes
+        bpp = ch * (bit_depth // 8)
+        if interlace == 0:
+            if len(raw) != h * (w * bpp + 1):
+                raise ValueError("PNG scanline data has wrong length")
+            px = _unfilter(raw, 0, h, w, bpp)[0].reshape(h, w, bpp)
+        else:  # Adam7: 7 independently-filtered sub-images on a grid
+            img = np.zeros((h, w, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = -(-(w - x0) // dx) if w > x0 else 0
+                ph = -(-(h - y0) // dy) if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                sub, off = _unfilter(raw, off, ph, pw, bpp)
+                img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            if off != len(raw):
+                raise ValueError("PNG Adam7 data has wrong length")
+            px = img
     key_mask = None
     if trns is not None and color_type in (0, 2):
         # color-key transparency: tRNS holds one big-endian uint16 per
@@ -237,6 +275,10 @@ def decode_png(payload: bytes):
     if bit_depth == 16:
         # network byte order: the MSB is the standard 16->8 downsample
         px = px.reshape(h, w, ch, 2)[..., 0]
+    if bit_depth < 8 and color_type == 0:
+        # gray sample scales to 8-bit by max-value ratio — exact, since
+        # 255 is divisible by 2^d - 1 for d in (1, 2, 4)
+        px = (px.astype(np.int64) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
     if key_mask is not None:
         alpha = np.where(key_mask, 0, 255).astype(np.uint8)[..., None]
         rgb = np.repeat(px, 3, axis=2) if color_type == 0 else px

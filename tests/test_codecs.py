@@ -664,3 +664,118 @@ def test_wav_ms_adpcm_validation():
     bad[di] = 9
     with pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+def _chunk(tag, body):
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, depth, ctype, idat_raw, extra=b"", interlace=0):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+        + extra
+        + _chunk(b"IDAT", zlib.compress(idat_raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_sub8_grayscale_depths():
+    """1/2/4-bit grayscale: MSB-first bit unpacking, exact max-value-ratio
+    scaling (1-bit: 0/255; 2-bit: x*85; 4-bit: x*17), byte-packed rows with
+    padding bits, and a filter-2 (Up) row to prove filters operate on the
+    PACKED bytes."""
+    # 1-bit, 10 px wide (2 bytes/row incl. 6 pad bits), 2 rows
+    row0 = bytes([0b10110010, 0b01000000])
+    # row1 filtered with Up: stored XOR-ish additions mod 256
+    row1_plain = bytes([0b01101101, 0b10000000])
+    row1_filt = bytes((row1_plain[i] - row0[i]) % 256 for i in range(2))
+    raw = b"\x00" + row0 + b"\x02" + row1_filt
+    got = decode_png(_png(10, 2, 1, 0, raw))
+    assert got.shape == (2, 10, 3)
+    exp0 = [1, 0, 1, 1, 0, 0, 1, 0, 0, 1]
+    exp1 = [0, 1, 1, 0, 1, 1, 0, 1, 1, 0]
+    assert got[0, :, 0].tolist() == [v * 255 for v in exp0]
+    assert got[1, :, 0].tolist() == [v * 255 for v in exp1]
+    assert (got[..., 0] == got[..., 1]).all() and (got[..., 0] == got[..., 2]).all()
+
+    # 2-bit, 3 px (one byte/row, 2 pad bits)
+    raw = b"\x00" + bytes([0b00_01_10_11 & 0xFF])
+    got = decode_png(_png(3, 1, 2, 0, raw))
+    assert got[0, :, 0].tolist() == [0 * 85, 1 * 85, 2 * 85]
+
+    # 4-bit, 3 px (2 bytes/row, 4 pad bits)
+    raw = b"\x00" + bytes([0xA5, 0xF0])
+    got = decode_png(_png(3, 1, 4, 0, raw))
+    assert got[0, :, 0].tolist() == [0xA * 17, 0x5 * 17, 0xF * 17]
+
+
+def test_png_sub8_palette_and_trns():
+    """4-bit palette resolves through PLTE; palette tRNS alpha applies; an
+    index past the palette is malformed."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # 3 entries
+    raw = b"\x00" + bytes([0x01, 0x20])  # indexes 0,1,2 + pad
+    png = _png(3, 1, 4, 3, raw, extra=_chunk(b"PLTE", plte))
+    got = decode_png(png)
+    assert got.shape == (1, 3, 3)
+    assert got[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+
+    png = _png(
+        3, 1, 4, 3, raw,
+        extra=_chunk(b"PLTE", plte) + _chunk(b"tRNS", bytes([255, 128])),
+    )
+    got = decode_png(png)
+    assert got.shape == (1, 3, 4)
+    assert got[0, :, 3].tolist() == [255, 128, 255]
+
+    bad = _png(3, 1, 4, 3, b"\x00" + bytes([0x0F, 0x00]), extra=_chunk(b"PLTE", plte))
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_png_sub8_adam7_and_color_key():
+    """Sub-8-bit Adam7: each pass bit-packs its own scanlines; cross-check
+    the scatter against the plain encoding of the same image. And the
+    type-0 color key matches on RAW sub-8 sample values."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 2, size=(9, 9), dtype=np.uint8)  # 1-bit 9x9
+
+    def pack_rows(a):
+        out = b""
+        for y in range(a.shape[0]):
+            out += b"\x00" + np.packbits(a[y]).tobytes()
+        return out
+
+    plain = decode_png(_png(9, 9, 1, 0, pack_rows(img)))
+    # build the interlaced stream pass by pass
+    _ADAM7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size:
+            raw += pack_rows(sub)
+    inter = decode_png(_png(9, 9, 1, 0, raw, interlace=1))
+    assert (inter == plain).all()
+
+    # color key on raw values: key=1 → the '1' pixels go transparent
+    keyed = decode_png(
+        _png(9, 9, 1, 0, pack_rows(img), extra=_chunk(b"tRNS", struct.pack(">H", 1)))
+    )
+    assert keyed.shape == (9, 9, 4)
+    assert (keyed[..., 3] == np.where(img == 1, 0, 255)).all()
+    assert (keyed[..., 0] == img * 255).all()
+
+
+def test_png_spec_illegal_shapes_stay_gated():
+    # sub-8-bit RGB (type 2) and 16-bit palette are ILLEGAL per spec
+    with pytest.raises(NotImplementedError):
+        decode_png(_png(2, 1, 4, 2, b"\x00\x00\x00"))
+    plte = _chunk(b"PLTE", bytes([0, 0, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_png(_png(2, 1, 16, 3, b"\x00\x00\x00", extra=plte))
