@@ -2,9 +2,10 @@
 
 Decode support comes in three honest tiers:
 
-* REAL codecs, zero dependencies (operators/codecs.py): PNG (8-bit
-  RGB/RGBA, all five scanline filters — zlib is stdlib) and WAV (RIFF
-  PCM16). ``decode_image`` / ``resize_payload`` / ``rgb_stats`` /
+* REAL codecs, zero dependencies (operators/codecs.py): PNG (every
+  spec-legal depth/type/interlace shape — zlib is stdlib) and WAV
+  (linear PCM 8-32 bit, IEEE float, G.711 mu-law/A-law, IMA and MS
+  ADPCM). ``decode_image`` / ``resize_payload`` / ``rgb_stats`` /
   ``pcm_stats`` route these to full decodes.
 * REAL raw kernels: the self-describing RGB8/PCM1 formats below (what a
   production decode stage emits) — numpy only.
@@ -461,8 +462,8 @@ def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
                 try:
                     rate, a = audio_payload_to_pcm(bytes(p))
                 except (NotImplementedError, ValueError):
-                    # an ADPCM/mp3-in-WAV passes is_wav() but has no
-                    # in-container decoder; malformed bodies raise ValueError
+                    # an mp3-in-WAV passes is_wav() but has no in-container
+                    # decoder; malformed bodies raise ValueError
                     # — both emit a NULL row, matching rgb_stats (r4 advice #1)
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
