@@ -1167,3 +1167,102 @@ def mm_codec_roundtrip(spark, sf_dir):
         F.min("jpx_sum").cast("long").alias("min_jpx_sum"),
         F.max("jpx_sum").cast("long").alias("max_jpx_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_video_frame_stats — the VIDEO layer (operators/video.py) under the
+# full value oracle. Each sampled document synthesizes an 8-frame 16x16
+# MJPEG AVI (frame f = four flat 8x8 quadrants, value_q(f) =
+# (doc_id*7 + f*29 + q*50) % 256 — DC-only blocks, exact at quality 95 by
+# the mm_codec_roundtrip analysis), then the production path runs:
+# probe_avi reads header-only metadata, decode_avi INDEX-SEEKS frames
+# 0/3/6 through the idx1 index (unsampled frames are never
+# entropy-decoded), and each decoded frame reduces to an exact integer
+# sum = 192 * sum_q value_q. The oracle restates the sums in closed form,
+# so a flipped byte anywhere in the RIFF muxer, the idx1 seek, or the
+# JPEG codec breaks the hash.
+#
+# Scale design (100 TB): payload bytes never leave the executors (the
+# synthesize->mux->probe->seek->decode chain is two chained mapInPandas
+# in ONE stage — no shuffle carries video bytes); the deterministic
+# doc_id % _VID_MOD sample bounds per-task Python work; the only shuffle
+# is the one-row global aggregate. Frame sampling cost is O(sampled),
+# not O(n_frames) — the idx1 seek is the point.
+# ---------------------------------------------------------------------------
+_VID_MOD = 50
+_VID_FRAMES = 8
+_VID_EVERY = 3  # sampled frame indices: 0, 3, 6
+
+
+@register(
+    "mm_video_frame_stats",
+    extra=True,
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_VID_MOD} = 0),
+    per_frame AS (
+      SELECT doc_id, t.f,
+             CAST(sum(192 * ((doc_id * 7 + t.f * 29 + q.q * 50) % 256))
+                  AS BIGINT) AS fsum
+      FROM ids,
+           unnest(generate_series(0, {_VID_FRAMES - 1}, {_VID_EVERY})) AS t(f),
+           unnest(generate_series(0, 3)) AS q(q)
+      GROUP BY doc_id, t.f),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(fsum) AS BIGINT) AS px_sum,
+             CAST(max(fsum) AS BIGINT) AS frame_max
+      FROM per_frame GROUP BY doc_id)
+    SELECT CAST(count(*) AS BIGINT)                          AS n_videos,
+           CAST(count(*) * {_VID_FRAMES} AS BIGINT)          AS total_frames,
+           CAST(count(*) * {(_VID_FRAMES + _VID_EVERY - 1) // _VID_EVERY}
+                AS BIGINT)                                   AS total_sampled,
+           CAST(sum(px_sum) AS BIGINT)                       AS total_px_sum,
+           CAST(min(px_sum) AS BIGINT)                       AS min_px_sum,
+           CAST(max(px_sum) AS BIGINT)                       AS max_px_sum,
+           CAST(max(frame_max) AS BIGINT)                    AS max_frame_sum,
+           CAST(16 AS BIGINT)                                AS width,
+           CAST(16 AS BIGINT)                                AS height,
+           CAST(30 AS BIGINT)                                AS fps
+    FROM per
+    """,
+)
+def mm_video_frame_stats(spark, sf_dir):
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") % _VID_MOD == 0)
+
+    def synth(batches):
+        import numpy as np
+
+        from ..operators.video import encode_avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(_VID_FRAMES):
+                    img = np.zeros((16, 16, 3), dtype=np.uint8)
+                    for q, (y0, x0) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                        img[y0 : y0 + 8, x0 : x0 + 8, :] = (d * 7 + f * 29 + q * 50) % 256
+                    frames.append(img)
+                payloads.append(encode_avi(frames, fps=30, codec="MJPG", quality=95))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..operators.video import video_stats
+
+    media = ids.mapInPandas(synth, schema="media_id long, payload binary")
+    stats = video_stats(media, every_k=_VID_EVERY)
+    return stats.agg(
+        F.count("*").cast("long").alias("n_videos"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.sum("n_sampled").cast("long").alias("total_sampled"),
+        F.sum("sampled_px_sum").cast("long").alias("total_px_sum"),
+        F.min("sampled_px_sum").cast("long").alias("min_px_sum"),
+        F.max("sampled_px_sum").cast("long").alias("max_px_sum"),
+        F.max("sampled_px_max").cast("long").alias("max_frame_sum"),
+        F.max("width").cast("long").alias("width"),
+        F.max("height").cast("long").alias("height"),
+        F.max("fps").cast("long").alias("fps"),
+    )

@@ -11,10 +11,13 @@ Decode support comes in three honest tiers:
   production decode stage emits) — numpy only.
 * REAL JPEG (operators/jpeg.py): baseline SOF0 and progressive SOF2,
   first-principles DCT + Huffman, interop-verified against libjpeg files.
-* STUBS behind NotImplementedError: everything else (WebP/mp3/video
-  codecs need PIL/opencv/ffmpeg, absent here); ``fake=True`` gives a
-  deterministic digest-derived stand-in so pipelines and tests exercise
-  the full Spark path with realistic shapes.
+* REAL video (operators/video.py): the AVI/RIFF container with MJPEG
+  (via the in-repo JPEG codec) and raw BI_RGB DIB frames — header-only
+  probe, idx1 index-seeked frame sampling, ``video_stats`` kernel.
+* STUBS behind NotImplementedError: everything else (WebP/mp3,
+  inter-frame video codecs — these need PIL/opencv/ffmpeg, absent
+  here); ``fake=True`` gives a deterministic digest-derived stand-in so
+  pipelines and tests exercise the full Spark path with realistic shapes.
 
 Everything Spark-side is real and tested regardless of tier: schemas,
 Arrow batch shapes, mapInPandas signatures, and partition-size control.
