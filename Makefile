@@ -69,3 +69,23 @@ bench:
 
 smoke:
 	python -c "import __spark_entry__ as e; from etl_for_dumdums_spark.session import get_spark; print(e.entry(get_spark('smoke')).count(), 'rows')"
+
+# --- round-6 scale-evidence targets -----------------------------------------
+# 1000x replica (600M lineitem, 16 GB parquet)
+scale-data-1000:
+	python tools/make_scale_data.py --src /root/testdata/sf0.1 --out /tmp/sfscale1000 --factor 1000
+
+# full 16-query headline bench at 1000x with a PER-QUERY DuckDB control and
+# a cold/warm page-cache split (fresh process per (query, engine); cold =
+# first run after drop_caches) — the SCALE_r06.json evidence pipeline
+bench-scale-1000:
+	python tools/bench_scale_1000.py --sf /tmp/sfscale1000 --out /tmp/bench1000.json
+
+# full model DAG (the `dbt build` twin) at 100x fixture scale: wall time +
+# per-layer row counts; VALUE parity at the same volume comes from the
+# DuckDB-parity pytest suites under the same env var
+dag-scale-100:
+	SPARK_GRAFT_FIXTURE_SCALE=100 python tools/dag_scale.py --out /tmp/dag_scale_100.json
+	SPARK_GRAFT_FIXTURE_SCALE=100 python -m pytest tests/test_reference_marts.py \
+	  tests/test_fda_models.py tests/test_join_marts.py tests/test_trends_iowa.py \
+	  tests/test_final_marts.py -q

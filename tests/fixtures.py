@@ -41,6 +41,18 @@ def gen_stock_prices(n_days: int | None = None, seed: int = 7) -> list[dict]:
         while n < n_days:
             if day.weekday() < 5:  # trading days only
                 drift = rng.uniform(-0.04, 0.042)
+                # Mean-revert outside [5, 5000] so the walk stays where the
+                # whole-cent invariant below actually holds at EVERY fixture
+                # scale: the drift's positive mean otherwise compounds to
+                # ~1e14 over 100x more days, where the engines' round(x, 4)
+                # implementations differ below the comparison's 6 sig figs
+                # (Spark rounds via BigDecimal, DuckDB in double arithmetic).
+                # Consumes no RNG draws and never binds at scale 1 (range
+                # 78-357), so scale-1 fixtures are byte-identical.
+                if price > 5000:
+                    drift = -abs(drift)
+                elif price < 5:
+                    drift = abs(drift)
                 o = price * (1 + rng.uniform(-0.01, 0.01))
                 c = price * (1 + drift)
                 hi = max(o, c) * (1 + rng.uniform(0, 0.01))
