@@ -367,3 +367,54 @@ def video_stats(media, every_k: int = 3):
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=VIDEO_STATS_SCHEMA)
+
+
+FRAME_ROWS_SCHEMA = (
+    "media_id long, frame_idx long, width long, height long, "
+    "px_sum long, px_min long, px_max long, frame_rgb binary"
+)
+
+
+def extract_frames(media, every_k: int = 3, emit_pixels: bool = False):
+    """Explode videos into one row PER SAMPLED FRAME — the training-data
+    shape (a frame dataset from a video corpus). Index-seeked like
+    video_stats: unsampled frames are never entropy-decoded. With
+    ``emit_pixels`` the raw RGB8 bytes ride along (decode-once, train
+    downstream); default off so the exploded table stays narrow.
+
+    Scale notes: output cardinality is n_videos * ceil(n_frames/every_k)
+    — budget partitions for the EXPLODED size when emit_pixels is on
+    (payload bytes multiply). Undecodable/NULL payloads contribute zero
+    rows here (a frame DATASET wants no NULL frames; use video_stats for
+    the per-asset audit including failures)."""
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "width", "height",
+                "px_sum", "px_min", "px_max", "frame_rgb",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    info = probe_avi(bytes(payload))
+                    picks = list(range(0, info["n_frames"], every_k))
+                    _fps, frames = decode_avi(bytes(payload), indices=picks)
+                except (NotImplementedError, ValueError):
+                    continue
+                for idx, f in zip(picks, frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(f.shape[0])
+                    out["width"].append(f.shape[1])
+                    out["px_sum"].append(int(f.astype(np.int64).sum()))
+                    out["px_min"].append(int(f.min()))
+                    out["px_max"].append(int(f.max()))
+                    out["frame_rgb"].append(f.tobytes() if emit_pixels else None)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=FRAME_ROWS_SCHEMA)

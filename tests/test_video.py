@@ -170,3 +170,26 @@ def test_video_stats_kernel_nulls_and_values(spark):
     assert out[2]["sampled_px_sum"] == exp_dib
     for mid in (3, 4, 5):
         assert out[mid]["n_frames"] is None and out[mid]["sampled_px_sum"] is None
+
+
+def test_extract_frames_rows(spark):
+    """extract_frames: one row per sampled frame, pixels optional,
+    undecodable payloads contribute zero rows."""
+    from etl_for_dumdums_spark.operators.video import extract_frames
+
+    frames = [_flat_quadrant_frame(4, f) for f in range(7)]
+    avi = encode_avi(frames, fps=30, codec="MJPG", quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"junk")), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = extract_frames(df, every_k=2, emit_pixels=True).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4, 6]
+    assert {r["media_id"] for r in rows} == {1}
+    for r in rows:
+        exp = _flat_quadrant_frame(4, r["frame_idx"])
+        assert r["px_sum"] == int(exp.astype(np.int64).sum())
+        got = np.frombuffer(bytes(r["frame_rgb"]), dtype=np.uint8).reshape(16, 16, 3)
+        assert (got == exp).all()
+    thin = extract_frames(df, every_k=2).collect()
+    assert all(t["frame_rgb"] is None for t in thin)
