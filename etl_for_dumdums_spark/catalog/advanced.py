@@ -1266,3 +1266,96 @@ def mm_video_frame_stats(spark, sf_dir):
         F.max("height").cast("long").alias("height"),
         F.max("fps").cast("long").alias("fps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_formats — GIF + BMP (operators/gif.py) under the full value
+# oracle, completing the image-codec set's oracle coverage (PNG/WAV/JPEG:
+# mm_codec_roundtrip; AVI: mm_video_frame_stats). Each sampled document
+# synthesizes (a) a 12x12 four-color image (palette index of pixel i =
+# (doc_id*3 + i) % 4, color c = gray level (doc_id*11 + c*71) % 256),
+# pushed through encode_gif -> LZW-compressed GIF89a -> decode_gif, and
+# (b) a 12x12 truecolor image (channel ch of pixel i = (doc_id*13 + i*5
+# + ch*17) % 256) through encode_bmp -> BI_RGB BMP -> decode_bmp. Both
+# formats are lossless, so the oracle restates every decoded sum in
+# closed form: a flipped bit anywhere in the LZW coder, the palette
+# builder, or the DIB raster logic breaks the hash.
+#
+# Scale design (100 TB): identical to the codec/video legs — payload
+# bytes never leave the executors, each asset reduces to one integer in
+# the Arrow batch, doc_id % _IMG_MOD bounds per-task Python work, one
+# single-row aggregate shuffle.
+# ---------------------------------------------------------------------------
+_IMG_MOD = 50
+_IMG_PX = 12 * 12
+
+
+@register(
+    "mm_image_formats",
+    extra=True,
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_IMG_MOD} = 0),
+    g AS (
+      SELECT doc_id,
+             CAST(sum(3 * ((doc_id * 11 + ((doc_id * 3 + t.i) % 4) * 71) % 256))
+                  AS BIGINT) AS gif_sum
+      FROM ids, unnest(generate_series(0, {_IMG_PX - 1})) AS t(i)
+      GROUP BY doc_id),
+    b AS (
+      SELECT doc_id,
+             CAST(sum((doc_id * 13 + t.i * 5 + c.c * 17) % 256) AS BIGINT)
+               AS bmp_sum
+      FROM ids,
+           unnest(generate_series(0, {_IMG_PX - 1})) AS t(i),
+           unnest(generate_series(0, 2)) AS c(c)
+      GROUP BY doc_id)
+    SELECT CAST(count(*) AS BIGINT)      AS n_images,
+           CAST(sum(gif_sum) AS BIGINT)  AS total_gif_sum,
+           CAST(min(gif_sum) AS BIGINT)  AS min_gif_sum,
+           CAST(max(gif_sum) AS BIGINT)  AS max_gif_sum,
+           CAST(sum(bmp_sum) AS BIGINT)  AS total_bmp_sum,
+           CAST(min(bmp_sum) AS BIGINT)  AS min_bmp_sum,
+           CAST(max(bmp_sum) AS BIGINT)  AS max_bmp_sum
+    FROM g JOIN b USING (doc_id)
+    """,
+)
+def mm_image_formats(spark, sf_dir):
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") % _IMG_MOD == 0)
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from ..operators.gif import decode_bmp, decode_gif, encode_bmp, encode_gif
+
+        for pdf in batches:
+            out_ids, gif_sums, bmp_sums = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(_IMG_PX, dtype=np.int64)
+                gray = ((d * 11 + ((d * 3 + i) % 4) * 71) % 256).astype(np.uint8)
+                gimg = np.repeat(gray, 3).reshape(12, 12, 3)
+                frames, _delays = decode_gif(encode_gif(gimg))
+                gif_sums.append(int(frames[0][:, :, :3].astype(np.int64).sum()))
+                ch = np.arange(3, dtype=np.int64)
+                bimg = ((d * 13 + i[:, None] * 5 + ch[None, :] * 17) % 256).astype(
+                    np.uint8
+                ).reshape(12, 12, 3)
+                bmp_sums.append(int(decode_bmp(encode_bmp(bimg)).astype(np.int64).sum()))
+                out_ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "gif_sum": gif_sums, "bmp_sum": bmp_sums}
+            )
+
+    per = ids.mapInPandas(roundtrip, schema="doc_id long, gif_sum long, bmp_sum long")
+    return per.agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("gif_sum").cast("long").alias("total_gif_sum"),
+        F.min("gif_sum").cast("long").alias("min_gif_sum"),
+        F.max("gif_sum").cast("long").alias("max_gif_sum"),
+        F.sum("bmp_sum").cast("long").alias("total_bmp_sum"),
+        F.min("bmp_sum").cast("long").alias("min_bmp_sum"),
+        F.max("bmp_sum").cast("long").alias("max_bmp_sum"),
+    )

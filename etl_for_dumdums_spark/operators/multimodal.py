@@ -14,6 +14,9 @@ Decode support comes in three honest tiers:
 * REAL video (operators/video.py): the AVI/RIFF container with MJPEG
   (via the in-repo JPEG codec) and raw BI_RGB DIB frames — header-only
   probe, idx1 index-seeked frame sampling, ``video_stats`` kernel.
+* REAL GIF + BMP (operators/gif.py): full LZW (variable width, dict
+  reset, interlace), multi-frame animations with transparency and
+  disposal; BI_RGB BMP at 8 (paletted) / 24 / 32 bits, both rasters.
 * STUBS behind NotImplementedError: everything else (WebP/mp3,
   inter-frame video codecs — these need PIL/opencv/ffmpeg, absent
   here); ``fake=True`` gives a deterministic digest-derived stand-in so
@@ -63,17 +66,23 @@ FEATURE_SCHEMA = T.StructType(
 
 def image_payload_to_array(payload: bytes):
     """Route an image payload to a REAL decode: PNG (operators/codecs.py),
-    JPEG — baseline AND progressive (operators/jpeg.py) — or
-    self-describing RGB8 raw. Returns (h, w, ch) uint8. Raises
-    NotImplementedError for codec formats without an in-container decoder
-    (WebP/arithmetic-JPEG/...) — the honest gate."""
+    JPEG — baseline AND progressive (operators/jpeg.py), GIF (first
+    coalesced frame) / BMP (operators/gif.py), or self-describing RGB8
+    raw. Returns (h, w, ch) uint8. Raises NotImplementedError for codec
+    formats without an in-container decoder (WebP/arithmetic-JPEG/...) —
+    the honest gate."""
     from .codecs import decode_png, is_png
+    from .gif import decode_bmp, decode_gif, is_bmp, is_gif
     from .jpeg import decode_jpeg, is_jpeg
 
     if is_png(payload):
         return decode_png(bytes(payload))
     if is_jpeg(payload):
         return decode_jpeg(bytes(payload))
+    if is_gif(payload):
+        return decode_gif(bytes(payload))[0][0]
+    if is_bmp(payload):
+        return decode_bmp(bytes(payload))
     return decode_rgb_raw(bytes(payload) if payload is not None else None)
 
 
