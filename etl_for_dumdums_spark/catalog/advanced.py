@@ -1269,17 +1269,21 @@ def mm_video_frame_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# mm_image_formats — GIF + BMP (operators/gif.py) under the full value
-# oracle, completing the image-codec set's oracle coverage (PNG/WAV/JPEG:
-# mm_codec_roundtrip; AVI: mm_video_frame_stats). Each sampled document
-# synthesizes (a) a 12x12 four-color image (palette index of pixel i =
-# (doc_id*3 + i) % 4, color c = gray level (doc_id*11 + c*71) % 256),
-# pushed through encode_gif -> LZW-compressed GIF89a -> decode_gif, and
-# (b) a 12x12 truecolor image (channel ch of pixel i = (doc_id*13 + i*5
-# + ch*17) % 256) through encode_bmp -> BI_RGB BMP -> decode_bmp. Both
-# formats are lossless, so the oracle restates every decoded sum in
-# closed form: a flipped bit anywhere in the LZW coder, the palette
-# builder, or the DIB raster logic breaks the hash.
+# mm_image_formats — GIF + BMP (operators/gif.py) + TIFF (operators/
+# tiff.py) under the full value oracle, completing the image-codec set's
+# oracle coverage (PNG/WAV/JPEG: mm_codec_roundtrip; AVI:
+# mm_video_frame_stats). Each sampled document synthesizes (a) a 12x12
+# four-color image (palette index of pixel i = (doc_id*3 + i) % 4,
+# color c = gray level (doc_id*11 + c*71) % 256), pushed through
+# encode_gif -> LZW-compressed GIF89a -> decode_gif, (b) a 12x12
+# truecolor image (channel ch of pixel i = (doc_id*13 + i*5 + ch*17)
+# % 256) through encode_bmp -> BI_RGB BMP -> decode_bmp, and (c) a 12x12
+# truecolor image ((doc_id*19 + i*7 + ch*29) % 256) through encode_tiff
+# with TIFF-variant LZW (MSB-first, early change) + horizontal predictor
+# -> decode_tiff. All three formats are lossless, so the oracle restates
+# every decoded sum in closed form: a flipped bit anywhere in either LZW
+# coder, the palette builder, the predictor, or the raster logic breaks
+# the hash.
 #
 # Scale design (100 TB): identical to the codec/video legs — payload
 # bytes never leave the executors, each asset reduces to one integer in
@@ -1308,6 +1312,14 @@ _IMG_PX = 12 * 12
       FROM ids,
            unnest(generate_series(0, {_IMG_PX - 1})) AS t(i),
            unnest(generate_series(0, 2)) AS c(c)
+      GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id,
+             CAST(sum((doc_id * 19 + t.i * 7 + c.c * 29) % 256) AS BIGINT)
+               AS tiff_sum
+      FROM ids,
+           unnest(generate_series(0, {_IMG_PX - 1})) AS t(i),
+           unnest(generate_series(0, 2)) AS c(c)
       GROUP BY doc_id)
     SELECT CAST(count(*) AS BIGINT)      AS n_images,
            CAST(sum(gif_sum) AS BIGINT)  AS total_gif_sum,
@@ -1315,8 +1327,11 @@ _IMG_PX = 12 * 12
            CAST(max(gif_sum) AS BIGINT)  AS max_gif_sum,
            CAST(sum(bmp_sum) AS BIGINT)  AS total_bmp_sum,
            CAST(min(bmp_sum) AS BIGINT)  AS min_bmp_sum,
-           CAST(max(bmp_sum) AS BIGINT)  AS max_bmp_sum
-    FROM g JOIN b USING (doc_id)
+           CAST(max(bmp_sum) AS BIGINT)  AS max_bmp_sum,
+           CAST(sum(tiff_sum) AS BIGINT) AS total_tiff_sum,
+           CAST(min(tiff_sum) AS BIGINT) AS min_tiff_sum,
+           CAST(max(tiff_sum) AS BIGINT) AS max_tiff_sum
+    FROM g JOIN b USING (doc_id) JOIN tf USING (doc_id)
     """,
 )
 def mm_image_formats(spark, sf_dir):
@@ -1329,9 +1344,10 @@ def mm_image_formats(spark, sf_dir):
         import numpy as np
 
         from ..operators.gif import decode_bmp, decode_gif, encode_bmp, encode_gif
+        from ..operators.tiff import decode_tiff, encode_tiff
 
         for pdf in batches:
-            out_ids, gif_sums, bmp_sums = [], [], []
+            out_ids, gif_sums, bmp_sums, tiff_sums = [], [], [], []
             for d in pdf["doc_id"]:
                 d = int(d)
                 i = np.arange(_IMG_PX, dtype=np.int64)
@@ -1344,12 +1360,24 @@ def mm_image_formats(spark, sf_dir):
                     np.uint8
                 ).reshape(12, 12, 3)
                 bmp_sums.append(int(decode_bmp(encode_bmp(bimg)).astype(np.int64).sum()))
+                timg = ((d * 19 + i[:, None] * 7 + ch[None, :] * 29) % 256).astype(
+                    np.uint8
+                ).reshape(12, 12, 3)
+                tback = decode_tiff(encode_tiff(timg, compression="lzw", predictor=True))
+                tiff_sums.append(int(tback.astype(np.int64).sum()))
                 out_ids.append(d)
             yield pd.DataFrame(
-                {"doc_id": out_ids, "gif_sum": gif_sums, "bmp_sum": bmp_sums}
+                {
+                    "doc_id": out_ids,
+                    "gif_sum": gif_sums,
+                    "bmp_sum": bmp_sums,
+                    "tiff_sum": tiff_sums,
+                }
             )
 
-    per = ids.mapInPandas(roundtrip, schema="doc_id long, gif_sum long, bmp_sum long")
+    per = ids.mapInPandas(
+        roundtrip, schema="doc_id long, gif_sum long, bmp_sum long, tiff_sum long"
+    )
     return per.agg(
         F.count("*").cast("long").alias("n_images"),
         F.sum("gif_sum").cast("long").alias("total_gif_sum"),
@@ -1358,4 +1386,7 @@ def mm_image_formats(spark, sf_dir):
         F.sum("bmp_sum").cast("long").alias("total_bmp_sum"),
         F.min("bmp_sum").cast("long").alias("min_bmp_sum"),
         F.max("bmp_sum").cast("long").alias("max_bmp_sum"),
+        F.sum("tiff_sum").cast("long").alias("total_tiff_sum"),
+        F.min("tiff_sum").cast("long").alias("min_tiff_sum"),
+        F.max("tiff_sum").cast("long").alias("max_tiff_sum"),
     )

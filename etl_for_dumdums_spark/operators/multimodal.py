@@ -17,6 +17,9 @@ Decode support comes in three honest tiers:
 * REAL GIF + BMP (operators/gif.py): full LZW (variable width, dict
   reset, interlace), multi-frame animations with transparency and
   disposal; BI_RGB BMP at 8 (paletted) / 24 / 32 bits, both rasters.
+* REAL TIFF (operators/tiff.py): baseline 6.0, both byte orders —
+  none/LZW (MSB-first early-change variant)/PackBits, horizontal
+  predictor, gray/RGB/RGBA/palette, multi-strip.
 * STUBS behind NotImplementedError: everything else (WebP/mp3,
   inter-frame video codecs — these need PIL/opencv/ffmpeg, absent
   here); ``fake=True`` gives a deterministic digest-derived stand-in so
@@ -67,13 +70,14 @@ FEATURE_SCHEMA = T.StructType(
 def image_payload_to_array(payload: bytes):
     """Route an image payload to a REAL decode: PNG (operators/codecs.py),
     JPEG — baseline AND progressive (operators/jpeg.py), GIF (first
-    coalesced frame) / BMP (operators/gif.py), or self-describing RGB8
-    raw. Returns (h, w, ch) uint8. Raises NotImplementedError for codec
-    formats without an in-container decoder (WebP/arithmetic-JPEG/...) —
-    the honest gate."""
+    coalesced frame) / BMP (operators/gif.py), TIFF (operators/tiff.py),
+    or self-describing RGB8 raw. Returns (h, w, ch) uint8. Raises
+    NotImplementedError for codec formats without an in-container decoder
+    (WebP/arithmetic-JPEG/...) — the honest gate."""
     from .codecs import decode_png, is_png
     from .gif import decode_bmp, decode_gif, is_bmp, is_gif
     from .jpeg import decode_jpeg, is_jpeg
+    from .tiff import decode_tiff, is_tiff
 
     if is_png(payload):
         return decode_png(bytes(payload))
@@ -83,6 +87,8 @@ def image_payload_to_array(payload: bytes):
         return decode_gif(bytes(payload))[0][0]
     if is_bmp(payload):
         return decode_bmp(bytes(payload))
+    if is_tiff(payload):
+        return decode_tiff(bytes(payload))
     return decode_rgb_raw(bytes(payload) if payload is not None else None)
 
 
