@@ -18,8 +18,12 @@ Decode support comes in three honest tiers:
   reset, interlace), multi-frame animations with transparency and
   disposal; BI_RGB BMP at 8 (paletted) / 24 / 32 bits, both rasters.
 * REAL TIFF (operators/tiff.py): baseline 6.0, both byte orders —
-  none/LZW (MSB-first early-change variant)/PackBits, horizontal
-  predictor, gray/RGB/RGBA/palette, multi-strip.
+  none/LZW (MSB-first early-change variant)/deflate/PackBits,
+  horizontal predictor, gray/RGB/RGBA/palette, multi-strip.
+* REAL AIFF/AIFC + Sun AU (operators/aiff.py): big-endian PCM at
+  8/16/24/32 bits, 80-bit extended sample rates, 'sowt', and AU's
+  G.711 mu-law/A-law via the codecs.py tables — the same payload
+  wrapped as WAV, AIFF, or AU yields identical pcm_stats rows.
 * STUBS behind NotImplementedError: everything else (WebP/mp3,
   inter-frame video codecs — these need PIL/opencv/ffmpeg, absent
   here); ``fake=True`` gives a deterministic digest-derived stand-in so
@@ -426,15 +430,24 @@ def downsample_pcm16(payload: bytes, factor: int) -> bytes:
 
 def audio_payload_to_pcm(payload: bytes):
     """Route an audio payload to a REAL decode → (rate, mono int16 array):
-    PCM1 raw as-is; WAV (operators/codecs.py) with multi-channel frames
-    mixed down by exact integer average (sum // channels — deterministic).
-    Other formats (mp3/ogg/...) raise NotImplementedError."""
+    PCM1 raw as-is; WAV (operators/codecs.py), AIFF/AIFC and Sun AU
+    (operators/aiff.py) with multi-channel frames mixed down by exact
+    integer average (sum // channels — deterministic, identical across
+    containers). Other formats (mp3/ogg/...) raise NotImplementedError."""
+    from .aiff import decode_aiff, decode_au, is_aiff, is_au
     from .codecs import decode_wav, is_wav
 
+    decoder = None
     if is_wav(payload):
+        decoder = decode_wav
+    elif is_aiff(payload):
+        decoder = decode_aiff
+    elif is_au(payload):
+        decoder = decode_au
+    if decoder is not None:
         import numpy as np
 
-        rate, ch, frames = decode_wav(bytes(payload))
+        rate, ch, frames = decoder(bytes(payload))
         if ch == 1:
             return rate, frames.reshape(-1)
         mono = frames.astype(np.int64).sum(axis=1) // ch

@@ -15,12 +15,13 @@ Scope (stated, not hidden):
   the PNG path), multi-strip rasters (RowsPerStrip), compression 1
   (none), 5 (TIFF-variant LZW: MSB-first bit packing, EARLY code-width
   change at 2^width - 1 — deliberately different from GIF's LZW, both
-  implemented, both tested), 32773 (PackBits), and Predictor 2
-  (horizontal differencing). PlanarConfiguration 2, tiles, 16-bit
-  samples, and JPEG/deflate-in-TIFF raise ``NotImplementedError`` —
-  the honest gate; malformed structures raise ``ValueError``.
+  implemented, both tested), 8/32946 (Adobe/legacy deflate — stdlib
+  zlib), 32773 (PackBits), and Predictor 2 (horizontal differencing).
+  PlanarConfiguration 2, tiles, 16-bit samples, and JPEG-in-TIFF raise
+  ``NotImplementedError`` — the honest gate; malformed structures
+  raise ``ValueError``.
 * ``encode_tiff`` — little-endian baseline: 8-bit gray/RGB/RGBA,
-  compression none or LZW (+ optional horizontal predictor),
+  compression none, LZW, or deflate (+ optional horizontal predictor),
   configurable RowsPerStrip. Lossless: decode(encode(x)) == x exactly.
 
 Reference behavior being reproduced: the reference treats media as
@@ -226,7 +227,7 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(f"TIFF: only 8-bit samples supported (got {bps})")
     if photo == 3 and any(b not in (4, 8) for b in bps):
         raise NotImplementedError("TIFF: palette bit depth must be 4 or 8")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF: compression {comp} unsupported")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF: photometric {photo} unsupported")
@@ -248,6 +249,16 @@ def decode_tiff(payload: bytes):
             raster += data[:strip_bytes]
         elif comp == 5:
             raster += _tlzw_decode(data, strip_bytes)
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                inflated = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate strip corrupt: {exc}")
+            if len(inflated) < strip_bytes:
+                raise ValueError("TIFF deflate strip truncated")
+            raster += inflated[:strip_bytes]
         else:
             raster += _packbits_decode(data, strip_bytes)
         row += n_rows
@@ -292,7 +303,7 @@ def decode_tiff(payload: bytes):
 def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
                 rows_per_strip: int | None = None) -> bytes:
     """(h, w, 1|3|4) uint8 (or (h, w) gray) → little-endian baseline TIFF.
-    compression: 'none' | 'lzw'."""
+    compression: 'none' | 'lzw' | 'deflate'."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -301,7 +312,7 @@ def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
     if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
         raise ValueError("encode_tiff expects (h, w[, 1|3|4]) uint8")
     h, w, spp = a.shape
-    if compression not in ("none", "lzw"):
+    if compression not in ("none", "lzw", "deflate"):
         raise NotImplementedError(f"encode_tiff: compression {compression!r}")
     rps = rows_per_strip or h
     photo = 1 if spp == 1 else 2
@@ -315,13 +326,20 @@ def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
             diff[:, 1:] = b32[:, 1:] - b32[:, :-1]
             block = diff.astype(np.uint8)
         raw = block.tobytes()
-        strips.append(_tlzw_encode(raw) if compression == "lzw" else raw)
+        if compression == "lzw":
+            strips.append(_tlzw_encode(raw))
+        elif compression == "deflate":
+            import zlib
+
+            strips.append(zlib.compress(raw, 6))
+        else:
+            strips.append(raw)
 
     tags = [
         (256, 3, 1, w),
         (257, 3, 1, h),
         (258, 3, spp, None),  # BitsPerSample
-        (259, 3, 1, 5 if compression == "lzw" else 1),
+        (259, 3, 1, {"lzw": 5, "deflate": 8, "none": 1}[compression]),
         (262, 3, 1, photo),
         (273, 4, len(strips), None),  # StripOffsets
         (277, 3, 1, spp),

@@ -166,12 +166,12 @@ def test_guards():
         decode_tiff(b"not a tiff")
     img = np.zeros((4, 4, 3), np.uint8)
     t = bytearray(encode_tiff(img, compression="none"))
-    # flip Compression (259) to deflate (8)
+    # flip Compression (259) to old-style JPEG (6) — still gated
     n = struct.unpack_from("<H", t, 8)[0]
     for i in range(n):
         base = 10 + 12 * i
         if struct.unpack_from("<H", t, base)[0] == 259:
-            struct.pack_into("<H", t, base + 8, 8)
+            struct.pack_into("<H", t, base + 8, 6)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(t))
     with pytest.raises(NotImplementedError):
