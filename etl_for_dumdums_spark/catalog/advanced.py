@@ -1390,3 +1390,104 @@ def mm_image_formats(spark, sf_dir):
         F.min("tiff_sum").cast("long").alias("min_tiff_sum"),
         F.max("tiff_sum").cast("long").alias("max_tiff_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_containers — the WAV/AIFF/AU container layer (operators/
+# codecs.py + aiff.py) under the full value oracle. Each sampled document
+# synthesizes one stereo int16 clip (sample i, channel c =
+# ((doc_id*23 + i*13 + c*7) % 4001 - 2000) * 8), wraps the SAME samples
+# as RIFF/WAV, FORM/AIFF (big-endian, 80-bit extended rate) and Sun AU
+# (encoding 3), decodes all three through audio_payload_to_pcm (integer
+# mixdown), and reduces each to an exact integer sum plus a
+# containers_agree flag. The oracle restates the mixdown sum in closed
+# form ONCE — the three container paths must all hash to it, so a flipped
+# byte in any mux/demux path or a drift between the three decoders breaks
+# the gate.
+#
+# Scale design (100 TB): identical to the other mm legs — payloads are
+# built and reduced inside the Arrow batch, doc_id % _AUD_MOD bounds
+# per-task work, one single-row aggregate shuffle.
+# ---------------------------------------------------------------------------
+_AUD_MOD = 50
+_AUD_N = 240  # frames per channel
+
+
+@register(
+    "mm_audio_containers",
+    extra=True,
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_AUD_MOD} = 0),
+    frames AS (
+      SELECT doc_id, t.i,
+             CAST(((doc_id * 23 + t.i * 13) % 4001 - 2000) * 8 AS BIGINT) AS c0,
+             CAST(((doc_id * 23 + t.i * 13 + 7) % 4001 - 2000) * 8 AS BIGINT) AS c1
+      FROM ids, unnest(generate_series(0, {_AUD_N - 1})) AS t(i)),
+    per AS (
+      SELECT doc_id,
+             -- integer mixdown: (c0 + c1) // 2 with floor semantics
+             CAST(sum((c0 + c1 - ((c0 + c1) % 2 + 2) % 2) // 2) AS BIGINT)
+               AS mono_sum
+      FROM frames GROUP BY doc_id)
+    SELECT CAST(count(*) AS BIGINT)       AS n_clips,
+           CAST(count(*) AS BIGINT)       AS n_clips_agree,
+           CAST(sum(mono_sum) AS BIGINT)  AS total_wav_sum,
+           CAST(sum(mono_sum) AS BIGINT)  AS total_aiff_sum,
+           CAST(sum(mono_sum) AS BIGINT)  AS total_au_sum,
+           CAST(min(mono_sum) AS BIGINT)  AS min_mono_sum,
+           CAST(max(mono_sum) AS BIGINT)  AS max_mono_sum
+    FROM per
+    """,
+)
+def mm_audio_containers(spark, sf_dir):
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") % _AUD_MOD == 0)
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from ..operators.aiff import encode_aiff, encode_au
+        from ..operators.codecs import encode_wav
+        from ..operators.multimodal import audio_payload_to_pcm
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "wav_sum", "aiff_sum", "au_sum", "agree")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(_AUD_N, dtype=np.int64)
+                c0 = ((d * 23 + i * 13) % 4001 - 2000) * 8
+                c1 = ((d * 23 + i * 13 + 7) % 4001 - 2000) * 8
+                inter = np.empty(2 * _AUD_N, dtype=np.int16)
+                inter[0::2] = c0
+                inter[1::2] = c1
+                payloads = (
+                    encode_wav(inter, 16000, channels=2),
+                    encode_aiff(inter, 16000, channels=2),
+                    encode_au(inter, 16000, channels=2),
+                )
+                sums = []
+                for p in payloads:
+                    _rate, mono = audio_payload_to_pcm(p)
+                    sums.append(int(np.asarray(mono, dtype=np.int64).sum()))
+                rows["doc_id"].append(d)
+                rows["wav_sum"].append(sums[0])
+                rows["aiff_sum"].append(sums[1])
+                rows["au_sum"].append(sums[2])
+                rows["agree"].append(int(sums[0] == sums[1] == sums[2]))
+            yield pd.DataFrame(rows)
+
+    per = ids.mapInPandas(
+        roundtrip,
+        schema="doc_id long, wav_sum long, aiff_sum long, au_sum long, agree long",
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_clips"),
+        F.sum("agree").cast("long").alias("n_clips_agree"),
+        F.sum("wav_sum").cast("long").alias("total_wav_sum"),
+        F.sum("aiff_sum").cast("long").alias("total_aiff_sum"),
+        F.sum("au_sum").cast("long").alias("total_au_sum"),
+        F.min("wav_sum").cast("long").alias("min_mono_sum"),
+        F.max("wav_sum").cast("long").alias("max_mono_sum"),
+    )
