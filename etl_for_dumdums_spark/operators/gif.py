@@ -27,6 +27,13 @@ Scope (stated, not hidden):
   BITMAPINFOHEADER, BI_RGB only: 24-bit BGR, 32-bit BGRA, and 8-bit
   paletted; bottom-up AND top-down (negative height) rasters. RLE4/
   RLE8/bitfield compression raise ``NotImplementedError``.
+* ``decode_ico`` / ``encode_ico`` — the favicon container: entry
+  directory over PNG-compressed images (decoded via codecs.decode_png)
+  or ICO-DIBs (32/24/8/4/1-bit with the 1-bit AND transparency mask);
+  decodes the largest entry by default. PNG files misnamed ``.ico`` —
+  the classic web artifact — are rejected by ``is_ico`` and routed to
+  the PNG decoder by image_payload_to_array. Verified against the real
+  favicons the container ships.
 
 Everything is deterministic byte arithmetic, so the kernels stay
 oracle-checkable (mm_image_formats restates the roundtrip sums in
@@ -416,3 +423,132 @@ def decode_bmp(payload: bytes):
     if not top_down:
         img = img[::-1]
     return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicons) — a directory over images we already decode: each entry
+# is either an embedded PNG (codecs.decode_png) or a BMP-style DIB with
+# doubled height and a 1-bit AND transparency mask.
+# ---------------------------------------------------------------------------
+def is_ico(payload: bytes) -> bool:
+    return (
+        isinstance(payload, (bytes, bytearray))
+        and len(payload) >= 6
+        and bytes(payload[:4]) == b"\x00\x00\x01\x00"
+        and struct.unpack_from("<H", payload, 4)[0] > 0
+    )
+
+
+def decode_ico(payload: bytes, index: int | None = None):
+    """→ (h, w, 4) uint8 RGBA of the chosen entry (default: the largest).
+
+    Entries are PNG-compressed (modern favicons) or ICO-DIB: a
+    BITMAPINFOHEADER whose biHeight covers image + AND mask, 32-bit BGRA
+    or 24/8/4/1-bit color with the 1-bit AND mask supplying transparency.
+    Unsupported entry depths raise NotImplementedError."""
+    import numpy as np
+
+    if not is_ico(payload):
+        raise ValueError("not an ICO payload")
+    buf = bytes(payload)
+    (n,) = struct.unpack_from("<H", buf, 4)
+    entries = []
+    for i in range(n):
+        w8, h8, _ncol, _r, _planes, _bits, size, off = struct.unpack_from(
+            "<BBBBHHII", buf, 6 + 16 * i
+        )
+        entries.append((w8 or 256, h8 or 256, size, off))
+    if index is None:
+        index = max(range(n), key=lambda i: entries[i][0] * entries[i][1])
+    if not 0 <= index < n:
+        raise ValueError("ICO entry index out of range")
+    w, h, size, off = entries[index]
+    data = buf[off : off + size]
+    from .codecs import decode_png, is_png
+
+    if is_png(data):
+        a = decode_png(data)
+        if a.shape[2] == 3:
+            a = np.dstack([a, np.full(a.shape[:2], 255, dtype=np.uint8)])
+        return a
+    # ICO-DIB: header height is image + mask
+    (hsize, biw, bih, _planes2, bits, comp) = struct.unpack_from("<IiiHHI", data, 0)
+    if comp != 0:
+        raise NotImplementedError("ICO: compressed DIB entries unsupported")
+    if bits not in (32, 24, 8, 4, 1):
+        raise NotImplementedError(f"ICO: {bits}-bit DIB unsupported")
+    height = bih // 2 if bih == 2 * h or bih == 2 * (h if h else 256) else bih
+    height = height or h
+    pos = hsize
+    pal = None
+    if bits <= 8:
+        ncolors = 1 << bits
+        pal = np.frombuffer(data[pos : pos + 4 * ncolors], dtype=np.uint8)
+        pal = pal.reshape(ncolors, 4)[:, [2, 1, 0]]
+        pos += 4 * ncolors
+    if bits == 32:
+        stride = w * 4
+        raster = np.frombuffer(data[pos : pos + stride * height], dtype=np.uint8)
+        img = raster.reshape(height, w, 4)[:, :, [2, 1, 0, 3]][::-1]
+        rgba = np.ascontiguousarray(img)
+        pos += stride * height
+        # 32-bit entries may still carry an AND mask; alpha channel wins
+        # when non-degenerate (all-zero alpha means "use the mask")
+        if rgba[:, :, 3].any():
+            return rgba
+    else:
+        per_row_bits = w * bits
+        stride = ((per_row_bits + 31) // 32) * 4
+        raster = np.frombuffer(data[pos : pos + stride * height], dtype=np.uint8)
+        rows = raster.reshape(height, stride)
+        if bits == 8:
+            idx = rows[:, :w]
+        else:
+            unpacked = np.unpackbits(rows, axis=1)
+            if bits == 1:
+                idx = unpacked[:, :w]
+            else:  # 4-bit: regroup pairs of nibbles
+                nib = unpacked.reshape(height, -1, 4)
+                idx = (nib * [8, 4, 2, 1]).sum(axis=2)[:, :w].astype(np.uint8)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("ICO palette index out of range")
+        rgb = pal[idx][::-1]
+        rgba = np.dstack([rgb, np.full((height, w), 255, dtype=np.uint8)])
+        rgba = np.ascontiguousarray(rgba)
+        pos += stride * height
+    # apply the 1-bit AND mask (1 = transparent), bottom-up
+    mask_stride = ((w + 31) // 32) * 4
+    mask_bytes = data[pos : pos + mask_stride * height]
+    if len(mask_bytes) == mask_stride * height:
+        mrows = np.frombuffer(mask_bytes, dtype=np.uint8).reshape(height, mask_stride)
+        mask = np.unpackbits(mrows, axis=1)[:, :w][::-1]
+        rgba = rgba.copy()
+        rgba[mask == 1, 3] = 0
+    return rgba
+
+
+def encode_ico(images) -> bytes:
+    """One or more (h, w, 4) uint8 RGBA arrays → ICO with PNG-compressed
+    entries (the modern favicon form; h/w <= 256)."""
+    from .codecs import encode_png
+
+    if hasattr(images, "shape"):
+        images = [images]
+    blobs = []
+    dims = []
+    for a in images:
+        h, w = a.shape[:2]
+        if h > 256 or w > 256:
+            raise ValueError("ICO entries are limited to 256x256")
+        blobs.append(encode_png(a))
+        dims.append((w, h))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(blobs)))
+    off = 6 + 16 * len(blobs)
+    for (w, h), b in zip(dims, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(b), off
+        )
+        off += len(b)
+    for b in blobs:
+        out += b
+    return bytes(out)

@@ -74,12 +74,13 @@ FEATURE_SCHEMA = T.StructType(
 def image_payload_to_array(payload: bytes):
     """Route an image payload to a REAL decode: PNG (operators/codecs.py),
     JPEG — baseline AND progressive (operators/jpeg.py), GIF (first
-    coalesced frame) / BMP (operators/gif.py), TIFF (operators/tiff.py),
+    coalesced frame) / BMP / ICO favicons (operators/gif.py), TIFF
+    (operators/tiff.py),
     or self-describing RGB8 raw. Returns (h, w, ch) uint8. Raises
     NotImplementedError for codec formats without an in-container decoder
     (WebP/arithmetic-JPEG/...) — the honest gate."""
     from .codecs import decode_png, is_png
-    from .gif import decode_bmp, decode_gif, is_bmp, is_gif
+    from .gif import decode_bmp, decode_gif, decode_ico, is_bmp, is_gif, is_ico
     from .jpeg import decode_jpeg, is_jpeg
     from .tiff import decode_tiff, is_tiff
 
@@ -93,6 +94,8 @@ def image_payload_to_array(payload: bytes):
         return decode_bmp(bytes(payload))
     if is_tiff(payload):
         return decode_tiff(bytes(payload))
+    if is_ico(payload):
+        return decode_ico(bytes(payload))
     return decode_rgb_raw(bytes(payload) if payload is not None else None)
 
 

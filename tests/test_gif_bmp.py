@@ -267,3 +267,58 @@ def test_image_dispatch_routes_gif_bmp():
     b = image_payload_to_array(encode_bmp(img))
     assert (b == img).all()
     assert is_gif(encode_gif(img)) and is_bmp(encode_bmp(img))
+
+
+# ---------------------------------------------------------------------------
+# ICO
+# ---------------------------------------------------------------------------
+def test_ico_roundtrip_and_largest_entry():
+    from etl_for_dumdums_spark.operators.gif import decode_ico, encode_ico, is_ico
+
+    rng = np.random.RandomState(8)
+    small = rng.randint(0, 256, (16, 16, 4)).astype(np.uint8)
+    big = rng.randint(0, 256, (32, 32, 4)).astype(np.uint8)
+    ico = encode_ico([small, big])
+    assert is_ico(ico)
+    assert (decode_ico(ico) == big).all()  # default: largest entry
+    assert (decode_ico(ico, index=0) == small).all()
+    with pytest.raises(ValueError):
+        decode_ico(ico, index=5)
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x02\x00junk")  # CUR, not ICO
+
+
+def test_ico_real_favicons_and_misnamed_png():
+    """The container ships real favicons: genuine ICOs (DIB entries with
+    AND masks, including real transparency) must decode; the classic
+    PNG-misnamed-.ico must be REJECTED by is_ico and handled by the PNG
+    route in image_payload_to_array."""
+    import os
+
+    from etl_for_dumdums_spark.operators.gif import decode_ico, is_ico
+    from etl_for_dumdums_spark.operators.multimodal import image_payload_to_array
+
+    real = "/usr/lib/google-cloud-sdk/platform/google_appengine/new_project_template/favicon.ico"
+    png_named_ico = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/vendored/"
+        "oauth2client/docs/_static/favicon.ico"
+    )
+    if not (os.path.exists(real) and os.path.exists(png_named_ico)):
+        pytest.skip("container favicons absent")
+    d = open(real, "rb").read()
+    assert is_ico(d)
+    a = decode_ico(d)
+    assert a.shape == (32, 32, 4)
+    assert 0 < int((a[:, :, 3] == 255).sum()) < 32 * 32  # real transparency
+    p = open(png_named_ico, "rb").read()
+    assert not is_ico(p)
+    routed = image_payload_to_array(p)  # PNG magic wins
+    assert routed.ndim == 3 and routed.shape[0] > 0
+
+
+def test_image_dispatch_routes_ico():
+    from etl_for_dumdums_spark.operators.gif import encode_ico
+    from etl_for_dumdums_spark.operators.multimodal import image_payload_to_array
+
+    img = (np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4) * 3) % 256
+    assert (image_payload_to_array(encode_ico(img)) == img).all()
