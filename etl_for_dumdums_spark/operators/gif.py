@@ -24,9 +24,11 @@ Scope (stated, not hidden):
   Alpha<128 maps to a transparent index. Lossless roundtrip:
   decode(encode(x)) == x exactly for palette-sized inputs.
 * ``decode_bmp`` / ``encode_bmp`` — BITMAPFILEHEADER + 40-byte
-  BITMAPINFOHEADER, BI_RGB only: 24-bit BGR, 32-bit BGRA, and 8-bit
-  paletted; bottom-up AND top-down (negative height) rasters. RLE4/
-  RLE8/bitfield compression raise ``NotImplementedError``.
+  BITMAPINFOHEADER: 24-bit BGR, 32-bit BGRA, and 8-bit paletted
+  BI_RGB (bottom-up AND top-down rasters), plus BI_RLE8/BI_RLE4
+  run-length decompression (encoded runs, absolute runs, end-of-line/
+  end-of-bitmap, and delta escapes). Bitfield compression raises
+  ``NotImplementedError``.
 * ``decode_ico`` / ``encode_ico`` — the favicon container: entry
   directory over PNG-compressed images (decoded via codecs.decode_png)
   or ICO-DIBs (32/24/8/4/1-bit with the 1-bit AND transparency mask);
@@ -377,9 +379,59 @@ def encode_bmp(arr) -> bytes:
     return header + info + data
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
+    """BI_RLE8/BI_RLE4 → (h, w) palette indices (storage order, i.e.
+    bottom-up). Handles encoded runs, absolute mode (word-aligned),
+    end-of-line (0,0), end-of-bitmap (0,1) and delta (0,2,dx,dy);
+    pixels the stream never writes stay 0, the renderer convention."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data) and y < h:
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if four_bit:
+                pair = (v >> 4, v & 0x0F)
+                run = [pair[i % 2] for i in range(n)]
+            else:
+                run = [v] * n
+            end = min(x + n, w)
+            out[y, x:end] = run[: end - x]
+            x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if pos + 1 >= len(data):
+                raise ValueError("BMP RLE delta truncated")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            if four_bit:
+                nbytes = (v + 1) // 2
+                lits = []
+                for b in data[pos : pos + nbytes]:
+                    lits.extend((b >> 4, b & 0x0F))
+                lits = lits[:v]
+            else:
+                nbytes = v
+                lits = list(data[pos : pos + nbytes])
+            if len(lits) < v:
+                raise ValueError("BMP RLE absolute run truncated")
+            pos += nbytes + (nbytes & 1)  # pad to word boundary
+            end = min(x + v, w)
+            out[y, x:end] = lits[: end - x]
+            x = end
+    return out
+
+
 def decode_bmp(payload: bytes):
     """→ (h, w, 3|4) uint8 RGB(A). BI_RGB 8 (paletted) / 24 / 32-bit,
-    bottom-up or top-down."""
+    bottom-up or top-down, plus BI_RLE8/BI_RLE4 paletted."""
     import numpy as np
 
     if not is_bmp(payload):
@@ -391,12 +443,25 @@ def decode_bmp(payload: bytes):
     (hsize, w, h_raw, _planes, bits, comp) = struct.unpack_from("<IiiHHI", buf, 14)
     if hsize < 40:
         raise NotImplementedError("BMP: pre-BITMAPINFOHEADER core headers unsupported")
-    if comp != 0:
-        raise NotImplementedError(f"BMP: only BI_RGB supported (biCompression={comp})")
+    if comp not in (0, 1, 2):
+        raise NotImplementedError(f"BMP: biCompression={comp} unsupported")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     if w <= 0 or h <= 0:
         raise ValueError("BMP: bad dimensions")
+    if comp in (1, 2):  # BI_RLE8 / BI_RLE4
+        if top_down:
+            raise ValueError("BMP: RLE bitmaps cannot be top-down")
+        if (comp == 1 and bits != 8) or (comp == 2 and bits != 4):
+            raise ValueError(f"BMP: RLE{8 if comp == 1 else 4} requires matching depth")
+        (used,) = struct.unpack_from("<I", buf, 14 + 32)
+        n = used or (1 << bits)
+        pal = np.frombuffer(buf[14 + hsize : 14 + hsize + 4 * n], dtype=np.uint8)
+        pal = pal.reshape(-1, 4)[:, [2, 1, 0]]
+        rows = _bmp_rle_decode(buf[data_off:], w, h, four_bit=(comp == 2))
+        if rows.max(initial=0) >= len(pal):
+            raise ValueError("BMP pixel index outside palette")
+        return np.ascontiguousarray(pal[rows][::-1])
     if bits == 8:
         (used,) = struct.unpack_from("<I", buf, 14 + 32)
         n = used or 256

@@ -17,9 +17,12 @@ Scope (stated, not hidden):
   change at 2^width - 1 — deliberately different from GIF's LZW, both
   implemented, both tested), 8/32946 (Adobe/legacy deflate — stdlib
   zlib), 32773 (PackBits), and Predictor 2 (horizontal differencing).
-  PlanarConfiguration 2, tiles, 16-bit samples, and JPEG-in-TIFF raise
-  ``NotImplementedError`` — the honest gate; malformed structures
-  raise ``ValueError``.
+  Both strip AND tile organization decode (TileWidth/TileLength grids
+  with full-size edge tiles cropped on assembly; the predictor is
+  undone per tile since differencing restarts at each tile's left
+  edge). PlanarConfiguration 2, 16-bit samples, tiled palette images,
+  and JPEG-in-TIFF raise ``NotImplementedError`` — the honest gate;
+  malformed structures raise ``ValueError``.
 * ``encode_tiff`` — little-endian baseline: 8-bit gray/RGB/RGBA,
   compression none, LZW, or deflate (+ optional horizontal predictor),
   configurable RowsPerStrip. Lossless: decode(encode(x)) == x exactly.
@@ -205,11 +208,16 @@ def decode_tiff(payload: bytes):
     buf = bytes(payload)
     e = "<" if buf[:2] == b"II" else ">"
     t = _read_ifd(buf, e)
+    tiled = 322 in t or 323 in t
     try:
         w = t[256][0]
         h = t[257][0]
-        offsets = t[273]
-        counts = t[279]
+        if tiled:
+            offsets = t[324]
+            counts = t[325]
+        else:
+            offsets = t[273]
+            counts = t[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}")
     spp = t.get(277, [1])[0]
@@ -221,8 +229,8 @@ def decode_tiff(payload: bytes):
     predictor = t.get(317, [1])[0]
     if planar != 1:
         raise NotImplementedError("TIFF: PlanarConfiguration 2 unsupported")
-    if 322 in t or 323 in t:
-        raise NotImplementedError("TIFF: tiled images unsupported")
+    if tiled and photo == 3:
+        raise NotImplementedError("TIFF: tiled palette images unsupported")
     if any(b != 8 for b in bps) and photo != 3:
         raise NotImplementedError(f"TIFF: only 8-bit samples supported (got {bps})")
     if photo == 3 and any(b not in (4, 8) for b in bps):
@@ -231,6 +239,56 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(f"TIFF: compression {comp} unsupported")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF: photometric {photo} unsupported")
+
+    def decompress(data, n_bytes):
+        if comp == 1:
+            if len(data) < n_bytes:
+                raise ValueError("TIFF strip/tile truncated")
+            return data[:n_bytes]
+        if comp == 5:
+            return _tlzw_decode(data, n_bytes)
+        if comp in (8, 32946):
+            import zlib
+
+            try:
+                inflated = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate strip corrupt: {exc}")
+            if len(inflated) < n_bytes:
+                raise ValueError("TIFF deflate strip truncated")
+            return inflated[:n_bytes]
+        return _packbits_decode(data, n_bytes)
+
+    if tiled:
+        # tile grid: every tile is stored at FULL tile size (spec §15);
+        # edge tiles carry padding that assembly crops away. Predictor 2
+        # differencing restarts at each tile's left edge, so it must be
+        # undone per tile BEFORE assembly, not on the stitched raster.
+        tw = t.get(322, [0])[0]
+        tl = t.get(323, [0])[0]
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("TIFF: tile dimensions must be positive multiples of 16")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) < across * down:
+            raise ValueError("TIFF: tile count does not cover the image")
+        canvas = np.zeros((h, w, spp), dtype=np.uint8)
+        for ti, (soff, scount) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(ti, across)
+            if ty >= down:
+                break
+            tile = decompress(buf[soff : soff + scount], tw * tl * spp)
+            a = np.frombuffer(tile, dtype=np.uint8).reshape(tl, tw, spp)
+            if predictor == 2:
+                a = np.cumsum(a.astype(np.uint32), axis=1).astype(np.uint8)
+            elif predictor != 1:
+                raise NotImplementedError(f"TIFF: predictor {predictor} unsupported")
+            y0, x0 = ty * tl, tx * tw
+            ys, xs = min(tl, h - y0), min(tw, w - x0)
+            canvas[y0 : y0 + ys, x0 : x0 + xs] = a[:ys, :xs]
+        if photo == 0:
+            canvas = 255 - canvas
+        return np.ascontiguousarray(canvas)
 
     raster = bytearray()
     row = 0
@@ -242,25 +300,7 @@ def decode_tiff(payload: bytes):
             strip_bytes = ((w + 1) // 2) * n_rows
         else:
             strip_bytes = w * spp * n_rows
-        data = buf[soff : soff + scount]
-        if comp == 1:
-            if len(data) < strip_bytes:
-                raise ValueError("TIFF strip truncated")
-            raster += data[:strip_bytes]
-        elif comp == 5:
-            raster += _tlzw_decode(data, strip_bytes)
-        elif comp in (8, 32946):
-            import zlib
-
-            try:
-                inflated = zlib.decompress(data)
-            except zlib.error as exc:
-                raise ValueError(f"TIFF deflate strip corrupt: {exc}")
-            if len(inflated) < strip_bytes:
-                raise ValueError("TIFF deflate strip truncated")
-            raster += inflated[:strip_bytes]
-        else:
-            raster += _packbits_decode(data, strip_bytes)
+        raster += decompress(buf[soff : soff + scount], strip_bytes)
         row += n_rows
 
     if photo == 3:

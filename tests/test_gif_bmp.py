@@ -253,8 +253,11 @@ def test_bmp_guards():
         decode_bmp(b"XX")
     img = np.zeros((4, 4, 3), np.uint8)
     rle = bytearray(encode_bmp(img))
-    struct.pack_into("<I", rle, 14 + 16, 1)  # biCompression = BI_RLE8
+    struct.pack_into("<I", rle, 14 + 16, 4)  # biCompression = BI_JPEG
     with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+    struct.pack_into("<I", rle, 14 + 16, 1)  # RLE8 on a 24-bit raster
+    with pytest.raises(ValueError):
         decode_bmp(bytes(rle))
 
 
@@ -322,3 +325,67 @@ def test_image_dispatch_routes_ico():
 
     img = (np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4) * 3) % 256
     assert (image_payload_to_array(encode_ico(img)) == img).all()
+
+
+def test_bmp_rle8_hand_built():
+    """BI_RLE8 with every escape: encoded runs, an absolute run (odd
+    length → word padding), a delta skip, end-of-line, end-of-bitmap.
+    Stream written by hand from the spec."""
+    w, h, n = 8, 3, 4
+    pal = [(0, 0, 0), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    # storage rows are bottom-up: stream row 0 = display row 2
+    rle = bytes(
+        [
+            3, 1,        # run: 3x idx1
+            0, 3, 2, 3, 2, 0,  # absolute: 3 literals (2,3,2) + 1 pad byte
+            2, 2,        # run: 2x idx2  -> row filled (3+3+2=8)
+            0, 0,        # end of line
+            0, 2, 3, 1,  # delta: skip 3 right, 1 down (skipped px stay 0)
+            4, 3,        # run: 4x idx3 at (x=3, y=2-storage)
+            0, 1,        # end of bitmap (remaining px stay 0)
+        ]
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 0, 0, n, 0)
+    palbytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    off = 14 + len(info) + len(palbytes)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+    img = decode_bmp(hdr + info + palbytes + bytes(rle))
+    assert img.shape == (h, w, 3)
+    # display row 2 (= storage row 0): 1,1,1,2,3,2,2,2
+    exp_bottom = [1, 1, 1, 2, 3, 2, 2, 2]
+    for x, e in enumerate(exp_bottom):
+        assert tuple(img[2, x]) == pal[e], x
+    # delta skipped row: storage row 1 is all zeros (display row 1)
+    assert all(tuple(img[1, x]) == pal[0] for x in range(w))
+    # storage row 2 (display row 0): zeros until x=3, then 4x idx3, then 0
+    assert tuple(img[0, 2]) == pal[0]
+    assert all(tuple(img[0, x]) == pal[3] for x in range(3, 7))
+    assert tuple(img[0, 7]) == pal[0]
+
+
+def test_bmp_rle4_hand_built():
+    """BI_RLE4: encoded runs alternate high/low nibbles; absolute runs
+    pack two indices per byte."""
+    w, h, n = 7, 1, 3
+    pal = [(9, 9, 9), (250, 0, 0), (0, 250, 0)]
+    rle = bytes(
+        [
+            4, 0x12,     # run of 4 alternating 1,2,1,2
+            0, 3, 0x21, 0x20,  # absolute: 3 literals (2,1,2), word-aligned
+            0, 1,        # end of bitmap
+        ]
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(rle), 0, 0, n, 0)
+    palbytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    off = 14 + len(info) + len(palbytes)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+    img = decode_bmp(hdr + info + palbytes + bytes(rle))
+    assert [tuple(img[0, x]) for x in range(w)] == [pal[i] for i in (1, 2, 1, 2, 2, 1, 2)]
+
+
+def test_bmp_bitfields_still_gated():
+    img = np.zeros((2, 2, 3), np.uint8)
+    raw = bytearray(encode_bmp(img))
+    struct.pack_into("<I", raw, 14 + 16, 3)  # BI_BITFIELDS
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(raw))

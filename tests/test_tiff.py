@@ -184,3 +184,72 @@ def test_image_dispatch_routes_tiff():
     img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     back = image_payload_to_array(encode_tiff(img))
     assert (back == img).all()
+
+
+def test_tiled_hand_built_with_predictor_and_lzw():
+    """Tile organization (tags 322-325), hand-assembled: a 40x24 RGB
+    image in 16x16 tiles (3 across x 2 down — right and bottom edge
+    tiles padded to full tile size per spec §15), LZW-compressed with
+    Predictor 2 applied PER TILE (differencing restarts at each tile's
+    left edge). The decoder must crop padding and undo the predictor
+    tile-locally."""
+    rng = np.random.RandomState(12)
+    w, h, tw, tl = 40, 24, 16, 16
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    across, down = (w + tw - 1) // tw, (h + tl - 1) // tl
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            tile = np.zeros((tl, tw, 3), dtype=np.uint8)
+            ys = min(tl, h - ty * tl)
+            xs = min(tw, w - tx * tw)
+            tile[:ys, :xs] = img[ty * tl : ty * tl + ys, tx * tw : tx * tw + xs]
+            diff = tile.astype(np.int16)
+            diff[:, 1:] = diff[:, 1:] - tile.astype(np.int16)[:, :-1]
+            from etl_for_dumdums_spark.operators.tiff import _tlzw_encode
+
+            tiles.append(_tlzw_encode(diff.astype(np.uint8).tobytes()))
+    n_tags = 11
+    ifd_end = 8 + 2 + n_tags * 12 + 4
+    bits_off = ifd_end
+    toff_off = bits_off + 6
+    tcnt_off = toff_off + 4 * len(tiles)
+    data_base = tcnt_off + 4 * len(tiles)
+    offsets = []
+    pos = data_base
+    for tdata in tiles:
+        offsets.append(pos)
+        pos += len(tdata)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, bits_off), (259, 3, 1, 5),
+        (262, 3, 1, 2), (277, 3, 1, 3), (317, 3, 1, 2),
+        (322, 3, 1, tw), (323, 3, 1, tl),
+        (324, 4, len(tiles), toff_off), (325, 4, len(tiles), tcnt_off),
+    ]
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(tags))
+    for tag, typ, count, val in sorted(tags):
+        if typ == 3 and count == 1:
+            out += struct.pack("<HHIHH", tag, typ, count, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<3H", 8, 8, 8)
+    out += struct.pack(f"<{len(tiles)}I", *offsets)
+    out += struct.pack(f"<{len(tiles)}I", *[len(tdata) for tdata in tiles])
+    for tdata in tiles:
+        out += tdata
+    got = decode_tiff(bytes(out))
+    assert got.shape == (h, w, 3) and (got == img).all()
+
+
+def test_tiled_guards():
+    # non-multiple-of-16 tile size is spec-illegal
+    tags = [
+        (256, 3, 1, 8), (257, 3, 1, 8), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (322, 3, 1, 10), (323, 3, 1, 16),
+        (324, 4, 1, 200), (325, 4, 1, 64),
+    ]
+    tif = _hand_tiff("<", tags, b"\x00" * 300)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        decode_tiff(tif)
