@@ -20,9 +20,13 @@ Scope (stated, not hidden):
   Both strip AND tile organization decode (TileWidth/TileLength grids
   with full-size edge tiles cropped on assembly; the predictor is
   undone per tile since differencing restarts at each tile's left
-  edge). PlanarConfiguration 2, 16-bit samples, tiled palette images,
-  and JPEG-in-TIFF raise ``NotImplementedError`` — the honest gate;
-  malformed structures raise ``ValueError``.
+  edge). New-style JPEG-in-TIFF (compression 7, TechNote 2) decodes
+  via the in-repo JPEG codec — complete streams per strip, or the
+  abbreviated form splicing the JPEGTables tag (347) into each strip.
+  PlanarConfiguration 2, 16-bit samples, tiled palette images, tiled
+  JPEG, and old-style JPEG (compression 6) raise
+  ``NotImplementedError`` — the honest gate; malformed structures
+  raise ``ValueError``.
 * ``encode_tiff`` — little-endian baseline: 8-bit gray/RGB/RGBA,
   compression none, LZW, or deflate (+ optional horizontal predictor),
   configurable RowsPerStrip. Lossless: decode(encode(x)) == x exactly.
@@ -235,8 +239,36 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(f"TIFF: only 8-bit samples supported (got {bps})")
     if photo == 3 and any(b not in (4, 8) for b in bps):
         raise NotImplementedError("TIFF: palette bit depth must be 4 or 8")
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF: compression {comp} unsupported")
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TechNote 2): each strip/tile is a JPEG
+        # stream — complete, or abbreviated with the shared table segments
+        # in the JPEGTables tag (347): splice tables-interior before the
+        # strip's own interior to form one interchange stream.
+        from .jpeg import decode_jpeg
+
+        jt = bytes(t[347][0]) if 347 in t and isinstance(t[347][0], (bytes, bytearray)) else (
+            bytes(t[347]) if 347 in t else b""
+        )
+        if tiled:
+            raise NotImplementedError("TIFF: tiled JPEG-in-TIFF unsupported")
+        parts = []
+        for soff, scount in zip(offsets, counts):
+            stream = buf[soff : soff + scount]
+            if stream[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip missing SOI")
+            if jt:
+                if jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+                    raise ValueError("TIFF JPEGTables malformed")
+                stream = b"\xff\xd8" + jt[2:-2] + stream[2:]
+            parts.append(decode_jpeg(stream))
+        a = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.shape[0] < h or a.shape[1] < w:
+            raise ValueError("TIFF JPEG strips smaller than the declared raster")
+        return np.ascontiguousarray(a[:h, :w])
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF: photometric {photo} unsupported")
 
