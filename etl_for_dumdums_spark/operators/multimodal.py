@@ -199,29 +199,43 @@ RESIZE_SCHEMA = T.StructType(
 def resize_payload(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
     """Resize an image payload.
 
-    REAL for PNG and JPEG (decode → nearest-neighbor → re-encode,
-    format preserved) and RGB8-raw payloads; deterministic integer index
-    maps so every engine/run produces identical bytes. With ``fake=True``
-    returns a digest-derived pseudo-payload sized proportionally to the
-    target area (kept for pipeline-shape tests). Formats without an
-    in-container decoder raise NotImplementedError."""
+    REAL for every decodable format (decode → nearest-neighbor →
+    re-encode, format family preserved: PNG→PNG, JPEG→JPEG, GIF→GIF
+    — first coalesced frame of an animation, still ≤256 colors under
+    nearest-neighbor so the palette re-encode is exact — BMP→24/32-bit
+    BMP, TIFF→TIFF, ICO→PNG-entry ICO) and RGB8-raw payloads;
+    deterministic integer index maps so every engine/run produces
+    identical bytes. With ``fake=True`` returns a digest-derived
+    pseudo-payload sized proportionally to the target area (kept for
+    pipeline-shape tests). Formats without an in-container decoder
+    raise NotImplementedError."""
     if fake:
         seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
         target_len = max(16, (width * height) // 64)
         reps = target_len // len(seed) + 1
         return (seed * reps)[:target_len]
     from .codecs import encode_png, is_png
+    from .gif import encode_bmp, encode_gif, encode_ico, is_bmp, is_gif, is_ico
     from .jpeg import encode_jpeg, is_jpeg
+    from .tiff import encode_tiff, is_tiff
 
-    if is_png(payload) or is_jpeg(payload):
-        import numpy as np
+    encoders = (
+        (is_png, encode_png),
+        (is_jpeg, lambda a: encode_jpeg(a[:, :, :3])),
+        (is_gif, encode_gif),
+        (is_bmp, encode_bmp),
+        (is_tiff, encode_tiff),
+        (is_ico, encode_ico),
+    )
+    for probe, enc in encoders:
+        if probe(payload):
+            import numpy as np
 
-        a = image_payload_to_array(payload)
-        sh, sw = a.shape[:2]
-        yi = (np.arange(height, dtype=np.int64) * sh) // height
-        xi = (np.arange(width, dtype=np.int64) * sw) // width
-        resized = a[yi][:, xi]
-        return encode_png(resized) if is_png(payload) else encode_jpeg(resized[:, :, :3])
+            a = image_payload_to_array(payload)
+            sh, sw = a.shape[:2]
+            yi = (np.arange(height, dtype=np.int64) * sh) // height
+            xi = (np.arange(width, dtype=np.int64) * sw) // width
+            return enc(a[yi][:, xi])
     return resize_rgb_raw(payload, width, height)
 
 

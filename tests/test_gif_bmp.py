@@ -389,3 +389,35 @@ def test_bmp_bitfields_still_gated():
     struct.pack_into("<I", raw, 14 + 16, 3)  # BI_BITFIELDS
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(raw))
+
+
+def test_resize_payload_preserves_new_format_families():
+    """resize_payload: GIF/BMP/TIFF/ICO payloads resize via decode ->
+    nearest-neighbor -> re-encode in the same family, byte-decodable and
+    value-exact (all four re-encodes are lossless here)."""
+    from etl_for_dumdums_spark.operators.gif import encode_ico
+    from etl_for_dumdums_spark.operators.multimodal import (
+        image_payload_to_array,
+        resize_payload,
+    )
+    from etl_for_dumdums_spark.operators.tiff import encode_tiff
+
+    rng = np.random.RandomState(13)
+    img = (rng.randint(0, 4, (12, 16, 3)) * 70).astype(np.uint8)
+    rgba = np.dstack([img, np.full((12, 16), 255, np.uint8)])
+    # expected nearest-neighbor result, computed independently
+    yi = (np.arange(6, dtype=np.int64) * 12) // 6
+    xi = (np.arange(8, dtype=np.int64) * 16) // 8
+    exp = img[yi][:, xi]
+    cases = [
+        (encode_gif(img), is_gif, exp),
+        (encode_bmp(img), is_bmp, exp),
+        (encode_tiff(img), None, exp),
+        (encode_ico(rgba), None, np.dstack([exp, np.full((6, 8), 255, np.uint8)])),
+    ]
+    for payload, probe, want in cases:
+        out = resize_payload(payload, 8, 6)
+        if probe is not None:
+            assert probe(out)  # same family
+        got = image_payload_to_array(out)
+        assert (got[:, :, : want.shape[2]] == want).all()
