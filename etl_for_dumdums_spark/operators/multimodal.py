@@ -102,12 +102,13 @@ def image_payload_to_array(payload: bytes):
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode an image payload to an 8-dim feature vector.
 
-    REAL for PNG, JPEG (baseline + progressive), and RGB8-raw payloads:
-    per-channel means + brightness + normalized dimensions, all
-    deterministic byte arithmetic. With ``fake=True`` returns a
-    digest-derived stand-in instead (the pre-codec behavior, kept for
-    pipeline-shape tests). Formats without an in-container decoder (WebP,
-    arithmetic JPEG) raise NotImplementedError.
+    REAL for every decodable format (PNG, JPEG baseline + progressive,
+    GIF, BMP, TIFF, ICO, RGB8-raw): per-channel means + brightness +
+    normalized dimensions, all deterministic byte arithmetic. With
+    ``fake=True`` returns a digest-derived stand-in instead (the
+    pre-codec behavior, kept for pipeline-shape tests). Formats without
+    an in-container decoder (WebP, arithmetic JPEG) raise
+    NotImplementedError.
     """
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
@@ -323,15 +324,18 @@ def resize_rgb_raw(payload: bytes, width: int, height: int) -> bytes:
 
 
 def rgb_stats(media: DataFrame) -> DataFrame:
-    """mapInPandas REAL feature extraction for RGB8-raw, PNG AND JPEG
-    (baseline + progressive) rows: decoded dimensions + per-channel means
-    + brightness, one vectorized numpy reduction per image. Payloads
-    without an in-container decoder (WebP, arithmetic-coded JPEG) pass
-    through with NULLs — the honest gate."""
+    """mapInPandas REAL feature extraction for every decodable image
+    format (RGB8-raw, PNG, JPEG baseline+progressive, GIF, BMP, TIFF,
+    ICO): decoded dimensions + per-channel means + brightness, one
+    vectorized numpy reduction per image. Payloads without an
+    in-container decoder (WebP, arithmetic-coded JPEG) pass through
+    with NULLs — the honest gate."""
     import numpy as np
 
     from .codecs import is_png
+    from .gif import is_bmp, is_gif, is_ico
     from .jpeg import is_jpeg
+    from .tiff import is_tiff
 
     schema = T.StructType(
         [
@@ -349,10 +353,15 @@ def rgb_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                head = bytes(p[:16]) if p is not None else b""
                 if p is None or not (
-                    bytes(p[:4]) == RAW_RGB_MAGIC
-                    or is_png(bytes(p[:8]))
-                    or is_jpeg(bytes(p[:2]))
+                    head[:4] == RAW_RGB_MAGIC
+                    or is_png(head)
+                    or is_jpeg(head[:2])
+                    or is_gif(head)
+                    or is_bmp(head)
+                    or is_tiff(head)
+                    or is_ico(head)
                 ):
                     rows.append((mid, None, None, None, None, None, None))
                     continue
@@ -473,12 +482,14 @@ def audio_payload_to_pcm(payload: bytes):
 
 
 def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
-    """mapInPandas REAL per-clip stats for raw-PCM16 AND WAV rows: duration
-    (exact integer ms), RMS (isqrt of the mean square — integer), zero
-    crossings (strict sign products < 0), peak amplitude, and samples
-    at/above the clipping threshold. WAV multi-channel clips are integer-
-    mixed to mono first (audio_payload_to_pcm). Payloads without an
-    in-container decoder pass through with NULLs."""
+    """mapInPandas REAL per-clip stats for raw-PCM16, WAV, AIFF/AIFC and
+    Sun AU rows: duration (exact integer ms), RMS (isqrt of the mean
+    square — integer), zero crossings (strict sign products < 0), peak
+    amplitude, and samples at/above the clipping threshold.
+    Multi-channel clips are integer-mixed to mono first
+    (audio_payload_to_pcm), so the same PCM in any container yields the
+    same row. Payloads without an in-container decoder pass through
+    with NULLs."""
     import math
 
     import numpy as np
@@ -496,14 +507,19 @@ def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
         ]
     )
 
+    from .aiff import is_aiff, is_au
     from .codecs import is_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                head = bytes(p[:24]) if p is not None else b""
                 if p is None or not (
-                    bytes(p[:4]) == RAW_PCM_MAGIC or is_wav(bytes(p[:12]))
+                    head[:4] == RAW_PCM_MAGIC
+                    or is_wav(head[:12])
+                    or is_aiff(head)
+                    or is_au(head)
                 ):
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue

@@ -166,3 +166,44 @@ def test_tiff_deflate_roundtrip_and_legacy_code():
         if struct.unpack_from("<H", t, base)[0] == 259:
             struct.pack_into("<H", t, base + 8, 32946)
     assert (decode_tiff(bytes(t)) == img).all()
+
+
+def test_kernels_route_new_formats(spark):
+    """pcm_stats rows are identical for WAV/AIFF/AU wrappers of the same
+    PCM; rgb_stats decodes GIF/BMP/TIFF/ICO payloads instead of NULLing
+    them."""
+    from etl_for_dumdums_spark.operators.codecs import encode_wav
+    from etl_for_dumdums_spark.operators.gif import encode_bmp, encode_gif, encode_ico
+    from etl_for_dumdums_spark.operators.multimodal import pcm_stats, rgb_stats
+    from etl_for_dumdums_spark.operators.tiff import encode_tiff
+
+    rng = np.random.RandomState(17)
+    pcm = rng.randint(-30000, 30000, 300).astype(np.int16)
+    audio = [
+        (1, bytearray(encode_wav(pcm, 8000))),
+        (2, bytearray(encode_aiff(pcm, 8000))),
+        (3, bytearray(encode_au(pcm, 8000))),
+        (4, None),
+    ]
+    adf = spark.createDataFrame(audio, "media_id long, payload binary")
+    arows = {r["media_id"]: r.asDict() for r in pcm_stats(adf).collect()}
+    base = {k: v for k, v in arows[1].items() if k != "media_id"}
+    assert base["rms_int"] is not None
+    for mid in (2, 3):
+        assert {k: v for k, v in arows[mid].items() if k != "media_id"} == base
+    assert arows[4]["rms_int"] is None
+
+    img = (rng.randint(0, 4, (10, 12, 3)) * 80).astype(np.uint8)
+    rgba = np.dstack([img, np.full((10, 12), 255, np.uint8)])
+    images = [
+        (1, bytearray(encode_gif(img))),
+        (2, bytearray(encode_bmp(img))),
+        (3, bytearray(encode_tiff(img))),
+        (4, bytearray(encode_ico(rgba))),
+    ]
+    idf = spark.createDataFrame(images, "media_id long, payload binary")
+    irows = {r["media_id"]: r.asDict() for r in rgb_stats(idf).collect()}
+    exp_mean = float(img.reshape(-1, 3).mean(axis=0)[0])
+    for mid in (1, 2, 3, 4):
+        assert irows[mid]["dec_width"] == 12 and irows[mid]["dec_height"] == 10
+        assert abs(irows[mid]["mean_r"] - exp_mean) < 1e-9
