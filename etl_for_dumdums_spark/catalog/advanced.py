@@ -28,7 +28,7 @@ _GAP_S = 1800  # 30-minute session gap
     "win_sessionize",
     sql=f"""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN date_diff('second', lag(ts) OVER w, ts) > {_GAP_S}
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -36,7 +36,7 @@ _GAP_S = 1800  # 30-minute session gap
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM ordered),
     per_session AS (
@@ -57,9 +57,17 @@ def win_sessionize(spark, sf_dir):
     ordered = t.events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(prev.isNull() | (gap > _GAP_S), 1).otherwise(0).alias("new_session"),
     )
-    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    # the cum-sum window tie-breaks on event_id exactly like the flag
+    # window above: with duplicate (user_id, ts) rows the two engines'
+    # running sums would otherwise disagree on max_session_events
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     sessions = ordered.select("user_id", F.sum("new_session").over(wsum).alias("session_idx"))
     per_session = sessions.groupBy("user_id", "session_idx").agg(F.count("*").alias("n_events"))
     return per_session.agg(
@@ -1390,6 +1398,201 @@ def mm_image_formats(spark, sf_dir):
         F.min("tiff_sum").cast("long").alias("min_tiff_sum"),
         F.max("tiff_sum").cast("long").alias("max_tiff_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_formats_2 — the late-r6 codec paths (ICO favicons, BMP
+# BI_RLE8/BI_RLE4, tiled TIFF, new-style JPEG-in-TIFF) under the full
+# value oracle, completing oracle coverage for every image decoder family
+# (r6 verdict item #2: these were pytest-only). Per sampled doc_id d:
+#   (a) ICO: a 12x12 RGBA image (ch of pixel i = (d*17 + i*3 + ch*23)
+#       % 256, alpha 255) through encode_ico -> 32-bit ICO-DIB ->
+#       decode_ico; sum of the RGB planes.
+#   (b) BMP RLE8: 12x12 indices idx(i) = (d*5 + i) % 97 over a 97-entry
+#       gray palette g(j) = (d*13 + j*37) % 256, through encode_bmp_rle
+#       -> BI_RLE8 -> decode_bmp; sum = 3 * sum g(idx(i)).
+#   (c) BMP RLE4: idx4(i) = (d*3 + i) % 16, g4(j) = (d*11 + j*29) % 256,
+#       the 4-bit nibble-packed twin.
+#   (d) tiled TIFF: a 20x28 RGB image (ch of pixel i = (d*19 + i*7 +
+#       ch*29) % 256) — NOT multiples of 16, so right/bottom edge tiles
+#       are padded and cropped — through encode_tiff(tiled, LZW,
+#       predictor) -> decode_tiff.
+#   (e) JPEG-in-TIFF: the mm_codec_roundtrip flat-quadrant argument
+#       (four 8x8 quadrants value_q = (d*9 + q*47) % 256 are DC-only at
+#       q95, reconstruction error < 0.5 rounds away → EXACT), wrapped as
+#       compression-7 TIFF; sum = 192 * sum value_q.
+# Legs a-d are lossless and leg e exact-by-analysis, so the oracle
+# restates every decoded sum in closed form: one flipped bit in the RLE
+# coder, the ICO mask layout, the tile padding/cropping, the per-tile
+# predictor, or the TIFF<->JPEG splice breaks the hash.
+#
+# Scale design (100 TB): identical to the other mm_* legs — payload
+# bytes never leave the executors, each asset reduces to one integer per
+# leg inside the Arrow batch, doc_id % _IMG_MOD bounds per-task Python
+# work, one single-row aggregate shuffle.
+# ---------------------------------------------------------------------------
+_IMG2_PX = 12 * 12
+_TT_H, _TT_W = 20, 28
+
+
+@register(
+    "mm_image_formats_2",
+    extra=True,
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_IMG_MOD} = 0),
+    ico AS (
+      SELECT doc_id,
+             CAST(sum((doc_id * 17 + t.i * 3 + c.c * 23) % 256) AS BIGINT)
+               AS ico_sum
+      FROM ids,
+           unnest(generate_series(0, {_IMG2_PX - 1})) AS t(i),
+           unnest(generate_series(0, 2)) AS c(c)
+      GROUP BY doc_id),
+    r8 AS (
+      SELECT doc_id,
+             CAST(sum(3 * ((doc_id * 13 + ((doc_id * 5 + t.i) % 97) * 37) % 256))
+                  AS BIGINT) AS rle8_sum
+      FROM ids, unnest(generate_series(0, {_IMG2_PX - 1})) AS t(i)
+      GROUP BY doc_id),
+    r4 AS (
+      SELECT doc_id,
+             CAST(sum(3 * ((doc_id * 11 + ((doc_id * 3 + t.i) % 16) * 29) % 256))
+                  AS BIGINT) AS rle4_sum
+      FROM ids, unnest(generate_series(0, {_IMG2_PX - 1})) AS t(i)
+      GROUP BY doc_id),
+    tt AS (
+      SELECT doc_id,
+             CAST(sum((doc_id * 19 + t.i * 7 + c.c * 29) % 256) AS BIGINT)
+               AS ttiff_sum
+      FROM ids,
+           unnest(generate_series(0, {_TT_H * _TT_W - 1})) AS t(i),
+           unnest(generate_series(0, 2)) AS c(c)
+      GROUP BY doc_id),
+    jt AS (
+      SELECT doc_id,
+             CAST(sum(192 * ((doc_id * 9 + t.q * 47) % 256)) AS BIGINT)
+               AS jtiff_sum
+      FROM ids, unnest(generate_series(0, 3)) AS t(q)
+      GROUP BY doc_id)
+    SELECT CAST(count(*) AS BIGINT)        AS n_images,
+           CAST(sum(ico_sum) AS BIGINT)    AS total_ico_sum,
+           CAST(min(ico_sum) AS BIGINT)    AS min_ico_sum,
+           CAST(max(ico_sum) AS BIGINT)    AS max_ico_sum,
+           CAST(sum(rle8_sum) AS BIGINT)   AS total_rle8_sum,
+           CAST(min(rle8_sum) AS BIGINT)   AS min_rle8_sum,
+           CAST(max(rle8_sum) AS BIGINT)   AS max_rle8_sum,
+           CAST(sum(rle4_sum) AS BIGINT)   AS total_rle4_sum,
+           CAST(min(rle4_sum) AS BIGINT)   AS min_rle4_sum,
+           CAST(max(rle4_sum) AS BIGINT)   AS max_rle4_sum,
+           CAST(sum(ttiff_sum) AS BIGINT)  AS total_ttiff_sum,
+           CAST(min(ttiff_sum) AS BIGINT)  AS min_ttiff_sum,
+           CAST(max(ttiff_sum) AS BIGINT)  AS max_ttiff_sum,
+           CAST(sum(jtiff_sum) AS BIGINT)  AS total_jtiff_sum,
+           CAST(min(jtiff_sum) AS BIGINT)  AS min_jtiff_sum,
+           CAST(max(jtiff_sum) AS BIGINT)  AS max_jtiff_sum
+    FROM ico JOIN r8 USING (doc_id) JOIN r4 USING (doc_id)
+             JOIN tt USING (doc_id) JOIN jt USING (doc_id)
+    """,
+)
+def mm_image_formats_2(spark, sf_dir):
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") % _IMG_MOD == 0)
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from ..operators.gif import (
+            decode_bmp,
+            decode_ico,
+            encode_bmp_rle,
+            encode_ico,
+        )
+        from ..operators.tiff import decode_tiff, encode_tiff
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "ico_sum": [],
+                "rle8_sum": [],
+                "rle4_sum": [],
+                "ttiff_sum": [],
+                "jtiff_sum": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(_IMG2_PX, dtype=np.int64)
+                ch = np.arange(3, dtype=np.int64)
+                # (a) ICO
+                rgba = np.full((_IMG2_PX, 4), 255, dtype=np.uint8)
+                rgba[:, :3] = (d * 17 + i[:, None] * 3 + ch[None, :] * 23) % 256
+                back = decode_ico(encode_ico(rgba.reshape(12, 12, 4)))
+                ico_sum = int(back[:, :, :3].astype(np.int64).sum())
+                # (b) BMP RLE8
+                idx8 = ((d * 5 + i) % 97).astype(np.uint8).reshape(12, 12)
+                pal8 = np.repeat(
+                    ((d * 13 + np.arange(97, dtype=np.int64) * 37) % 256).astype(
+                        np.uint8
+                    ),
+                    3,
+                ).reshape(97, 3)
+                rle8_sum = int(
+                    decode_bmp(encode_bmp_rle(idx8, pal8)).astype(np.int64).sum()
+                )
+                # (c) BMP RLE4
+                idx4 = ((d * 3 + i) % 16).astype(np.uint8).reshape(12, 12)
+                pal4 = np.repeat(
+                    ((d * 11 + np.arange(16, dtype=np.int64) * 29) % 256).astype(
+                        np.uint8
+                    ),
+                    3,
+                ).reshape(16, 3)
+                rle4_sum = int(
+                    decode_bmp(encode_bmp_rle(idx4, pal4, four_bit=True))
+                    .astype(np.int64)
+                    .sum()
+                )
+                # (d) tiled TIFF, padded edge tiles
+                it = np.arange(_TT_H * _TT_W, dtype=np.int64)
+                timg = (
+                    ((d * 19 + it[:, None] * 7 + ch[None, :] * 29) % 256)
+                    .astype(np.uint8)
+                    .reshape(_TT_H, _TT_W, 3)
+                )
+                tback = decode_tiff(
+                    encode_tiff(timg, tiled=True, compression="lzw", predictor=True)
+                )
+                ttiff_sum = int(tback.astype(np.int64).sum())
+                # (e) JPEG-in-TIFF, flat quadrants → exact at q95
+                jimg = np.zeros((16, 16, 3), dtype=np.uint8)
+                for q, (y0, x0) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                    jimg[y0 : y0 + 8, x0 : x0 + 8, :] = (d * 9 + q * 47) % 256
+                jback = decode_tiff(encode_tiff(jimg, compression="jpeg"))
+                jtiff_sum = int(jback.astype(np.int64).sum())
+                out["doc_id"].append(d)
+                out["ico_sum"].append(ico_sum)
+                out["rle8_sum"].append(rle8_sum)
+                out["rle4_sum"].append(rle4_sum)
+                out["ttiff_sum"].append(ttiff_sum)
+                out["jtiff_sum"].append(jtiff_sum)
+            yield pd.DataFrame(out)
+
+    per = ids.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, ico_sum long, rle8_sum long, rle4_sum long, "
+            "ttiff_sum long, jtiff_sum long"
+        ),
+    )
+    aggs = [F.count("*").cast("long").alias("n_images")]
+    for leg in ("ico", "rle8", "rle4", "ttiff", "jtiff"):
+        aggs += [
+            F.sum(f"{leg}_sum").cast("long").alias(f"total_{leg}_sum"),
+            F.min(f"{leg}_sum").cast("long").alias(f"min_{leg}_sum"),
+            F.max(f"{leg}_sum").cast("long").alias(f"max_{leg}_sum"),
+        ]
+    return per.agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

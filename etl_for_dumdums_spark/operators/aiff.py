@@ -125,11 +125,15 @@ def decode_aiff(payload: bytes):
         body = buf[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"COMM":
+            if len(body) < 18:
+                raise ValueError("AIFF COMM chunk truncated")
             channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
             rate = _read_extended(body[8:18])
             if is_aifc and len(body) >= 22:
                 comp = body[18:22]
         elif tag == b"SSND":
+            if len(body) < 8:
+                raise ValueError("AIFF SSND chunk truncated")
             off, _blk = struct.unpack_from(">II", body, 0)
             data = body[8 + off :]
     if rate is None or data is None:

@@ -27,7 +27,8 @@ Scope (stated, not hidden):
   BITMAPINFOHEADER: 24-bit BGR, 32-bit BGRA, and 8-bit paletted
   BI_RGB (bottom-up AND top-down rasters), plus BI_RLE8/BI_RLE4
   run-length decompression (encoded runs, absolute runs, end-of-line/
-  end-of-bitmap, and delta escapes). Bitfield compression raises
+  end-of-bitmap, and delta escapes); ``encode_bmp_rle`` writes the
+  encoded-run form of both RLE depths. Bitfield compression raises
   ``NotImplementedError``.
 * ``decode_ico`` / ``encode_ico`` — the favicon container: entry
   directory over PNG-compressed images (decoded via codecs.decode_png)
@@ -249,7 +250,12 @@ def decode_gif(payload: bytes):
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
-        left, top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
+        try:
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
+        except struct.error:
+            raise ValueError("GIF image descriptor truncated")
+        if left + w > W or top + h > H:
+            raise ValueError("GIF frame rect exceeds logical screen")
         pos += 9
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -316,8 +322,19 @@ def encode_gif(frames, delays_cs=None, loop: bool = True) -> bytes:
     for f, delay in zip(frames, delays):
         rgb = f[:, :, :3]
         alpha = f[:, :, 3] if f.shape[2] == 4 else None
-        colors, inverse = np.unique(rgb.reshape(-1, 3), axis=0, return_inverse=True)
         has_trans = alpha is not None and bool((alpha < 128).any())
+        flat = rgb.reshape(-1, 3)
+        if has_trans:
+            # transparent pixels' RGB is never rendered — exclude it from
+            # the palette so 256 opaque colors + transparency still fits
+            opaque_mask = (alpha >= 128).reshape(-1)
+            colors, inv_opaque = np.unique(
+                flat[opaque_mask], axis=0, return_inverse=True
+            )
+            inverse = np.zeros(flat.shape[0], dtype=np.int64)
+            inverse[opaque_mask] = inv_opaque
+        else:
+            colors, inverse = np.unique(flat, axis=0, return_inverse=True)
         n_needed = len(colors) + (1 if has_trans else 0)
         if n_needed > 256:
             raise ValueError(
@@ -377,6 +394,91 @@ def encode_bmp(arr) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0, len(data), 2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(data), 0, 0, 14 + len(info))
     return header + info + data
+
+
+def _rle_runs(row):
+    """→ [(length, value), ...] maximal runs of equal values in a 1-D
+    uint8 row, each capped at 255 (the RLE count-byte limit)."""
+    import numpy as np
+
+    runs = []
+    bounds = np.flatnonzero(np.diff(row)) + 1
+    start = 0
+    for end in list(bounds) + [len(row)]:
+        n = end - start
+        v = int(row[start])
+        while n > 255:
+            runs.append((255, v))
+            n -= 255
+        if n:
+            runs.append((n, v))
+        start = end
+    return runs
+
+
+def encode_bmp_rle(idx, palette, four_bit: bool = False) -> bytes:
+    """(h, w) palette indices + (n, 3) RGB palette → BI_RLE8 (or BI_RLE4
+    with ``four_bit``) BMP. Pure encoded-mode output (runs + EOL + EOB);
+    the decoder additionally handles absolute/delta escapes, which are
+    exercised by hand-built streams in tests."""
+    import numpy as np
+
+    a = np.ascontiguousarray(idx, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_bmp_rle expects (h, w) palette indices")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    depth = 4 if four_bit else 8
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > (1 << depth):
+        raise ValueError(f"palette must be (<= {1 << depth}, 3) uint8")
+    if a.max(initial=0) >= len(pal):
+        raise ValueError("index outside palette")
+    h, w = a.shape
+    out = bytearray()
+    for row in a[::-1]:  # bottom-up storage
+        for n, v in _rle_runs(row):
+            byte = ((v << 4) | v) if four_bit else v
+            out += bytes((n, byte))
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    n_pal = 1 << depth
+    pal_bytes = np.zeros((n_pal, 4), dtype=np.uint8)
+    pal_bytes[: len(pal), :3] = pal[:, ::-1]  # RGB → BGRX
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, depth, 1 if not four_bit else 2,
+        len(out), 2835, 2835, n_pal, 0,
+    )
+    data_off = 14 + len(info) + 4 * n_pal
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(out), 0, 0, data_off)
+    return header + info + pal_bytes.tobytes() + bytes(out)
+
+
+def encode_ico(arr) -> bytes:
+    """(h, w, 3|4) uint8, both dims <= 256 → single-entry ICO with a
+    32-bit BGRA DIB (doubled-height header + all-opaque AND mask), the
+    shape decode_ico round-trips exactly."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError("encode_ico expects (h, w, 3|4) uint8")
+    h, w = a.shape[:2]
+    if h > 256 or w > 256 or h == 0 or w == 0:
+        raise ValueError("ICO entries are 1..256 px per side")
+    if a.shape[2] == 3:
+        a = np.dstack([a, np.full((h, w), 255, dtype=np.uint8)])
+    raster = a[::-1][:, :, [2, 1, 0, 3]].tobytes()  # bottom-up BGRA
+    mask_stride = ((w + 31) // 32) * 4
+    mask = b"\x00" * (mask_stride * h)  # AND mask all-opaque
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, len(raster) + len(mask),
+        2835, 2835, 0, 0,
+    )
+    dib = info + raster + mask
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(dib), 6 + 16
+    )
+    return b"\x00\x00\x01\x00" + struct.pack("<H", 1) + entry + dib
 
 
 def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):

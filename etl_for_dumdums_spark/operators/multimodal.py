@@ -41,6 +41,7 @@ so Parquet never materializes it (column pruning works per-column).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -76,27 +77,38 @@ def image_payload_to_array(payload: bytes):
     JPEG — baseline AND progressive (operators/jpeg.py), GIF (first
     coalesced frame) / BMP / ICO favicons (operators/gif.py), TIFF
     (operators/tiff.py),
-    or self-describing RGB8 raw. Returns (h, w, ch) uint8. Raises
-    NotImplementedError for codec formats without an in-container decoder
-    (WebP/arithmetic-JPEG/...) — the honest gate."""
+    or self-describing RGB8 raw. Returns (h, w, ch) uint8 with ch >= 3:
+    single-channel decodes (grayscale TIFF) are replicated to RGB here so
+    every downstream ``[:, :, :3]`` reduction sees the same contract the
+    PNG/JPEG decoders honor natively. Raises NotImplementedError for codec
+    formats without an in-container decoder (WebP/arithmetic-JPEG/...) —
+    the honest gate."""
+    import numpy as np
+
     from .codecs import decode_png, is_png
     from .gif import decode_bmp, decode_gif, decode_ico, is_bmp, is_gif, is_ico
     from .jpeg import decode_jpeg, is_jpeg
     from .tiff import decode_tiff, is_tiff
 
     if is_png(payload):
-        return decode_png(bytes(payload))
-    if is_jpeg(payload):
-        return decode_jpeg(bytes(payload))
-    if is_gif(payload):
-        return decode_gif(bytes(payload))[0][0]
-    if is_bmp(payload):
-        return decode_bmp(bytes(payload))
-    if is_tiff(payload):
-        return decode_tiff(bytes(payload))
-    if is_ico(payload):
-        return decode_ico(bytes(payload))
-    return decode_rgb_raw(bytes(payload) if payload is not None else None)
+        a = decode_png(bytes(payload))
+    elif is_jpeg(payload):
+        a = decode_jpeg(bytes(payload))
+    elif is_gif(payload):
+        a = decode_gif(bytes(payload))[0][0]
+    elif is_bmp(payload):
+        a = decode_bmp(bytes(payload))
+    elif is_tiff(payload):
+        a = decode_tiff(bytes(payload))
+    elif is_ico(payload):
+        a = decode_ico(bytes(payload))
+    else:
+        a = decode_rgb_raw(bytes(payload) if payload is not None else None)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    return a
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
@@ -367,7 +379,7 @@ def rgb_stats(media: DataFrame) -> DataFrame:
                     continue
                 try:
                     a = image_payload_to_array(bytes(p))[:, :, :3]
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     # NotImplementedError: no in-container decoder (e.g.
                     # unsupported JPEG mode); ValueError: valid magic but
                     # malformed body — both pass through as NULLs instead
@@ -525,7 +537,7 @@ def pcm_stats(media: DataFrame, clip_abs: int = 15000) -> DataFrame:
                     continue
                 try:
                     rate, a = audio_payload_to_pcm(bytes(p))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     # an mp3-in-WAV passes is_wav() but has no in-container
                     # decoder; malformed bodies raise ValueError
                     # — both emit a NULL row, matching rgb_stats (r4 advice #1)

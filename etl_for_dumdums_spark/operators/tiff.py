@@ -29,7 +29,12 @@ Scope (stated, not hidden):
   raise ``ValueError``.
 * ``encode_tiff`` — little-endian baseline: 8-bit gray/RGB/RGBA,
   compression none, LZW, or deflate (+ optional horizontal predictor),
-  configurable RowsPerStrip. Lossless: decode(encode(x)) == x exactly.
+  configurable RowsPerStrip, with dimension tags promoted to LONG past
+  65535 rows/cols. ``tiled=True`` writes a tile organization (16x16
+  tiles, padded edge tiles, per-tile predictor); ``compression="jpeg"``
+  writes new-style JPEG-in-TIFF (comp 7, one complete interchange
+  stream per strip — RGB only, lossy, strip-mode only like the
+  decoder). All non-JPEG modes are lossless: decode(encode(x)) == x.
 
 Reference behavior being reproduced: the reference treats media as
 opaque payload + typed metadata (SURVEY.md §2 multimodal plumbing);
@@ -178,28 +183,35 @@ def _packbits_decode(data: bytes, n_bytes: int) -> bytes:
 # decode
 # ---------------------------------------------------------------------------
 def _read_ifd(buf: bytes, e: str):
-    (off,) = struct.unpack_from(e + "I", buf, 4)
-    if off + 2 > len(buf):
-        raise ValueError("TIFF IFD offset out of range")
-    (n,) = struct.unpack_from(e + "H", buf, off)
-    tags = {}
-    for i in range(n):
-        base = off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(e + "HHI", buf, base)
-        size = _TYPE_SIZES.get(typ, 1) * count
-        if size <= 4:
-            voff = base + 8
-        else:
-            (voff,) = struct.unpack_from(e + "I", buf, base + 8)
-        if typ == 3:
-            vals = list(struct.unpack_from(e + f"{count}H", buf, voff))
-        elif typ == 4:
-            vals = list(struct.unpack_from(e + f"{count}I", buf, voff))
-        elif typ == 1:
-            vals = list(buf[voff : voff + count])
-        else:
-            vals = [buf[voff : voff + size]]
-        tags[tag] = vals
+    # struct.error here means the IFD (or a tag value it points at) runs
+    # past the end of the payload — re-raised as ValueError per the
+    # "malformed containers raise ValueError" contract the mapInPandas
+    # stats kernels rely on to emit NULL rows instead of dying.
+    try:
+        (off,) = struct.unpack_from(e + "I", buf, 4)
+        if off + 2 > len(buf):
+            raise ValueError("TIFF IFD offset out of range")
+        (n,) = struct.unpack_from(e + "H", buf, off)
+        tags = {}
+        for i in range(n):
+            base = off + 2 + 12 * i
+            tag, typ, count = struct.unpack_from(e + "HHI", buf, base)
+            size = _TYPE_SIZES.get(typ, 1) * count
+            if size <= 4:
+                voff = base + 8
+            else:
+                (voff,) = struct.unpack_from(e + "I", buf, base + 8)
+            if typ == 3:
+                vals = list(struct.unpack_from(e + f"{count}H", buf, voff))
+            elif typ == 4:
+                vals = list(struct.unpack_from(e + f"{count}I", buf, voff))
+            elif typ == 1:
+                vals = list(buf[voff : voff + count])
+            else:
+                vals = [buf[voff : voff + size]]
+            tags[tag] = vals
+    except struct.error:
+        raise ValueError("TIFF IFD truncated")
     return tags
 
 
@@ -373,9 +385,14 @@ def decode_tiff(payload: bytes):
 # encode
 # ---------------------------------------------------------------------------
 def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
-                rows_per_strip: int | None = None) -> bytes:
-    """(h, w, 1|3|4) uint8 (or (h, w) gray) → little-endian baseline TIFF.
-    compression: 'none' | 'lzw' | 'deflate'."""
+                rows_per_strip: int | None = None, tiled: bool = False,
+                quality: int = 95) -> bytes:
+    """(h, w, 1|3|4) uint8 (or (h, w) gray) → little-endian TIFF.
+    compression: 'none' | 'lzw' | 'deflate' | 'jpeg' (new-style comp 7,
+    each strip a complete JPEG interchange stream — RGB only, lossy).
+    ``tiled=True`` emits a tile organization (tags 322-325, 16x16 tiles,
+    edge tiles padded per spec §15, predictor applied per tile); JPEG is
+    strip-only, matching the decoder's scope."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -384,47 +401,78 @@ def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
     if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
         raise ValueError("encode_tiff expects (h, w[, 1|3|4]) uint8")
     h, w, spp = a.shape
-    if compression not in ("none", "lzw", "deflate"):
+    if compression not in ("none", "lzw", "deflate", "jpeg"):
         raise NotImplementedError(f"encode_tiff: compression {compression!r}")
-    rps = rows_per_strip or h
+    if compression == "jpeg":
+        if tiled:
+            raise NotImplementedError("encode_tiff: tiled JPEG-in-TIFF unsupported")
+        if spp != 3 or predictor:
+            raise ValueError("encode_tiff: JPEG strips need RGB input, no predictor")
     photo = 1 if spp == 1 else 2
 
-    strips = []
-    for r0 in range(0, h, rps):
-        block = a[r0 : r0 + rps]
+    def pack_block(block):
         if predictor:
-            b32 = block.astype(np.int16)
-            diff = b32.copy()
-            diff[:, 1:] = b32[:, 1:] - b32[:, :-1]
+            b16 = block.astype(np.int16)
+            diff = b16.copy()
+            diff[:, 1:] = b16[:, 1:] - b16[:, :-1]
             block = diff.astype(np.uint8)
         raw = block.tobytes()
         if compression == "lzw":
-            strips.append(_tlzw_encode(raw))
-        elif compression == "deflate":
+            return _tlzw_encode(raw)
+        if compression == "deflate":
             import zlib
 
-            strips.append(zlib.compress(raw, 6))
-        else:
-            strips.append(raw)
+            return zlib.compress(raw, 6)
+        return raw
 
+    tw = tl = 16
+    blocks = []
+    if tiled:
+        for ty in range(0, h, tl):
+            for tx in range(0, w, tw):
+                tile = np.zeros((tl, tw, spp), dtype=np.uint8)
+                part = a[ty : ty + tl, tx : tx + tw]
+                tile[: part.shape[0], : part.shape[1]] = part
+                blocks.append(pack_block(tile))
+        rps = None
+    elif compression == "jpeg":
+        from .jpeg import encode_jpeg
+
+        blocks.append(encode_jpeg(a, quality=quality))
+        rps = h
+    else:
+        rps = rows_per_strip or h
+        for r0 in range(0, h, rps):
+            blocks.append(pack_block(a[r0 : r0 + rps]))
+
+    # ImageWidth/ImageLength/RowsPerStrip may be SHORT or LONG (TIFF 6.0
+    # §4); promote to LONG past 65535 so >64k-row images encode cleanly
+    def dim_type(v):
+        return 3 if v <= 0xFFFF else 4
+
+    comp_code = {"lzw": 5, "deflate": 8, "none": 1, "jpeg": 7}[compression]
+    off_tag, cnt_tag = (324, 325) if tiled else (273, 279)
     tags = [
-        (256, 3, 1, w),
-        (257, 3, 1, h),
+        (256, dim_type(w), 1, w),
+        (257, dim_type(h), 1, h),
         (258, 3, spp, None),  # BitsPerSample
-        (259, 3, 1, {"lzw": 5, "deflate": 8, "none": 1}[compression]),
-        (262, 3, 1, photo),
-        (273, 4, len(strips), None),  # StripOffsets
+        (259, 3, 1, comp_code),
+        (262, 3, 1, 6 if compression == "jpeg" else photo),
+        (off_tag, 4, len(blocks), None),  # Strip/TileOffsets
         (277, 3, 1, spp),
-        (278, 3, 1, rps),
-        (279, 4, len(strips), None),  # StripByteCounts
+        (cnt_tag, 4, len(blocks), None),  # Strip/TileByteCounts
     ]
+    if tiled:
+        tags += [(322, 3, 1, tw), (323, 3, 1, tl)]
+    else:
+        tags.append((278, dim_type(rps), 1, rps))
     if predictor:
         tags.append((317, 3, 1, 2))
     if spp == 4:
         tags.append((338, 3, 1, 2))  # ExtraSamples: unassociated alpha
     tags.sort()
 
-    # layout: header(8) | IFD | out-of-line values | strips
+    # layout: header(8) | IFD | out-of-line values | data blocks
     ifd_size = 2 + 12 * len(tags) + 4
     extra = bytearray()
     extra_base = 8 + ifd_size
@@ -435,23 +483,22 @@ def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
         return off
 
     bits_off = place(f"{spp}H", [8] * spp) if spp > 2 else None
-    strip_data_base = extra_base + len(extra) + 8 * len(strips) if len(strips) > 1 else None
-    # reserve strip offset/count arrays when out-of-line (count > 1)
-    if len(strips) > 1:
+    # reserve offset/count arrays when out-of-line (count > 1)
+    if len(blocks) > 1:
         soff_off = extra_base + len(extra)
-        extra.extend(b"\x00" * (4 * len(strips)))
+        extra.extend(b"\x00" * (4 * len(blocks)))
         scnt_off = extra_base + len(extra)
-        extra.extend(b"\x00" * (4 * len(strips)))
+        extra.extend(b"\x00" * (4 * len(blocks)))
     data_base = extra_base + len(extra)
     offsets = []
     pos = data_base
-    for s in strips:
+    for s in blocks:
         offsets.append(pos)
         pos += len(s)
-    if len(strips) > 1:
-        struct.pack_into(f"<{len(strips)}I", extra, soff_off - extra_base, *offsets)
+    if len(blocks) > 1:
+        struct.pack_into(f"<{len(blocks)}I", extra, soff_off - extra_base, *offsets)
         struct.pack_into(
-            f"<{len(strips)}I", extra, scnt_off - extra_base, *[len(s) for s in strips]
+            f"<{len(blocks)}I", extra, scnt_off - extra_base, *[len(s) for s in blocks]
         )
 
     out = bytearray(b"II*\x00" + struct.pack("<I", 8))
@@ -461,10 +508,10 @@ def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
             v = 8 if spp == 1 else bits_off
             if spp == 2:
                 raise ValueError("unreachable")
-        elif tag == 273:
-            v = offsets[0] if len(strips) == 1 else soff_off
-        elif tag == 279:
-            v = len(strips[0]) if len(strips) == 1 else scnt_off
+        elif tag == off_tag:
+            v = offsets[0] if len(blocks) == 1 else soff_off
+        elif tag == cnt_tag:
+            v = len(blocks[0]) if len(blocks) == 1 else scnt_off
         else:
             v = val
         if typ == 3 and count == 1:
@@ -473,6 +520,6 @@ def encode_tiff(arr, compression: str = "lzw", predictor: bool = False,
             out += struct.pack("<HHII", tag, typ, count, v)
     out += struct.pack("<I", 0)  # next IFD
     out += extra
-    for s in strips:
+    for s in blocks:
         out += s
     return bytes(out)

@@ -260,7 +260,9 @@ def _frame_locations(payload, meta, movi_pos, movi_end, idx1):
     vids = (b"00dc", b"00db")
     if idx1:
         locs = []
-        entries = [e for e in idx1 if e[0][2:4] in (b"dc", b"db")]
+        # stream 0 only — a second video stream's 01dc chunks must not
+        # interleave into the stream-0 frame sequence the metadata describes
+        entries = [e for e in idx1 if e[0] in vids]
         if entries:
             # convention probe: relative-to-movi offsets point AT a chunk id
             base = movi_pos
@@ -359,7 +361,7 @@ def video_stats(media, every_k: int = 3):
                     out["n_sampled"].append(len(frames))
                     out["sampled_px_sum"].append(sum(sums))
                     out["sampled_px_max"].append(max(sums) if sums else None)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     # no in-container decoder for this codec, or a malformed
                     # container — NULL row instead of a failed task
                     for k in list(out)[1:]:
@@ -404,7 +406,7 @@ def extract_frames(media, every_k: int = 3, emit_pixels: bool = False):
                     info = probe_avi(bytes(payload))
                     picks = list(range(0, info["n_frames"], every_k))
                     _fps, frames = decode_avi(bytes(payload), indices=picks)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     continue
                 for idx, f in zip(picks, frames):
                     out["media_id"].append(mid)
