@@ -38,6 +38,24 @@ oracle-100x:
 oracle-100x-sampled:
 	python tools/check_oracle.py --sf /tmp/sfscale100 --sampled
 
+# full-catalog oracle parity ON the 1000x dataset (600M lineitem) — the
+# r6 verdict item #1 pipeline: every catalog query green at 600M rows by
+# full or sampled comparison. Exclusions start from the 100x list (same
+# row-scaled-output rationale; all covered by the sampled tier below);
+# additions must be named here with a reason. Chunks are smaller than
+# 100x (25): per-process peak memory grows with the data decade.
+ORACLE_1000X_EXCLUDE = $(ORACLE_100X_EXCLUDE)
+# SPARK_GRAFT_MM_MOD=500 keeps the mm_* kernels' deterministic doc_id
+# sample at the same ABSOLUTE count as the green 100x sweep (the rate-
+# fixed default would be ~100k pure-Python payload synths per query per
+# engine); both engines read the same mod, so parity stays strict.
+oracle-1000x:
+	SPARK_GRAFT_MM_MOD=500 python tools/run_oracle_chunked.py --sf /tmp/sfscale1000 \
+	  --exclude $(ORACLE_1000X_EXCLUDE) --chunk-size 25
+
+oracle-1000x-sampled:
+	python tools/check_oracle.py --sf /tmp/sfscale1000 --sampled
+
 # 1000x value spot-checks (600M lineitem): sorted-value compare with a
 # memory-bounded DuckDB side (the oracle, not the engine, is the scale
 # limiter there — see SCALE_r04.json). Pick names per round.

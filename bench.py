@@ -47,8 +47,8 @@ HEADLINE = [
 ]
 
 
-def duckdb_control(sf_dir: str, names: list[str], n_runs: int) -> float:
-    """Best-of-N total of the headline queries' DuckDB oracles, in-process.
+def duckdb_control(sf_dir: str, names: list[str], n_runs: int):
+    """Best-of-N of the headline queries' DuckDB oracles, in-process.
 
     This is NOT a competitor number — it is a box-state normalizer: the
     identical single-process workload timed alongside the Spark bench, so a
@@ -56,7 +56,13 @@ def duckdb_control(sf_dir: str, names: list[str], n_runs: int) -> float:
     state) shows up in `duckdb_control_sec` too and round-over-round
     comparisons can use the ratio (r3 verdict item #2: the apparent 51%
     r2→r3 regression needed a manual control experiment to dismiss as box
-    noise)."""
+    noise).
+
+    → (total_of_mins, per_query_min, per_run_round_totals). The round
+    totals expose the box's noise band directly: r6's adjudication showed
+    the control swinging 1.01→2.08 s across identical runs, so a single
+    scalar control made per-query deltas unreadable (r6 verdict item #3).
+    """
     import duckdb
 
     oracle = {**ORACLE, **EXTRA_ORACLE}
@@ -65,22 +71,25 @@ def duckdb_control(sf_dir: str, names: list[str], n_runs: int) -> float:
         tpath = f"{sf_dir}/{tname}.parquet"
         src = f"{tpath}/*.parquet" if os.path.isdir(tpath) else tpath
         con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{src}')")
-    total = 0.0
+    per_query: dict[str, float] = {}
+    rounds = [0.0] * n_runs
     for name in names:
         if name not in oracle:
             continue
-
-        def run_once() -> float:
-            t0 = time.time()
-            con.execute(oracle[name]).fetchall()
-            return time.time() - t0
-
         try:
-            total += min(run_once() for _ in range(n_runs))
+            runs = []
+            for r in range(n_runs):
+                t0 = time.time()
+                con.execute(oracle[name]).fetchall()
+                dt = time.time() - t0
+                runs.append(dt)
+                rounds[r] += dt
+            per_query[name] = round(min(runs), 3)
         except Exception as exc:  # pragma: no cover
             print(f"bench: duckdb control {name} failed: {exc}", file=sys.stderr)
     con.close()
-    return round(total, 3)
+    total = round(sum(per_query.values()), 3)
+    return total, per_query, [round(r, 3) for r in rounds]
 
 
 def main() -> None:
@@ -111,10 +120,16 @@ def main() -> None:
     # default (VERDICT r01 item #10: make regressions attributable).
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spark_spread: dict[str, float] = {}
     for name in names:
         # A failing query records -1 instead of killing the whole bench line.
         try:
-            timings[name] = round(min(run_once(name) for _ in range(n_runs)), 3)
+            runs = [run_once(name) for _ in range(n_runs)]
+            timings[name] = round(min(runs), 3)
+            # per-query max/min across the N runs: >2 means this query's
+            # timing is noise-dominated and its round-over-round delta
+            # should not be read as a plan change
+            spark_spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
         except Exception as exc:  # pragma: no cover
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -126,11 +141,12 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # SPARK_GRAFT_BENCH_CONTROL=0 skips the control (scale-up runs where the
     # single-process oracle side would dominate wall-clock)
-    control = (
-        duckdb_control(sf_dir, names, n_runs)
-        if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0"
-        else 0.0
-    )
+    if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
+        control, control_queries, control_rounds = duckdb_control(
+            sf_dir, names, n_runs
+        )
+    else:
+        control, control_queries, control_rounds = 0.0, {}, []
     print(
         json.dumps(
             {
@@ -145,6 +161,20 @@ def main() -> None:
                 "spark_over_duckdb_ratio": (
                     round(total / control, 2) if control > 0 else None
                 ),
+                # noise instrumentation (r6 verdict item #3): per-query
+                # control mins let per-query Spark deltas be normalized
+                # individually; the control's per-round totals and the
+                # Spark-side per-query max/min expose the box's noise band
+                # in the artifact itself, so a cross-round comparison needs
+                # no judge re-run to adjudicate drift
+                "duckdb_control_queries": control_queries,
+                "duckdb_control_round_totals_sec": control_rounds,
+                "duckdb_control_spread": (
+                    round(max(control_rounds) / max(min(control_rounds), 1e-9), 2)
+                    if control_rounds
+                    else None
+                ),
+                "spark_run_spread": spark_spread,
             }
         )
     )
