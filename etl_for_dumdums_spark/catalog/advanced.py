@@ -1609,6 +1609,107 @@ def mm_image_formats_2(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# mm_webp_probe — the WebP container layer (operators/webp.py) under the
+# full value oracle. Pixel decode is honestly gated (no VP8L stream in
+# the container to verify a decoder against — webp.py docstring), but
+# the metadata path a crawl pipeline actually runs FIRST — identify,
+# dimensions, alpha/animation flags, frame counts, all without touching
+# pixels — is real and provable: per sampled doc_id d the kernel muxes
+# (a) a VP8L-headered RIFF (w = 1 + d*7 % 2000, h = 1 + d*11 % 1500,
+# alpha iff d % 3 == 0) and (b) an animated VP8X container (canvas
+# 1 + d*13 % 4000 x 1 + d*17 % 3000 with 1 + d % 5 ANMF frames), probes
+# both, and the oracle restates every extracted field in closed form —
+# a flipped bit in the 14-bit dim unpacking, the minus-one encodings,
+# the flag masks, or ANMF counting breaks the hash.
+#
+# Scale design (100 TB): header-only parsing, payloads never leave the
+# executors, one single-row aggregate shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_webp_probe",
+    extra=True,
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_MM_MOD} = 0),
+    per AS (
+      SELECT doc_id,
+             1 + doc_id * 7 % 2000   AS l_w,
+             1 + doc_id * 11 % 1500  AS l_h,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS l_alpha,
+             1 + doc_id * 13 % 4000  AS x_w,
+             1 + doc_id * 17 % 3000  AS x_h,
+             1 + doc_id % 5          AS x_frames
+      FROM ids)
+    SELECT CAST(count(*) AS BIGINT)        AS n_probes,
+           CAST(sum(l_w) AS BIGINT)        AS total_l_width,
+           CAST(sum(l_h) AS BIGINT)        AS total_l_height,
+           CAST(sum(l_alpha) AS BIGINT)    AS n_l_alpha,
+           CAST(sum(x_w) AS BIGINT)        AS total_x_width,
+           CAST(sum(x_h) AS BIGINT)        AS total_x_height,
+           CAST(sum(x_frames) AS BIGINT)   AS total_x_frames
+    FROM per
+    """,
+)
+def mm_webp_probe(spark, sf_dir):
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") % _MM_MOD == 0)
+
+    def probe(batches):
+        import struct as _s
+
+        from ..operators.webp import probe_webp
+
+        def riff(chunks):
+            body = b"WEBP"
+            for tag, data in chunks:
+                body += tag + _s.pack("<I", len(data)) + data
+                if len(data) & 1:
+                    body += b"\x00"
+            return b"RIFF" + _s.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "l_w", "l_h", "l_alpha", "x_w", "x_h", "x_frames"
+            )}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                lw, lh = 1 + d * 7 % 2000, 1 + d * 11 % 1500
+                alpha = d % 3 == 0
+                bits = (lw - 1) | ((lh - 1) << 14) | (int(alpha) << 28)
+                pl = probe_webp(riff([(b"VP8L", b"\x2f" + _s.pack("<I", bits))]))
+                xw, xh, nf = 1 + d * 13 % 4000, 1 + d * 17 % 3000, 1 + d % 5
+                vp8x = bytes([0x02, 0, 0, 0]) + (xw - 1).to_bytes(3, "little") + (
+                    xh - 1
+                ).to_bytes(3, "little")
+                px = probe_webp(
+                    riff([(b"VP8X", vp8x)] + [(b"ANMF", b"\x00" * 16)] * nf)
+                )
+                out["doc_id"].append(d)
+                out["l_w"].append(pl["width"])
+                out["l_h"].append(pl["height"])
+                out["l_alpha"].append(int(pl["has_alpha"] and pl["lossless"]))
+                out["x_w"].append(px["width"])
+                out["x_h"].append(px["height"])
+                out["x_frames"].append(px["n_frames"] if px["is_animated"] else -1)
+            yield pd.DataFrame(out)
+
+    per = ids.mapInPandas(
+        probe,
+        schema="doc_id long, l_w long, l_h long, l_alpha long, x_w long, x_h long, x_frames long",
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("l_w").cast("long").alias("total_l_width"),
+        F.sum("l_h").cast("long").alias("total_l_height"),
+        F.sum("l_alpha").cast("long").alias("n_l_alpha"),
+        F.sum("x_w").cast("long").alias("total_x_width"),
+        F.sum("x_h").cast("long").alias("total_x_height"),
+        F.sum("x_frames").cast("long").alias("total_x_frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm_audio_containers — the WAV/AIFF/AU container layer (operators/
 # codecs.py + aiff.py) under the full value oracle. Each sampled document
 # synthesizes one stereo int16 clip (sample i, channel c =

@@ -24,10 +24,16 @@ Decode support comes in three honest tiers:
   8/16/24/32 bits, 80-bit extended sample rates, 'sowt', and AU's
   G.711 mu-law/A-law via the codecs.py tables — the same payload
   wrapped as WAV, AIFF, or AU yields identical pcm_stats rows.
-* STUBS behind NotImplementedError: everything else (WebP/mp3,
-  inter-frame video codecs — these need PIL/opencv/ffmpeg, absent
-  here); ``fake=True`` gives a deterministic digest-derived stand-in so
-  pipelines and tests exercise the full Spark path with realistic shapes.
+* REAL WebP container probe (operators/webp.py): is_webp +
+  probe_webp parse VP8X/VP8/VP8L headers (dims, alpha, animation,
+  losslessness) without touching pixels, interop-verified against the
+  real CPython .webp asset; pixel decode stays gated (no VP8L stream
+  exists in-container to verify a from-scratch decoder against).
+* STUBS behind NotImplementedError: everything else (WebP pixel
+  decode/mp3, inter-frame video codecs — these need PIL/opencv/ffmpeg,
+  absent here); ``fake=True`` gives a deterministic digest-derived
+  stand-in so pipelines and tests exercise the full Spark path with
+  realistic shapes.
 
 Everything Spark-side is real and tested regardless of tier: schemas,
 Arrow batch shapes, mapInPandas signatures, and partition-size control.
@@ -89,7 +95,10 @@ def image_payload_to_array(payload: bytes):
     from .gif import decode_bmp, decode_gif, decode_ico, is_bmp, is_gif, is_ico
     from .jpeg import decode_jpeg, is_jpeg
     from .tiff import decode_tiff, is_tiff
+    from .webp import decode_webp, is_webp
 
+    if is_webp(payload):
+        return decode_webp(bytes(payload))  # raises the documented gate
     if is_png(payload):
         a = decode_png(bytes(payload))
     elif is_jpeg(payload):
