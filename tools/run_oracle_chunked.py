@@ -43,15 +43,24 @@ def main() -> int:
     here = Path(__file__).resolve().parent
     for i, chunk in enumerate(chunks, 1):
         print(f"--- chunk {i}/{len(chunks)} ({len(chunk)} queries)", flush=True)
-        proc = subprocess.run(
+        # stream stdout live (a 1000x chunk can run >30 min — a silent
+        # capture makes progress unobservable) while still collecting it
+        # for the PASS/FAIL accounting below
+        proc = subprocess.Popen(
             [sys.executable, str(here / "check_oracle.py"), "--sf", args.sf, *chunk],
-            capture_output=True,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
             text=True,
         )
-        out = proc.stdout
-        sys.stdout.write(out)
+        out_lines = []
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            out_lines.append(line)
+        _, err = proc.communicate()
+        out = "".join(out_lines)
         if proc.returncode not in (0, 1):  # 1 = some FAILs; >1 = crash
-            sys.stderr.write(proc.stderr[-2000:])
+            sys.stderr.write((err or "")[-2000:])
             print(f"chunk {i} crashed (rc={proc.returncode})", flush=True)
             crashed_chunks += 1
         for line in out.splitlines():
