@@ -41,6 +41,64 @@ def _kth_smallest_cents(df: DataFrame, col: str, k: int, lo: int, hi: int) -> in
     return lo
 
 
+def exact_quantiles_cents(df: DataFrame, value_col: str, qs) -> list[float]:
+    """Exact linear-interpolated quantiles for SEVERAL q at once, with the
+    same constant-memory counting selection — but all order statistics
+    bisect in LOCKSTEP: each iteration issues ONE scan whose aggregate
+    carries a conditional count per still-active probe, so the scan count
+    is log2(domain), not qs x order-stats x log2(domain). At 600M rows
+    that turned the 1000x oracle sweep's per-q loop (~100 scans) into
+    ~25 shared scans (r7; the DuckDB twin got the same single-pass
+    treatment via list-argument quantile_cont)."""
+    qs = list(qs)
+    cents = (F.round(F.col(value_col) * 100)).cast("long")
+    cdf = df.select(cents.alias("c"))
+    stats = cdf.agg(
+        F.count("*").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    n, glo, ghi = stats["n"], stats["lo"], stats["hi"]
+    if n == 0:
+        return [math.nan] * len(qs)
+    # every order statistic any quantile needs: floor rank + ceil rank
+    ranks: dict[float, tuple[int, float]] = {}
+    ks: set[int] = set()
+    for q in qs:
+        h = (n - 1) * q + 1
+        k_lo = int(math.floor(h))
+        frac = h - k_lo
+        ranks[q] = (k_lo, frac)
+        ks.add(k_lo)
+        if frac != 0.0 and k_lo < n:
+            ks.add(k_lo + 1)
+    bounds = {k: [glo, ghi] for k in ks}
+    while True:
+        active = [k for k, (lo, hi) in bounds.items() if lo < hi]
+        if not active:
+            break
+        mids = {k: (bounds[k][0] + bounds[k][1]) // 2 for k in active}
+        row = cdf.agg(
+            *[
+                F.count(F.when(F.col("c") <= mids[k], 1)).alias(f"k{k}")
+                for k in active
+            ]
+        ).collect()[0]
+        for k in active:
+            if row[f"k{k}"] >= k:
+                bounds[k][1] = mids[k]
+            else:
+                bounds[k][0] = mids[k] + 1
+    kth = {k: bounds[k][0] for k in ks}
+    out = []
+    for q in qs:
+        k_lo, frac = ranks[q]
+        v_lo = kth[k_lo]
+        if frac == 0.0 or k_lo >= n:
+            out.append(v_lo / 100.0)
+        else:
+            out.append((v_lo + frac * (kth[k_lo + 1] - v_lo)) / 100.0)
+    return out
+
+
 def exact_quantile_cents(df: DataFrame, value_col: str, q: float) -> float:
     """Exact linear-interpolated quantile of a 2-decimal money column,
     computed with constant executor memory (iterative counting selection).
