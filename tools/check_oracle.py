@@ -16,6 +16,10 @@ import sys
 import time
 from datetime import date, datetime
 
+# per-query PASS/FAIL lines must reach a piping parent (run_oracle_chunked)
+# as they happen — block buffering hid a 25-min stall inside an 8KB buffer
+sys.stdout.reconfigure(line_buffering=True)
+
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
