@@ -761,21 +761,26 @@ def agg_gini_concentration(spark, sf_dir):
 @register(
     "agg_weighted_median",
     extra=True,
+    # v/tot are MATERIALIZED and the three picks are conditional mins in
+    # ONE pass over cum: the correlated-subquery form re-inlined the full
+    # 600M-row aggregate per reference and spilled ~60 GB at the 1000x
+    # sweep (observed IO failure); this shape aggregates lineitem once
     sql=f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
       FROM lineitem GROUP BY 1),
-    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
+    tot AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
     cum AS (SELECT cents, CAST(sum(w) OVER (ORDER BY cents) AS BIGINT) AS cw FROM v)
     SELECT tot.tw AS total_weight,
-           round((SELECT min(cents) FROM cum WHERE 4 * cw >= tot.tw) / 100.0, 2)
+           round(min(CASE WHEN 4 * cum.cw >= tot.tw THEN cum.cents END) / 100.0, 2)
              AS p25_weighted,
-           round((SELECT min(cents) FROM cum WHERE 2 * cw >= tot.tw) / 100.0, 2)
+           round(min(CASE WHEN 2 * cum.cw >= tot.tw THEN cum.cents END) / 100.0, 2)
              AS median_weighted,
-           round((SELECT min(cents) FROM cum WHERE 4 * cw >= 3 * tot.tw) / 100.0, 2)
+           round(min(CASE WHEN 4 * cum.cw >= 3 * tot.tw THEN cum.cents END) / 100.0, 2)
              AS p75_weighted
-    FROM tot
+    FROM cum, tot
+    GROUP BY tot.tw
     """,
 )
 def agg_weighted_median(spark, sf_dir):
