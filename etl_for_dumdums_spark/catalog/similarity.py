@@ -1266,7 +1266,7 @@ def embed_kmeans_lloyd(spark, sf_dir):
     "sim_lsh_multiprobe",
     extra=True,
     sql=f"""
-    WITH iv AS (
+    WITH iv AS MATERIALIZED (  -- 4 refs; inlined copies OOMed DuckDB at 2M vectors (r7 1000x sweep)
       SELECT vec_id, {_IVEC_SQL} AS v, {_NORM_SQL.format(v=_IVEC_SQL)} AS nrm,
              {_bucket_sql(_IVEC_SQL)} AS bucket
       FROM embeddings),
