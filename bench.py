@@ -81,8 +81,11 @@ def duckdb_control(sf_dir: str, names: list[str], n_runs: int):
             for r in range(n_runs):
                 t0 = time.time()
                 con.execute(oracle[name]).fetchall()
-                dt = time.time() - t0
-                runs.append(dt)
+                runs.append(time.time() - t0)
+            # fold into the round totals only after ALL runs succeeded —
+            # a mid-way failure would otherwise leave partial timings in
+            # rounds[] that the per-query/total figures exclude
+            for r, dt in enumerate(runs):
                 rounds[r] += dt
             per_query[name] = round(min(runs), 3)
         except Exception as exc:  # pragma: no cover
@@ -93,6 +96,22 @@ def duckdb_control(sf_dir: str, names: list[str], n_runs: int):
 
 
 def main() -> None:
+    # refuse to bench while an at-scale oracle sweep is live: BENCH_r07 was
+    # taken under sweep contention and read as a 70%/46% per-query regression
+    # that a quiet-box re-run showed was pure noise. Override (e.g. for a
+    # deliberately-loaded measurement) with SPARK_GRAFT_BENCH_FORCE=1.
+    sweep_lock = Path("/tmp/spark_graft_sweep.lock")
+    if sweep_lock.exists() and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+        pid = sweep_lock.read_text().strip()
+        if pid and Path(f"/proc/{pid}").exists():
+            print(
+                f"bench: sweep (pid {pid}) holds {sweep_lock}; benching under "
+                "sweep contention produces unusable numbers — aborting",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        sweep_lock.unlink(missing_ok=True)  # stale
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

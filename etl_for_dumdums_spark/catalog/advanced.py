@@ -514,9 +514,12 @@ _QUANTILE_QS = (0.5, 0.99)  # two probes keep the check affordable (~25 count jo
     extra=True,
     # single-scan oracle: the list form of quantile_cont sorts lineitem
     # ONCE for every q (the per-q UNION ALL form re-materialized 600M
-    # doubles per branch and dominated the 1000x sweep)
+    # doubles per branch and dominated the 1000x sweep). MATERIALIZED is
+    # load-bearing: DuckDB inlines a plain CTE into each UNION ALL branch
+    # (EXPLAIN showed two UNGROUPED_AGGREGATE quantile_cont nodes), which
+    # silently restored the sort-per-q cost this CTE exists to avoid.
     sql=f"""
-    WITH agg AS (
+    WITH agg AS MATERIALIZED (
       SELECT quantile_cont(l_extendedprice,
                            [{', '.join(str(q) for q in _QUANTILE_QS)}]) AS vs
       FROM lineitem)

@@ -195,6 +195,11 @@ def main():
         # (temp_directory) keeps big windows correct at the lower ceiling.
         c.execute("SET memory_limit='24GB'")
         c.execute("SET temp_directory='/tmp/duck_spill'")
+        # hard cap on spill: r7's sweep filled the whole disk with DuckDB
+        # temp files, which then killed *Spark's* shuffle spills in the
+        # concurrently running queries (join_skew_salted, prefix_jaccard).
+        # 30GiB leaves ~half the box's free space for Spark's own /tmp use.
+        c.execute("SET max_temp_directory_size='30GiB'")
         for tname in TABLE_NAMES:
             # driver testdata is one file per table; Spark-written scale-up
             # data (tools/make_scale_data.py) is a directory of parts — glob

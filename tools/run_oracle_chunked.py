@@ -15,9 +15,18 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
+import tempfile
+import time
 from pathlib import Path
+
+# One sweep at a time, and no bench.py while one runs: r7's three at-scale
+# incidents (disk-full killing Spark shuffle spills, 22 GiB DuckDB OOMs, a
+# contaminated BENCH_r07) all trace to two sweep runners + bench sharing one
+# disk/CPU simultaneously. bench.py refuses to start while this lock exists.
+SWEEP_LOCK = Path("/tmp/spark_graft_sweep.lock")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -30,6 +39,20 @@ def main() -> int:
     ap.add_argument("--exclude", default="")
     ap.add_argument("--chunk-size", type=int, default=40)
     args = ap.parse_args()
+
+    if SWEEP_LOCK.exists():
+        pid = SWEEP_LOCK.read_text().strip()
+        # stale-lock recovery: the owning process may have been killed
+        if pid and Path(f"/proc/{pid}").exists():
+            print(
+                f"another sweep (pid {pid}) holds {SWEEP_LOCK}; refusing to "
+                "run two at once (r7: concurrent sweeps filled the disk)",
+                file=sys.stderr,
+            )
+            return 2
+        print(f"removing stale sweep lock (pid {pid} is gone)", flush=True)
+        SWEEP_LOCK.unlink(missing_ok=True)
+    SWEEP_LOCK.write_text(str(os.getpid()))
 
     load_all()
     excluded = {n for n in args.exclude.split(",") if n}
@@ -45,20 +68,56 @@ def main() -> int:
         print(f"--- chunk {i}/{len(chunks)} ({len(chunk)} queries)", flush=True)
         # stream stdout live (a 1000x chunk can run >30 min — a silent
         # capture makes progress unobservable) while still collecting it
-        # for the PASS/FAIL accounting below
-        proc = subprocess.Popen(
-            [sys.executable, str(here / "check_oracle.py"), "--sf", args.sf, *chunk],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        out_lines = []
-        for line in proc.stdout:
-            sys.stdout.write(line)
-            sys.stdout.flush()
-            out_lines.append(line)
-        _, err = proc.communicate()
+        # for the PASS/FAIL accounting below.
+        #
+        # Child I/O goes to FILES, not pipes, for two observed failure modes:
+        # 1. a stderr PIPE that nobody drains while we block on stdout fills
+        #    at ~64KB and deadlocks the child (r7 advice #1);
+        # 2. the child's Spark JVM inherits the stdout pipe write-end, so if
+        #    the python child dies but the JVM lingers (observed r7: zombie
+        #    check_oracle + orphaned JVM at ppid=1), the pipe never hits EOF
+        #    and the parent blocks forever on a dead sweep.
+        # Polling a file has neither problem: EOF is "child exited and no
+        # new bytes", regardless of who still holds the fd.
+        out_path = Path(tempfile.mkstemp(prefix=f"oracle_chunk{i}_out_")[1])
+        err_path = Path(tempfile.mkstemp(prefix=f"oracle_chunk{i}_err_")[1])
+        with open(out_path, "w") as out_f, open(err_path, "w") as err_f:
+            proc = subprocess.Popen(
+                [sys.executable, str(here / "check_oracle.py"), "--sf", args.sf, *chunk],
+                stdout=out_f,
+                stderr=err_f,
+            )
+            out_lines = []
+            # binary mode: text-mode tell() is an opaque cookie, so the
+            # rewind-on-partial-line trick needs byte offsets
+            with open(out_path, "rb") as reader:
+                done = False
+                while True:
+                    pos = reader.tell()
+                    raw = reader.readline()
+                    if raw:
+                        if raw.endswith(b"\n"):
+                            line = raw.decode(errors="replace")
+                            sys.stdout.write(line)
+                            sys.stdout.flush()
+                            out_lines.append(line)
+                        elif not done:
+                            # partial line — rewind and wait for the rest
+                            reader.seek(pos)
+                            time.sleep(0.5)
+                        else:  # child exited mid-line: take what's there
+                            out_lines.append(raw.decode(errors="replace"))
+                        continue
+                    if done:
+                        break
+                    if proc.poll() is not None:
+                        done = True  # one more pass to drain the tail
+                        continue
+                    time.sleep(0.5)
         out = "".join(out_lines)
+        err = err_path.read_text()
+        out_path.unlink(missing_ok=True)
+        err_path.unlink(missing_ok=True)
         if proc.returncode not in (0, 1):  # 1 = some FAILs; >1 = crash
             sys.stderr.write((err or "")[-2000:])
             print(f"chunk {i} crashed (rc={proc.returncode})", flush=True)
@@ -84,6 +143,7 @@ def main() -> int:
         f" of {len(names)}"
         + (f" ({crashed_chunks} chunk(s) crashed)" if crashed_chunks else "")
     )
+    SWEEP_LOCK.unlink(missing_ok=True)
     return 1 if (total_fail or unaccounted or crashed_chunks) else 0
 
 
