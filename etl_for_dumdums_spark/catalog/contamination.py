@@ -78,15 +78,22 @@ def _shingles(t):
 # KMV overlap sketch
 # ---------------------------------------------------------------------------
 def _kmv_sql() -> str:
+    # ab is the ONLY expensive node (shingle explode + DISTINCT): everything
+    # downstream reads it. Without MATERIALIZED, DuckDB inlined the plain
+    # a/b CTEs into their 4 references each, re-running the ~1B-row explode
+    # per reference — disk-full at the 1000x sweep (r7). The exact counts
+    # are single scans of ab: each h appears once or twice (once per split),
+    # so n_union = distinct h and n_inter = rows - distinct h.
     k = _KMV_K
     return f"""
     WITH {_SHINGLES_SQL},
-    a AS (SELECT DISTINCT h FROM shingles WHERE split = 0),
-    b AS (SELECT DISTINCT h FROM shingles WHERE split = 1),
-    ka AS (SELECT h FROM a ORDER BY h LIMIT {k}),
-    kb AS (SELECT h FROM b ORDER BY h LIMIT {k}),
+    ab AS MATERIALIZED (SELECT DISTINCT split, h FROM shingles),
+    a AS (SELECT h FROM ab WHERE split = 0),
+    b AS (SELECT h FROM ab WHERE split = 1),
+    ka AS MATERIALIZED (SELECT h FROM a ORDER BY h LIMIT {k}),
+    kb AS MATERIALIZED (SELECT h FROM b ORDER BY h LIMIT {k}),
     ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u ORDER BY h LIMIT {k}),
-    tau AS (SELECT max(h) AS tau FROM ku),
+    tau AS MATERIALIZED (SELECT max(h) AS tau FROM ku),
     k_inter AS (
       SELECT count(*) AS ki FROM ka JOIN kb USING (h) CROSS JOIN tau WHERE h <= tau),
     est AS (
@@ -95,10 +102,11 @@ def _kmv_sql() -> str:
              ({k} - 1) * {_POW60} / (SELECT tau FROM tau)   AS est_union,
              (SELECT ki FROM k_inter) AS ki),
     exact AS (
-      SELECT (SELECT count(*) FROM a) AS n_train,
-             (SELECT count(*) FROM b) AS n_test,
-             (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b) u) AS n_union,
-             (SELECT count(*) FROM a JOIN b USING (h)) AS n_inter)
+      SELECT CAST(count_if(split = 0) AS BIGINT) AS n_train,
+             CAST(count_if(split = 1) AS BIGINT) AS n_test,
+             count(DISTINCT h) AS n_union,
+             count(*) - count(DISTINCT h) AS n_inter
+      FROM ab)
     SELECT {k} AS k,
            n_train, round(est_train, {DP}) AS est_train,
            n_test,  round(est_test, {DP})  AS est_test,

@@ -424,9 +424,17 @@ _MAX_SHINGLE_DF = 64
              unnest(list_transform(range(1, len(a) - 1),
                                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
       FROM arr WHERE len(a) >= 3),
-    kept AS (
-      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}),
-    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+    -- sh is MATERIALIZED and the DF cap is a window over ONE pass of sh0:
+    -- the GROUP/HAVING + JOIN form referenced sh0 twice and sh three times,
+    -- and DuckDB's plain-CTE inlining re-ran the full shingle explode +
+    -- DISTINCT per reference (~5x) — disk-full at the 1000x sweep (r7).
+    -- count(*) OVER (PARTITION BY shingle) on the post-DISTINCT rows IS the
+    -- document frequency, so the kept set is identical.
+    sh AS MATERIALIZED (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0)
+      WHERE df <= {_MAX_SHINGLE_DF}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
@@ -534,20 +542,25 @@ def _sh64_sql() -> str:
     WITH tok AS (
       SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents),
     votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
-    bandvals AS (SELECT doc_id, {bandvals} FROM votes),
-    bands AS ({bands_long}),
+    -- bandvals is the keystone: the token explode + 64-way conditional-sum
+    -- GROUP BY above it is the expensive node, and bandvals is referenced
+    -- 6x (4 UNION ALL band branches + both sides of the hamming verify).
+    -- Plain-CTE inlining re-ran the explode per reference — disk-full at
+    -- the 1000x sweep (r7). Materialized it is one row per document.
+    bandvals AS MATERIALIZED (SELECT doc_id, {bandvals} FROM votes),
+    bands AS MATERIALIZED ({bands_long}),
     small AS (
       SELECT doc_id, band, key,
              count(*) OVER (PARTITION BY band, key) AS bucket_size
       FROM bands QUALIFY bucket_size <= {_MAX_BUCKET}),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM small a JOIN small b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
     verified AS (
       SELECT da, db, {hamming} AS hamming
       FROM cand JOIN bandvals x ON x.doc_id = da JOIN bandvals y ON y.doc_id = db),
-    confirmed AS (SELECT * FROM verified WHERE hamming <= {_SH64_HAM_MAX})
+    confirmed AS MATERIALIZED (SELECT * FROM verified WHERE hamming <= {_SH64_HAM_MAX})
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            (SELECT count(*) FROM cand) AS n_candidate_pairs,
            (SELECT count(*) FROM confirmed) AS n_confirmed_pairs,

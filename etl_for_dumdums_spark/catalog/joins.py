@@ -77,14 +77,34 @@ def join_enrich_left(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "join_self_adjacent",
+    # the oracle avoids the 600M x 600M self-join (its hash build died
+    # reading back a spill file at the r7 1000x sweep) via an exact
+    # decomposition: (l_orderkey, l_linenumber) is NOT unique (up to 6 rows
+    # per key in the testdata), so the join pairs every cur row with every
+    # row of the l+1 group. Aggregated to (orderkey, linenumber, flag)
+    # granularity with per-(orderkey, linenumber) successor-group totals
+    # (tc, tsq) fetched by a RANGE 1-FOLLOWING window — no join at all:
+    #   n_pairs(flag)  = sum(c * tc)
+    #   sum_step(flag) = sum(c * tsq - tc * sq)
+    # One group-by + one window sort, both spillable single passes. The
+    # Spark side still exercises the real join.
     sql=f"""
-    SELECT cur.l_returnflag,
-           count(*) AS n_pairs,
-           round(avg(nxt.l_quantity - cur.l_quantity), {DP}) AS avg_qty_step
-    FROM lineitem cur
-    JOIN lineitem nxt
-      ON cur.l_orderkey = nxt.l_orderkey AND nxt.l_linenumber = cur.l_linenumber + 1
-    GROUP BY cur.l_returnflag ORDER BY cur.l_returnflag
+    WITH g AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             count(*) AS c, sum(l_quantity) AS sq
+      FROM lineitem GROUP BY 1, 2, 3),
+    w AS (
+      SELECT l_returnflag, c, sq,
+             sum(c)  OVER nxt AS tc,
+             sum(sq) OVER nxt AS tsq
+      FROM g
+      WINDOW nxt AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING))
+    SELECT l_returnflag,
+           CAST(sum(c * tc) AS BIGINT) AS n_pairs,
+           round(sum(c * tsq - tc * sq) / sum(c * tc), {DP}) AS avg_qty_step
+    FROM w WHERE tc IS NOT NULL
+    GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def join_self_adjacent(spark, sf_dir):

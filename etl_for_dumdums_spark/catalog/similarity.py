@@ -1277,7 +1277,7 @@ def embed_kmeans_lloyd(spark, sf_dir):
                   ELSE xor(q.bucket, 1 << t.b) END AS pbucket,
              t.b = -1 AS is_exact
       FROM q, unnest(generate_series(-1, {_SIGN_BITS} - 1)) AS t(b)),
-    cand AS (
+    cand AS MATERIALIZED (  -- 3 refs (top9/top1/counts): inlining re-runs the probe join
       SELECT p.query_id, p.is_exact, c.vec_id AS neighbor_id,
              round({_DOT_SQL.format(a='p.qv', b='c.v')}
                    / sqrt(p.qnrm * 1.0 * c.nrm), {DP}) AS cosine
@@ -1295,7 +1295,7 @@ def embed_kmeans_lloyd(spark, sf_dir):
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, neighbor_id) AS rnk
         FROM cand WHERE is_exact) WHERE rnk <= {_TOPK}),
-    brute AS (
+    brute AS MATERIALIZED (  -- 2 refs (r1/r9): inlining doubles the |q|*n brute-force pass
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.vec_id
