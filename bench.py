@@ -100,8 +100,12 @@ def main() -> None:
     # taken under sweep contention and read as a 70%/46% per-query regression
     # that a quiet-box re-run showed was pure noise. Override (e.g. for a
     # deliberately-loaded measurement) with SPARK_GRAFT_BENCH_FORCE=1.
-    sweep_lock = Path("/tmp/spark_graft_sweep.lock")
-    if sweep_lock.exists() and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+    import glob as _glob
+
+    for lockpath in _glob.glob("/tmp/spark_graft_sweep*.lock"):
+        if os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+            break
+        sweep_lock = Path(lockpath)
         pid = sweep_lock.read_text().strip()
         if pid and Path(f"/proc/{pid}").exists():
             print(

@@ -42,6 +42,7 @@ R7_LOGS = [
 ]
 R8_LOGS = [
     Path("/tmp/oracle1000_r8.log"),
+    Path("/tmp/oracle1000_r8b.log"),
     Path("/tmp/oracle1000_r8_rerun.log"),
 ]
 SAMPLED_LOGS_R7 = [REPO / "scale_logs/oracle1000_sampled_results.log"]

@@ -193,13 +193,20 @@ def main():
         # query OOMs at the limit the retry's fresh pool must coexist with
         # the old one's not-yet-returned pages (no swap on this box). Spill
         # (temp_directory) keeps big windows correct at the lower ceiling.
-        c.execute("SET memory_limit='24GB'")
-        c.execute("SET temp_directory='/tmp/duck_spill'")
+        # resource caps are env-tunable so deliberate parallel half-sweeps
+        # can split the box's budget (e.g. two runners at 16GB/15GiB each)
+        c.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'")
+        tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/tmp/duck_spill")
+        os.makedirs(tmp, exist_ok=True)
+        c.execute(f"SET temp_directory='{tmp}'")
         # hard cap on spill: r7's sweep filled the whole disk with DuckDB
         # temp files, which then killed *Spark's* shuffle spills in the
         # concurrently running queries (join_skew_salted, prefix_jaccard).
         # 30GiB leaves ~half the box's free space for Spark's own /tmp use.
-        c.execute("SET max_temp_directory_size='30GiB'")
+        c.execute(
+            "SET max_temp_directory_size="
+            f"'{os.environ.get('SPARK_GRAFT_DUCK_SPILL', '30GiB')}'"
+        )
         for tname in TABLE_NAMES:
             # driver testdata is one file per table; Spark-written scale-up
             # data (tools/make_scale_data.py) is a directory of parts — glob

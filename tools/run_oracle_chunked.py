@@ -40,19 +40,28 @@ def main() -> int:
     ap.add_argument("--chunk-size", type=int, default=40)
     args = ap.parse_args()
 
+    lock = SWEEP_LOCK
     if SWEEP_LOCK.exists():
         pid = SWEEP_LOCK.read_text().strip()
         # stale-lock recovery: the owning process may have been killed
         if pid and Path(f"/proc/{pid}").exists():
-            print(
-                f"another sweep (pid {pid}) holds {SWEEP_LOCK}; refusing to "
-                "run two at once (r7: concurrent sweeps filled the disk)",
-                file=sys.stderr,
-            )
-            return 2
-        print(f"removing stale sweep lock (pid {pid} is gone)", flush=True)
-        SWEEP_LOCK.unlink(missing_ok=True)
-    SWEEP_LOCK.write_text(str(os.getpid()))
+            if os.environ.get("SPARK_GRAFT_SWEEP_PARALLEL"):
+                # deliberate split sweep: take a pid-suffixed lock so bench
+                # still sees a live sweep; the operator is responsible for
+                # also splitting the resource caps (SPARK_GRAFT_DUCK_MEM /
+                # _SPILL / _TMP) so the halves can't jointly fill the box
+                lock = SWEEP_LOCK.with_name(f"{SWEEP_LOCK.stem}.{os.getpid()}.lock")
+            else:
+                print(
+                    f"another sweep (pid {pid}) holds {SWEEP_LOCK}; refusing to "
+                    "run two at once (r7: concurrent sweeps filled the disk)",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            print(f"removing stale sweep lock (pid {pid} is gone)", flush=True)
+            SWEEP_LOCK.unlink(missing_ok=True)
+    lock.write_text(str(os.getpid()))
 
     load_all()
     excluded = {n for n in args.exclude.split(",") if n}
@@ -143,7 +152,7 @@ def main() -> int:
         f" of {len(names)}"
         + (f" ({crashed_chunks} chunk(s) crashed)" if crashed_chunks else "")
     )
-    SWEEP_LOCK.unlink(missing_ok=True)
+    lock.unlink(missing_ok=True)
     return 1 if (total_fail or unaccounted or crashed_chunks) else 0
 
 
