@@ -73,12 +73,18 @@ def _iter_sql(prev: str, it: str) -> str:
 @register(
     "graph_pagerank_nations",
     extra=True,
+    # edges MUST be materialized: it reduces the 600M-row lineitem 3-way
+    # join to <= |nations|^2 rows, but it is referenced by outw, inw, and
+    # every unrolled iteration — DuckDB's plain-CTE inlining re-ran the full
+    # join per reference and blew the 15GiB spill cap at the 1000x sweep.
+    # outw/nodes are tiny but multiply referenced, so pin them too.
     sql=f"""
-    WITH edges AS ({_edges_sql()}),
-    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    WITH edges AS MATERIALIZED ({_edges_sql()}),
+    outw AS MATERIALIZED (
+      SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
     inw AS (SELECT dst, CAST(sum(w) AS BIGINT) AS in_w FROM edges GROUP BY dst),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
-    nodes AS (
+    nodes AS MATERIALIZED (
       SELECT n_nationkey AS node, n_name,
              CAST({_PPB} // nn.n AS BIGINT) AS rank0,
              CAST({_PPB - _DAMP_NUM * _PPB // _DAMP_DEN} // nn.n AS BIGINT) AS base
@@ -179,7 +185,14 @@ _REACH_TOPK = 5
 _REACH_HOPS = 3
 
 
-def _reach_sql(li: str, orders: str, cust: str, supp: str) -> str:
+def _reach_sql(li: str, orders: str, cust: str, supp: str, materialize: bool = False) -> str:
+    # materialize=True pins `strong` (<= |nations|*topk rows) for the DuckDB
+    # oracle: it is referenced by BOTH the recursion seed and the recursive
+    # step, and a plain CTE inlined into the step re-runs the full 600M-row
+    # raw_edges join on every iteration. Spark doesn't parse AS MATERIALIZED,
+    # so the shared-string twin keeps the plain form there (Spark plans the
+    # recursion itself); the query text is otherwise identical.
+    mat = "MATERIALIZED " if materialize else ""
     return f"""
     WITH RECURSIVE raw_edges AS (
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
@@ -189,7 +202,7 @@ def _reach_sql(li: str, orders: str, cust: str, supp: str) -> str:
       JOIN {cust} c   ON o.o_custkey = c.c_custkey
       JOIN {supp} s   ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2),
-    strong AS (
+    strong AS {mat}(
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
@@ -216,7 +229,7 @@ def _reach_sql(li: str, orders: str, cust: str, supp: str) -> str:
 @register(
     "graph_reachability_recursive",
     extra=True,
-    sql=_reach_sql("lineitem", "orders", "customer", "supplier"),
+    sql=_reach_sql("lineitem", "orders", "customer", "supplier", materialize=True),
 )
 def graph_reachability_recursive(spark, sf_dir):
     t = Tables(spark, sf_dir)
@@ -249,12 +262,16 @@ def graph_reachability_recursive(spark, sf_dir):
 @register(
     "graph_triangle_count",
     extra=True,
+    # und is <= |nations|^2/2 rows but referenced 6x (deg twice via the
+    # UNION ALL, tri three times, ecount once) — inlined, each reference
+    # re-ran the 600M-row edge join; 15GiB spill-cap death at the 1000x
+    # sweep. Materialized, everything downstream is sub-millisecond.
     sql=f"""
     WITH edges AS ({_edges_sql()}),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM edges WHERE src <> dst),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
       GROUP BY node),
