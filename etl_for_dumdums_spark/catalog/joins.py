@@ -496,9 +496,9 @@ _COOC_K = 20
     "join_cooccurrence_pairs",
     extra=True,
     sql=f"""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    part_orders AS (
+    WITH items AS MATERIALIZED (  -- 4 refs: inlined, the 600M-row DISTINCT
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),  -- re-ran each time (15GiB spill-cap death, r8 1000x sweep)
+    part_orders AS MATERIALIZED (
       SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY l_partkey),
     n_total AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
     pairs AS (
