@@ -404,8 +404,14 @@ _ROLL_CORR_DAYS = 14
     extra=True,
     sql=f"""
     WITH daily AS (
+      -- rev_k from an EXACT integer-cent sum + half-up integer division:
+      -- the earlier round(sum(double)/1000) flipped by one unit at the
+      -- 1000x replica (73k orders/day put the float sum's half-boundary
+      -- inside the engines' summation-order noise — one day in ~2400
+      -- diverged; r8 sweep, ts_rolling_corr).
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(round(sum(o_totalprice) / 1000) AS BIGINT) AS rev_k,
+             CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50000)
+                  // 100000 AS BIGINT) AS rev_k,
              CAST(count(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY 1),
     win AS (
@@ -432,7 +438,11 @@ _ROLL_CORR_DAYS = 14
 def ts_rolling_corr(spark, sf_dir):
     t = Tables(spark, sf_dir)
     daily = t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.expr("CAST(round(sum(o_totalprice) / 1000) AS BIGINT)").alias("rev_k"),
+        # exact integer cents, half-up integer division — see the oracle
+        # comment: float-sum rounding flipped rev_k by 1 at the 1000x replica
+        F.expr(
+            "(sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50000) DIV 100000"
+        ).alias("rev_k"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
     w = W.orderBy("day").rowsBetween(-(_ROLL_CORR_DAYS - 1), 0)
