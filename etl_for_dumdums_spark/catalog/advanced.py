@@ -827,13 +827,17 @@ _CARD_SAMPLE_MOD = 16
     sql=f"""
     WITH ca AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
     cb AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
-    exact AS (
-      SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS predicted
-      FROM ca JOIN cb ON ca.k = cb.k),
+    -- hist is the oracle twin of the Spark side's cached `hist` frame: the
+    -- exact and sampled predictors both read it, and without MATERIALIZED
+    -- the ca/cb 600M/150M-row aggregates + their join re-ran per predictor
+    -- (15GiB spill-cap death at the r8 1000x sweep)
+    hist AS MATERIALIZED (
+      SELECT ca.k, ca.n * cb.n AS prod FROM ca JOIN cb ON ca.k = cb.k),
+    exact AS (SELECT CAST(sum(prod) AS BIGINT) AS predicted FROM hist),
     sampled AS (
-      SELECT CAST(sum(ca.n * cb.n) * {_CARD_SAMPLE_MOD} AS BIGINT) AS est
-      FROM ca JOIN cb ON ca.k = cb.k
-      WHERE {_h_sql('CAST(ca.k AS VARCHAR)')} % {_CARD_SAMPLE_MOD} = 0),
+      SELECT CAST(sum(prod) * {_CARD_SAMPLE_MOD} AS BIGINT) AS est
+      FROM hist
+      WHERE {_h_sql('CAST(k AS VARCHAR)')} % {_CARD_SAMPLE_MOD} = 0),
     actual AS (
       SELECT CAST(count(*) AS BIGINT) AS actual
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
@@ -984,28 +988,29 @@ _PCM_CLIP = 15000
     extra=True,
     sql=f"""
     WITH docs AS (SELECT doc_id, lang, 200 + doc_id % 57 AS n FROM documents),
+    -- the successor sample nx is stated in closed form instead of
+    -- lead() OVER: the signal is x_i = f(doc_id, i), so x_(i+1) needs no
+    -- window. The lead form sorted the ~1.14B-row explode AND referenced
+    -- it twice (pairs + per), re-running the explode per reference —
+    -- 15GiB spill-cap death at the r8 1000x sweep. Now the explode streams
+    -- through ONE grouped aggregate. lead's partition-end NULL is matched
+    -- by the CASE (x * NULL < 0 is NULL -> count_if false, same as before).
     samples AS (
       SELECT d.doc_id, d.lang, d.n, t.i,
-             CAST(((d.doc_id * 31 + t.i * 17) % 4001 - 2000) * 8 AS BIGINT) AS x
+             CAST(((d.doc_id * 31 + t.i * 17) % 4001 - 2000) * 8 AS BIGINT) AS x,
+             CASE WHEN t.i < d.n - 1 THEN
+               CAST(((d.doc_id * 31 + (t.i + 1) * 17) % 4001 - 2000) * 8 AS BIGINT)
+             END AS nx
       FROM docs d, unnest(generate_series(0, d.n - 1)) AS t(i)),
-    pairs AS (
-      SELECT doc_id, x, lead(x) OVER (PARTITION BY doc_id ORDER BY i) AS nx
-      FROM samples),
-    per AS (
-      SELECT doc_id, any_value(lang) AS lang, any_value(n) AS n,
-             CAST(any_value(n) * 1000 // {_PCM_RATE} AS BIGINT) AS duration_ms,
-             CAST(sum(x * x) AS BIGINT) AS ssq,
-             CAST(max(abs(x)) AS BIGINT) AS peak,
-             CAST(count_if(abs(x) >= {_PCM_CLIP}) AS BIGINT) AS n_clipped
-      FROM samples GROUP BY doc_id),
-    zc AS (
-      SELECT doc_id, CAST(count_if(x * nx < 0) AS BIGINT) AS zero_cross
-      FROM pairs GROUP BY doc_id),
     perd AS (
-      SELECT per.lang, per.n, per.duration_ms, per.peak, per.n_clipped,
-             CAST(floor(sqrt(CAST(per.ssq // per.n AS DOUBLE))) AS BIGINT) AS rms_int,
-             zc.zero_cross
-      FROM per JOIN zc USING (doc_id))
+      SELECT any_value(lang) AS lang, any_value(n) AS n,
+             CAST(any_value(n) * 1000 // {_PCM_RATE} AS BIGINT) AS duration_ms,
+             CAST(max(abs(x)) AS BIGINT) AS peak,
+             CAST(count_if(abs(x) >= {_PCM_CLIP}) AS BIGINT) AS n_clipped,
+             CAST(floor(sqrt(CAST(CAST(sum(x * x) AS BIGINT) // any_value(n)
+                                  AS DOUBLE))) AS BIGINT) AS rms_int,
+             CAST(count_if(x * nx < 0) AS BIGINT) AS zero_cross
+      FROM samples GROUP BY doc_id)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_clips,
            CAST(sum(n) AS BIGINT) AS total_samples,
