@@ -196,7 +196,13 @@ def main():
         # resource caps are env-tunable so deliberate parallel half-sweeps
         # can split the box's budget (e.g. two runners at 16GB/15GiB each)
         c.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'")
+        # per-PROCESS spill dir: DuckDB names its temp files generically
+        # (duckdb_temp_storage-N.tmp), so two processes sharing a dir can
+        # overwrite each other's spill — r7's "Could not read enough bytes"
+        # corruption on join_self_adjacent was two concurrent sweeps
+        # sharing /tmp/duck_spill
         tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/tmp/duck_spill")
+        tmp = f"{tmp}.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         c.execute(f"SET temp_directory='{tmp}'")
         # hard cap on spill: r7's sweep filled the whole disk with DuckDB

@@ -63,6 +63,18 @@ def main() -> int:
             SWEEP_LOCK.unlink(missing_ok=True)
     lock.write_text(str(os.getpid()))
 
+    # purge spill dirs left by dead check_oracle processes (they are
+    # per-pid — see check_oracle.make_con — so a killed chunk's spill
+    # would otherwise sit on disk for the rest of the sweep)
+    import glob
+    import shutil
+
+    base = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/tmp/duck_spill")
+    for d in glob.glob(f"{base}.*"):
+        pid = d.rsplit(".", 1)[-1]
+        if pid.isdigit() and not Path(f"/proc/{pid}").exists():
+            shutil.rmtree(d, ignore_errors=True)
+
     load_all()
     excluded = {n for n in args.exclude.split(",") if n}
     names = sorted(n for n in {**QUERIES, **EXTRA_QUERIES} if n not in excluded)
