@@ -325,31 +325,67 @@ def agg_global_summary(spark, sf_dir):
 @register(
     "agg_winsorized_stats",
     extra=True,
+    # The oracle computes the exact per-group p05/p95 from a cents HISTOGRAM
+    # (group by flag+cents -> cumulative counts -> the two order statistics
+    # -> quantile_cont's own interpolation h=(n-1)q, v_lo+(v_hi-v_lo)*frac
+    # restated on cents/100.0, which is bit-exact the stored double).
+    # DuckDB's native GROUPED quantile_cont buffers every value per group —
+    # 600M doubles at the 1000x replica ground for 45+ minutes without
+    # finishing (r8 sweep); the histogram form is one scan + a ~31M-row
+    # window and returns in seconds. Pin-tested equal to the quantile_cont
+    # form at sf0.001/sf0.01 (tests/test_advice_r8.py).
     sql=f"""
-    WITH pct AS (
-      SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.05) AS p05,
-             quantile_cont(l_extendedprice, 0.95) AS p95
-      FROM lineitem GROUP BY l_returnflag),
-    classified AS (
-      SELECT l.l_returnflag,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
-             p.p05, p.p95,
-             CASE WHEN l.l_extendedprice < p.p05 THEN 'below'
-                  WHEN l.l_extendedprice > p.p95 THEN 'above'
-                  ELSE 'inlier' END AS cls
-      FROM lineitem l JOIN pct p USING (l_returnflag))
+    WITH hist AS MATERIALIZED (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    cum AS MATERIALIZED (
+      SELECT l_returnflag, cents, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM hist),
+    qpos AS (
+      SELECT l_returnflag, n,
+             CAST(floor((n - 1) * 0.05) AS BIGINT) AS lo05,
+             CAST(ceil((n - 1) * 0.05)  AS BIGINT) AS hi05,
+             (n - 1) * 0.05 - floor((n - 1) * 0.05) AS fr05,
+             CAST(floor((n - 1) * 0.95) AS BIGINT) AS lo95,
+             CAST(ceil((n - 1) * 0.95)  AS BIGINT) AS hi95,
+             (n - 1) * 0.95 - floor((n - 1) * 0.95) AS fr95
+      FROM (SELECT DISTINCT l_returnflag, n FROM cum)),
+    ostat AS (
+      SELECT c.l_returnflag,
+             min(CASE WHEN c.cum >= q.lo05 + 1 THEN c.cents END) AS v_lo05,
+             min(CASE WHEN c.cum >= q.hi05 + 1 THEN c.cents END) AS v_hi05,
+             min(CASE WHEN c.cum >= q.lo95 + 1 THEN c.cents END) AS v_lo95,
+             min(CASE WHEN c.cum >= q.hi95 + 1 THEN c.cents END) AS v_hi95
+      FROM cum c JOIN qpos q USING (l_returnflag)
+      GROUP BY c.l_returnflag),
+    pct AS (
+      SELECT o.l_returnflag,
+             (v_lo05 / 100.0) + ((v_hi05 / 100.0) - (v_lo05 / 100.0)) * q.fr05 AS p05,
+             (v_lo95 / 100.0) + ((v_hi95 / 100.0) - (v_lo95 / 100.0)) * q.fr95 AS p95
+      FROM ostat o JOIN qpos q USING (l_returnflag)),
+    agg AS (
+      SELECT h.l_returnflag,
+             sum(h.cnt) AS n_rows,
+             sum(CASE WHEN h.cents / 100.0 < p.p05 THEN h.cnt ELSE 0 END) AS n_below,
+             sum(CASE WHEN h.cents / 100.0 > p.p95 THEN h.cnt ELSE 0 END) AS n_above,
+             sum(CASE WHEN h.cents / 100.0 >= p.p05 AND h.cents / 100.0 <= p.p95
+                      THEN h.cents * h.cnt ELSE 0 END) AS inlier_cents,
+             any_value(p.p05) AS p05, any_value(p.p95) AS p95
+      FROM hist h JOIN pct p USING (l_returnflag)
+      GROUP BY h.l_returnflag)
     SELECT l_returnflag,
-           count(*) AS n_rows,
-           CAST(count_if(cls = 'below') AS BIGINT) AS n_clipped_low,
-           CAST(count_if(cls = 'above') AS BIGINT) AS n_clipped_high,
-           round(any_value(p05), {DP}) AS p05,
-           round(any_value(p95), {DP}) AS p95,
-           round(((CAST(sum(CASE WHEN cls = 'inlier' THEN cents ELSE 0 END) AS DOUBLE)
-                   + count_if(cls = 'below') * (any_value(p05) * 100))
-                  + count_if(cls = 'above') * (any_value(p95) * 100))
-                 / (count(*) * 100.0), {DP}) AS avg_winsorized
-    FROM classified GROUP BY l_returnflag ORDER BY l_returnflag
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_below AS BIGINT) AS n_clipped_low,
+           CAST(n_above AS BIGINT) AS n_clipped_high,
+           round(p05, {DP}) AS p05,
+           round(p95, {DP}) AS p95,
+           round(((CAST(inlier_cents AS DOUBLE) + n_below * (p05 * 100))
+                  + n_above * (p95 * 100))
+                 / (n_rows * 100.0), {DP}) AS avg_winsorized
+    FROM agg ORDER BY l_returnflag
     """,
 )
 def agg_winsorized_stats(spark, sf_dir):

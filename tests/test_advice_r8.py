@@ -251,6 +251,45 @@ def test_ngram_jaccard_matches_having_join_form(sf_dir):
     assert got == want
 
 
+# ---------------------------------------------------------------------------
+# 3e. agg_winsorized_stats histogram form == native grouped quantile_cont form
+# ---------------------------------------------------------------------------
+_WINSOR_QUANTILE_FORM = """
+    WITH pct AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag),
+    classified AS (
+      SELECT l.l_returnflag,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             p.p05, p.p95,
+             CASE WHEN l.l_extendedprice < p.p05 THEN 'below'
+                  WHEN l.l_extendedprice > p.p95 THEN 'above'
+                  ELSE 'inlier' END AS cls
+      FROM lineitem l JOIN pct p USING (l_returnflag))
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(count_if(cls = 'below') AS BIGINT) AS n_clipped_low,
+           CAST(count_if(cls = 'above') AS BIGINT) AS n_clipped_high,
+           round(any_value(p05), 4) AS p05,
+           round(any_value(p95), 4) AS p95,
+           round(((CAST(sum(CASE WHEN cls = 'inlier' THEN cents ELSE 0 END) AS DOUBLE)
+                   + count_if(cls = 'below') * (any_value(p05) * 100))
+                  + count_if(cls = 'above') * (any_value(p95) * 100))
+                 / (count(*) * 100.0), 4) AS avg_winsorized
+    FROM classified GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_winsorized_histogram_matches_quantile_cont_form(sf_dir):
+    con = _con(sf_dir, tables=("lineitem",))
+    got = con.execute(EXTRA_ORACLE["agg_winsorized_stats"]).fetchall()
+    want = con.execute(_WINSOR_QUANTILE_FORM).fetchall()
+    assert got == want
+
+
 def test_period2_collapse_identity_bruteforce():
     """The ' a ' / ' y ' counting identity: collapse every 2-gram 'ab' to a
     marker; matches = sum over marker runs (optionally capturing a trailing
