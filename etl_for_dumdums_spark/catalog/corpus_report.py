@@ -35,7 +35,12 @@ _FP = f"md5(array_to_string(list_sort({_TOK}), ' '))"
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
              len({_TOK}) AS n_types
       FROM documents),
-    gated AS (
+    -- every stage frame is MATERIALIZED: the final SELECT counts gated /
+    -- exact / fp / drops independently (fp alone is referenced 4x), and
+    -- DuckDB's plain-CTE inlining re-ran the whole hits->...->minhash
+    -- chain per reference — blew even the 30GiB spill cap at the r8 1000x
+    -- sweep. small is additionally self-joined (a x b) inside drops.
+    gated AS MATERIALIZED (
       SELECT doc_id, text FROM hits
       WHERE (CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
                   WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
@@ -45,10 +50,10 @@ _FP = f"md5(array_to_string(list_sort({_TOK}), ' '))"
         AND NOT (n_tokens < 20)
         AND NOT (h_en * 100 < n_tokens)
         AND NOT (n_types * 10 < n_tokens * 3)),
-    exact AS (
+    exact AS MATERIALIZED (
       SELECT doc_id, text FROM gated
       QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-    fp AS (
+    fp AS MATERIALIZED (
       SELECT doc_id, text FROM exact
       QUALIFY row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1),
     tok AS (
@@ -59,11 +64,11 @@ _FP = f"md5(array_to_string(list_sort({_TOK}), ' '))"
       {_mh_sig_select_sql('tok')}),
     bands AS (
       {_mh_bands_sql()}),
-    small AS (
+    small AS MATERIALIZED (
       SELECT doc_id, band, key,
              count(*) OVER (PARTITION BY band, key) AS bucket_size
       FROM bands QUALIFY bucket_size <= {_MAX_BUCKET}),
-    drops AS (
+    drops AS MATERIALIZED (
       SELECT DISTINCT b.doc_id FROM small a JOIN small b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
     SELECT (SELECT count(*) FROM documents)                        AS n_raw,
