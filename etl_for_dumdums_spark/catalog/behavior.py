@@ -670,21 +670,35 @@ def _sequence_pattern_sql(where: str = "") -> str:
     """Oracle SQL with an optional events WHERE clause — the input-sampled
     at-scale tier (catalog/sampled.py) restricts by user key; the per-user
     computation makes the restriction semantics-preserving."""
+    # The oracle's per-user sequence is a SINGLE-CHAR string ('c','e','p',
+    # 's','v' for the five event types), not the '>'-joined word string the
+    # Spark side scans: DuckDB's per-group list/string aggregate state is
+    # badly under-accounted, and the word form's ~10x larger strings pushed
+    # RSS past the box at the 1000x replica (two OOM kills + one in-limit
+    # OOM, r8 sweep). The four pattern counts are provably identical on the
+    # char string: event types are atomic distinct tokens, so an adjacency
+    # regex X>Y consumes exactly two tokens per non-overlapping match in
+    # both forms (floor(run/2) for the self-adjacent 'ee'), and the
+    # subsequence patterns are exists-in-order checks where .* spans the
+    # same token gaps. Pin-tested against the word form in
+    # tests/test_advice_r8.py.
     return f"""
     WITH firstk AS (
-      SELECT user_id, ts, event_id, event_type
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  WHEN 'view' THEN 'v' ELSE 'x' END AS ch
       FROM events{where}
       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
               <= {_SEQ_CAP}),
     seqs AS (
-      SELECT user_id,
-             array_to_string(list(event_type ORDER BY ts, event_id), '>') AS seq
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
       FROM firstk GROUP BY user_id),
     per AS (
-      SELECT CAST(len(regexp_extract_all(seq, '{_SEQ_ADJ[0][1]}')) AS BIGINT) AS c1,
-             CAST(len(regexp_extract_all(seq, '{_SEQ_ADJ[1][1]}')) AS BIGINT) AS c2,
-             CASE WHEN regexp_matches(seq, '{_SEQ_SUB[0][1]}') THEN 1 ELSE 0 END AS f3,
-             CASE WHEN regexp_matches(seq, '{_SEQ_SUB[1][1]}') THEN 1 ELSE 0 END AS f4
+      SELECT CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT) AS c1,
+             CAST(len(regexp_extract_all(seq, 'ee')) AS BIGINT) AS c2,
+             CASE WHEN regexp_matches(seq, 's.*p') THEN 1 ELSE 0 END AS f3,
+             CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END AS f4
       FROM seqs),
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS n_users,

@@ -1117,34 +1117,39 @@ def _km_dot_sql(a: str, b: str) -> str:
 @register(
     "embed_kmeans_lloyd",
     extra=True,
+    # Assignment aggregates keep INT-ONLY state: the earlier form carried
+    # any_value(v) — 2M per-group list states that DuckDB's memory
+    # accounting badly under-counts — and inlined iv into 4 references;
+    # the process was OOM-killed twice at the 1000x replica (r8 sweep).
+    # Vectors are re-attached by joining the materialized iv instead.
     sql=f"""
-    WITH iv AS (
+    WITH iv AS MATERIALIZED (
       SELECT vec_id, {_IVEC_SQL} AS v FROM embeddings),
-    c0 AS (
+    c0 AS MATERIALIZED (
       SELECT vec_id AS cid, v AS cv, {_NORM_SQL.format(v="v")} AS cnrm
       FROM iv WHERE vec_id < {_KM_K}),
-    a0 AS (
-      SELECT iv.vec_id, any_value(iv.v) AS v,
+    a0c AS MATERIALIZED (
+      SELECT iv.vec_id,
              CAST(min_by(c.cid,
                   (c.cnrm - 2 * {_km_dot_sql('iv.v', 'c.cv')}) * {_KM_K} + c.cid)
                AS BIGINT) AS cid0
       FROM iv CROSS JOIN c0 c GROUP BY iv.vec_id),
     comps AS (
-      SELECT a0.cid0 AS cid, t.i, a0.v[t.i] AS x
-      FROM a0, unnest(generate_series(1, len(a0.v))) AS t(i)),
+      SELECT a0c.cid0 AS cid, t.i, iv.v[t.i] AS x
+      FROM iv JOIN a0c USING (vec_id), unnest(generate_series(1, len(iv.v))) AS t(i)),
     c1 AS (
       SELECT cid, i, CAST(sum(x) // count(*) AS BIGINT) AS cx
       FROM comps GROUP BY cid, i),
-    c1v AS (
+    c1v AS MATERIALIZED (
       SELECT cid, list(cx ORDER BY i) AS cv FROM c1 GROUP BY cid),
     c1n AS (
       SELECT cid, cv, {_NORM_SQL.format(v="cv")} AS cnrm FROM c1v),
-    a1 AS (
-      SELECT a0.vec_id, any_value(a0.cid0) AS cid0,
+    a1 AS MATERIALIZED (
+      SELECT iv.vec_id, any_value(a0c.cid0) AS cid0,
              CAST(min_by(c.cid,
-                  (c.cnrm - 2 * {_km_dot_sql('a0.v', 'c.cv')}) * {_KM_K} + c.cid)
+                  (c.cnrm - 2 * {_km_dot_sql('iv.v', 'c.cv')}) * {_KM_K} + c.cid)
                AS BIGINT) AS cid1
-      FROM a0 CROSS JOIN c1n c GROUP BY a0.vec_id),
+      FROM iv JOIN a0c USING (vec_id) CROSS JOIN c1n c GROUP BY iv.vec_id),
     per0 AS (
       SELECT cid0 AS cid, CAST(count(*) AS BIGINT) AS n_init,
              CAST(count_if(cid1 <> cid0) AS BIGINT) AS n_moved_away
