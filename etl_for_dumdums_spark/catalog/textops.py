@@ -614,9 +614,14 @@ _WINNOW_MAX_HASH_BUCKET = 64
                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel,
              lead(i, {_WINNOW_W - 1}) OVER (PARTITION BY doc_id ORDER BY i) AS full_i
       FROM hashq),
-    sketch AS (SELECT DISTINCT doc_id, sel AS h FROM winnowed WHERE full_i IS NOT NULL),
+    -- sketch is referenced twice (sizes + small) and small is self-joined:
+    -- inlined, the ~1.45B-row per-char explode + double window re-ran per
+    -- reference, and its ~40GB sort spill x2 filled the disk at the 1000x
+    -- sweep. Materialized, the winnowing chain runs once.
+    sketch AS MATERIALIZED (
+      SELECT DISTINCT doc_id, sel AS h FROM winnowed WHERE full_i IS NOT NULL),
     sizes AS (SELECT doc_id, count(*) AS sk FROM sketch GROUP BY doc_id),
-    small AS (
+    small AS MATERIALIZED (
       SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS bucket_size
       FROM sketch QUALIFY bucket_size <= {_WINNOW_MAX_HASH_BUCKET}),
     ovl AS (
