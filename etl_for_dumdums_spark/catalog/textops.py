@@ -492,10 +492,13 @@ def _hex15_to_long_spark(x: str) -> str:
                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel,
              lead(i, {_WINNOW_W - 1}) OVER (PARTITION BY doc_id ORDER BY i) AS full_i
       FROM hashq),
-    sketch AS (
+    -- sketch feeds sizes, shared, AND the per-lang distinct-hash subquery:
+    -- inlined, the ~1.45B-row winnow chain re-ran 3x (30GiB spill-cap
+    -- death at the r8 1000x sweep) — materialize it and its derivatives
+    sketch AS MATERIALIZED (
       SELECT DISTINCT doc_id, lang, sel AS h FROM winnowed WHERE full_i IS NOT NULL),
     sizes AS (SELECT doc_id, lang, count(*) AS sk FROM sketch GROUP BY doc_id, lang),
-    shared AS (
+    shared AS MATERIALIZED (
       SELECT lang, h FROM sketch GROUP BY lang, h HAVING count(DISTINCT doc_id) > 1)
     SELECT z.lang,
            count(*) AS n_docs,
