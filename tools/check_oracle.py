@@ -256,6 +256,7 @@ def main():
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
+            sschema = sdf.schema  # capture pre-collect: usable after spark.stop()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
@@ -265,6 +266,15 @@ def main():
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows) [{time.time()-t0:.1f}s]")
             n_skip += 1
             continue
+        if os.environ.get("SPARK_GRAFT_STOP_SPARK_BEFORE_ORACLE"):
+            # single-query-per-process mode for the biggest oracles: stop
+            # Spark so its shuffle/blockmgr disk (tens of GB for the 900M-
+            # group queries) is freed before DuckDB starts spilling — at
+            # the 1000x replica join_cooccurrence_pairs needs ~46GB of
+            # oracle spill and the two could not fit the disk together.
+            # Only sane with one query per process: later queries would
+            # find the session dead.
+            spark.stop()
         try:
             try:
                 atab = con.execute(oracle[name]).arrow()
@@ -292,7 +302,7 @@ def main():
             ok = False
             msgs.append(f"schema: spark={sorted(scols)} duckdb={sorted(dcols)}")
         else:
-            tmis = type_mismatches(sdf.schema, atab.schema)
+            tmis = type_mismatches(sschema, atab.schema)
             if tmis:
                 ok = False
                 msgs.append("type-strict: " + "; ".join(tmis))
@@ -316,7 +326,8 @@ def main():
         # frame, LSH candidate sets, …): a full-catalog sweep would
         # otherwise accumulate dozens of cached RDDs and lean on LRU
         # eviction under memory pressure (r3 advice finding #4)
-        spark.catalog.clearCache()
+        if not os.environ.get("SPARK_GRAFT_STOP_SPARK_BEFORE_ORACLE"):
+            spark.catalog.clearCache()
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only of {len(names)}")
     return 1 if n_fail else 0
