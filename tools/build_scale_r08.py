@@ -40,11 +40,7 @@ R7_LOGS = [
     REPO / "scale_logs/oracle1000.log",
     REPO / "scale_logs/oracle1000_fix.log",
 ]
-R8_LOGS = [
-    Path("/tmp/oracle1000_r8.log"),
-    Path("/tmp/oracle1000_r8b.log"),
-    Path("/tmp/oracle1000_r8_rerun.log"),
-]
+R8_LOGS = sorted(Path("/tmp").glob("oracle1000_r8*.log"))
 SAMPLED_LOGS_R7 = [REPO / "scale_logs/oracle1000_sampled_results.log"]
 SAMPLED_LOGS_R8 = [Path("/tmp/oracle1000_r8_sampled.log")]
 
