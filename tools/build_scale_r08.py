@@ -8,10 +8,13 @@ Folds together:
     queries, the serialized re-runs of the resource casualties with the
     rewritten oracles, and the sampled tier).
 
-Precedence: a later PASS supersedes any FAIL; an r8 result supersedes an r7
-one for the same query (the r8 runs are serialized and post-surgery). The
-goal state is zero not_run: every one of the catalog's queries is pass /
-rows-only / sampled-pass / named exclusion / named failure at 600M rows.
+Precedence: ROUND FIRST — an r8 result supersedes an r7 one for the same
+query (the r8 runs are serialized and post-surgery), so a query that passed
+in r7 but failed in r8 is reported FAIL (a real regression must show). Within
+a single round's attempt sequence, a later PASS supersedes an earlier FAIL
+(serialized re-runs after resource contention). The goal state is zero
+not_run: every one of the catalog's queries is pass / rows-only /
+sampled-pass / named exclusion / named failure at 600M rows.
 """
 
 from __future__ import annotations
@@ -40,9 +43,10 @@ R7_LOGS = [
     REPO / "scale_logs/oracle1000.log",
     REPO / "scale_logs/oracle1000_fix.log",
 ]
-R8_LOGS = sorted(Path("/tmp").glob("oracle1000_r8*.log"))
+# preserved copies of the volatile /tmp sweep logs (cp'd round 9)
+R8_LOGS = sorted((REPO / "scale_logs").glob("oracle1000_r8*.log"))
 SAMPLED_LOGS_R7 = [REPO / "scale_logs/oracle1000_sampled_results.log"]
-SAMPLED_LOGS_R8 = [Path("/tmp/oracle1000_r8_sampled.log")]
+SAMPLED_LOGS_R8 = [REPO / "scale_logs/oracle1000_r8_sampled.log"]
 
 
 def parse(paths):
@@ -67,24 +71,38 @@ def main():
     names = sorted({**QUERIES, **EXTRA_QUERIES})
 
     r7 = json.loads((REPO / "SCALE_r07.json").read_text())
-    passed = dict(r7["full"]["passes"])
-    failed = dict(r7["full"]["fails"])
+    # r7 state: snapshot + r7 logs, pass-beats-fail within the round
+    r7_pass = dict(r7["full"]["passes"])
+    r7_fail = dict(r7["full"]["fails"])
+    p, f, _ = parse(R7_LOGS)
+    r7_pass.update(p)
+    r7_fail.update(f)
+    r7_fail = {k: v for k, v in r7_fail.items() if k not in r7_pass}
 
-    for logs in (R7_LOGS, R8_LOGS):  # r8 last: supersedes
-        p, f, ro = parse(logs)
-        passed.update(p)
-        failed.update(f)
-        rows_only = ro if logs is R8_LOGS else {}
-    # any PASS supersedes a FAIL from any earlier attempt
-    failed = {k: v for k, v in failed.items() if k not in passed and k not in rows_only}
+    # r8 state: pass-beats-fail within the round (serialized re-runs)
+    r8_pass, r8_fail, rows_only = parse(R8_LOGS)
+    r8_fail = {k: v for k, v in r8_fail.items() if k not in r8_pass and k not in rows_only}
 
-    sampled_p = dict(r7["sampled"]["passes"])
-    sampled_f = dict(r7["sampled"]["fails"])
-    for logs in (SAMPLED_LOGS_R7, SAMPLED_LOGS_R8):
-        p, f, _ = parse(logs)
-        sampled_p.update(p)
-        sampled_f.update(f)
-    sampled_f = {k: v for k, v in sampled_f.items() if k not in sampled_p}
+    # ROUND precedence first: any r8 result (pass OR fail) supersedes r7's.
+    r8_seen = set(r8_pass) | set(r8_fail) | set(rows_only)
+    passed = {k: v for k, v in r7_pass.items() if k not in r8_seen}
+    passed.update(r8_pass)
+    failed = {k: v for k, v in r7_fail.items() if k not in r8_seen}
+    failed.update(r8_fail)
+
+    s7_p = dict(r7["sampled"]["passes"])
+    s7_f = dict(r7["sampled"]["fails"])
+    p, f, _ = parse(SAMPLED_LOGS_R7)
+    s7_p.update(p)
+    s7_f.update(f)
+    s7_f = {k: v for k, v in s7_f.items() if k not in s7_p}
+    s8_p, s8_f, _ = parse(SAMPLED_LOGS_R8)
+    s8_f = {k: v for k, v in s8_f.items() if k not in s8_p}
+    s8_seen = set(s8_p) | set(s8_f)
+    sampled_p = {k: v for k, v in s7_p.items() if k not in s8_seen}
+    sampled_p.update(s8_p)
+    sampled_f = {k: v for k, v in s7_f.items() if k not in s8_seen}
+    sampled_f.update(s8_f)
 
     not_run = [
         n
