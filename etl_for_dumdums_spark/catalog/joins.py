@@ -492,12 +492,13 @@ def _range_interval(events):
 _COOC_K = 20
 
 
-@register(
-    "join_cooccurrence_pairs",
-    extra=True,
-    sql=f"""
+def _cooccurrence_sql(where: str = "") -> str:
+    """DuckDB oracle for market-basket pairs, parameterized on an order-key
+    restriction so the sampled at-scale tier can state the identical basket
+    subset in both engines (the computation is strictly per-order)."""
+    return """
     WITH items AS MATERIALIZED (  -- 4 refs: inlined, the 600M-row DISTINCT
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),  -- re-ran each time (15GiB spill-cap death, r8 1000x sweep)
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem{W}),  -- re-ran each time (15GiB spill-cap death, r8 1000x sweep)
     part_orders AS MATERIALIZED (
       SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY l_partkey),
     n_total AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
@@ -508,7 +509,7 @@ _COOC_K = 20
       GROUP BY pa, pb),
     scored AS (
       SELECT p.pa, p.pb, p.n_ab, fa.n_orders AS n_a, fb.n_orders AS n_b,
-             round(p.n_ab * t.n * 1.0 / (fa.n_orders * fb.n_orders), {{DP}})
+             round(p.n_ab * t.n * 1.0 / (fa.n_orders * fb.n_orders), {DP})
                AS lift
       FROM pairs p
       JOIN part_orders fa ON fa.l_partkey = p.pa
@@ -517,13 +518,16 @@ _COOC_K = 20
     SELECT pa, pb, n_ab, n_a, n_b, lift,
            CAST(row_number() OVER (ORDER BY n_ab DESC, pa, pb) AS BIGINT) AS rn
     FROM scored
-    QUALIFY rn <= {{K}}
+    QUALIFY rn <= {K}
     ORDER BY rn
-    """.format(DP=4, K=_COOC_K),
-)
-def join_cooccurrence_pairs(spark, sf_dir):
-    t = Tables(spark, sf_dir)
-    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    """.format(DP=4, K=_COOC_K, W=where)
+
+
+def _cooccurrence_pairs(lineitem):
+    """Market-basket pair scoring over an arbitrary lineitem frame (full
+    table for the registered query; a deterministic l_orderkey subset for
+    the sampled at-scale tier)."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
     part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
     n_total = items.agg(F.count_distinct("l_orderkey").alias("n"))
     a = items.alias("a")
@@ -565,6 +569,11 @@ def join_cooccurrence_pairs(spark, sf_dir):
     return top.withColumn("rn", rn).select(
         "pa", "pb", "n_ab", "n_a", "n_b", "lift", "rn"
     ).orderBy("rn")
+
+
+@register("join_cooccurrence_pairs", extra=True, sql=_cooccurrence_sql())
+def join_cooccurrence_pairs(spark, sf_dir):
+    return _cooccurrence_pairs(Tables(spark, sf_dir).lineitem)
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,18 @@ from . import (
 )
 from .behavior import _sequence_pattern, _sequence_pattern_sql
 from .dedup import _cc_groups, _cc_sql, _prefix_jaccard, _prefix_jaccard_sql
-from .joins import _range_interval, _range_interval_sql
+from .joins import (
+    _cooccurrence_pairs,
+    _cooccurrence_sql,
+    _range_interval,
+    _range_interval_sql,
+)
+from .textops import (
+    _winnow_neardup,
+    _winnow_neardup_sql,
+    _winnow_sketch,
+    _winnow_sketch_sql,
+)
 
 _ALL_Q = {**QUERIES, **EXTRA_QUERIES}
 _ALL_SQL = {**ORACLE, **EXTRA_ORACLE}
@@ -133,4 +144,48 @@ def _sampled_sequence_pattern(spark, sf_dir):
 SAMPLED_QUERIES["events_sequence_pattern"] = _sampled_sequence_pattern
 SAMPLED_ORACLE["events_sequence_pattern"] = _sequence_pattern_sql(
     f" WHERE user_id % {_SEQ_USER_MOD} = 0"
+)
+
+# ---------------------------------------------------------------------------
+# r9: the three queries whose FULL 1000x oracles die on DuckDB resources
+# regardless of materialization (r8: 46 GiB OOM on the pair/position
+# intermediates — the position explode is ~300x the 5M-doc corpus, the pair
+# join ~O(baskets x pairs-per-basket) over 600M lines). Each computation is
+# strictly per-document / per-order, so a deterministic key subset is
+# semantics-preserving; the Spark side runs the identical restriction.
+# ---------------------------------------------------------------------------
+
+
+def _sampled_winnow_sketch(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return _winnow_sketch(t.documents.filter(F.col("doc_id") % _DOC_MOD == 0))
+
+
+SAMPLED_QUERIES["text_winnow_sketch"] = _sampled_winnow_sketch
+SAMPLED_ORACLE["text_winnow_sketch"] = _winnow_sketch_sql(
+    f" WHERE doc_id % {_DOC_MOD} = 0"
+)
+
+
+def _sampled_winnow_neardup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return _winnow_neardup(t.documents.filter(F.col("doc_id") % _DOC_MOD == 0))
+
+
+SAMPLED_QUERIES["text_winnow_neardup"] = _sampled_winnow_neardup
+SAMPLED_ORACLE["text_winnow_neardup"] = _winnow_neardup_sql(
+    f" WHERE doc_id % {_DOC_MOD} = 0"
+)
+
+_ORDER_MOD = 7  # 1/7 of baskets; pair volume is linear in baskets
+
+
+def _sampled_cooccurrence(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return _cooccurrence_pairs(t.lineitem.filter(F.col("l_orderkey") % _ORDER_MOD == 0))
+
+
+SAMPLED_QUERIES["join_cooccurrence_pairs"] = _sampled_cooccurrence
+SAMPLED_ORACLE["join_cooccurrence_pairs"] = _cooccurrence_sql(
+    f" WHERE l_orderkey % {_ORDER_MOD} = 0"
 )

@@ -473,13 +473,14 @@ def _hex15_to_long_spark(x: str) -> str:
     return f"CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 
 
-@register(
-    "text_winnow_sketch",
-    extra=True,
-    sql=f"""
+def _winnow_sketch_sql(where: str = "") -> str:
+    """DuckDB oracle for the winnow sketch, parameterized on a corpus
+    restriction so the sampled at-scale tier (catalog/sampled.py) can state
+    the identical input subset in both engines."""
+    return f"""
     WITH norm AS (
       SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-      FROM documents),
+      FROM documents{where}),
     pos AS (
       SELECT doc_id, lang, t, unnest(generate_series(1, length(t) - {_WINNOW_K - 1})) AS i
       FROM norm WHERE length(t) >= {_WINNOW_K + _WINNOW_W - 1}),
@@ -508,13 +509,16 @@ def _hex15_to_long_spark(x: str) -> str:
              AS n_distinct_hashes,
            (SELECT count(*) FROM shared sh WHERE sh.lang = z.lang) AS n_shared_hashes
     FROM sizes z GROUP BY z.lang ORDER BY z.lang
-    """,
-)
-def text_winnow_sketch(spark, sf_dir):
+    """
+
+
+def _winnow_sketch(docs):
+    """Winnow-sketch per-lang aggregates over an arbitrary documents frame
+    (full corpus for the registered query; a deterministic doc_id subset for
+    the sampled at-scale tier)."""
     from pyspark.sql import Window as W
 
-    t = Tables(spark, sf_dir)
-    norm = t.documents.select(
+    norm = docs.select(
         "doc_id",
         "lang",
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
@@ -526,11 +530,20 @@ def text_winnow_sketch(spark, sf_dir):
     # higher-order-function version hashed every position w times after
     # Catalyst's projection collapse inlined the hash array into each
     # window reference — 4x the md5 work.)
-    pos = norm.filter(F.length("t") >= _WINNOW_K + _WINNOW_W - 1).select(
-        "doc_id",
-        "lang",
-        "t",
-        F.explode(F.sequence(F.lit(1), F.length("t") - (_WINNOW_K - 1))).alias("i"),
+    #
+    # repartition BY THE WINDOW KEY **before** the explode: Generate
+    # preserves its child's partitioning, so the doc_id window's exchange is
+    # elided and the shuffle moves documents (~5M rows at 1000x), not the
+    # ~300x-amplified position rows (~1.45B — the r8 sweep's Spark-side OOM).
+    pos = (
+        norm.filter(F.length("t") >= _WINNOW_K + _WINNOW_W - 1)
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - (_WINNOW_K - 1))).alias("i"),
+        )
     )
     hashed = pos.select(
         "doc_id",
@@ -585,6 +598,11 @@ def text_winnow_sketch(spark, sf_dir):
     )
 
 
+@register("text_winnow_sketch", extra=True, sql=_winnow_sketch_sql())
+def text_winnow_sketch(spark, sf_dir):
+    return _winnow_sketch(Tables(spark, sf_dir).documents)
+
+
 # ---------------------------------------------------------------------------
 # Winnow-sketch near-dup pairs — the MOSS detection step the sketch exists
 # for: candidate pairs share sketch hashes, and a pair is a near-dup when
@@ -598,13 +616,13 @@ _WINNOW_MIN_SHARED = 3
 _WINNOW_MAX_HASH_BUCKET = 64
 
 
-@register(
-    "text_winnow_neardup",
-    extra=True,
-    sql=f"""
+def _winnow_neardup_sql(where: str = "") -> str:
+    """DuckDB oracle for winnow near-dup pairs, parameterized on a corpus
+    restriction (see _winnow_sketch_sql)."""
+    return f"""
     WITH norm AS (
       SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-      FROM documents),
+      FROM documents{where}),
     pos AS (
       SELECT doc_id, t, unnest(generate_series(1, length(t) - {_WINNOW_K - 1})) AS i
       FROM norm WHERE length(t) >= {_WINNOW_K + _WINNOW_W - 1}),
@@ -637,20 +655,30 @@ _WINNOW_MAX_HASH_BUCKET = 64
     FROM ovl o JOIN sizes sa ON sa.doc_id = o.da JOIN sizes sb ON sb.doc_id = o.db
     WHERE o.n_shared * 2 >= least(sa.sk, sb.sk)
     ORDER BY o.da, o.db
-    """,
-)
-def text_winnow_neardup(spark, sf_dir):
+    """
+
+
+def _winnow_neardup(docs):
+    """Winnow near-dup pair detection over an arbitrary documents frame
+    (full corpus for the registered query; a deterministic doc_id subset for
+    the sampled at-scale tier)."""
     from pyspark.sql import Window as W
 
-    t = Tables(spark, sf_dir)
-    norm = t.documents.select(
+    norm = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
     )
-    pos = norm.filter(F.length("t") >= _WINNOW_K + _WINNOW_W - 1).select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(1), F.length("t") - (_WINNOW_K - 1))).alias("i"),
+    # repartition by the window key before the explode (see
+    # text_winnow_sketch): the doc_id window's exchange is elided, so the
+    # shuffle carries documents, not position-level rows.
+    pos = (
+        norm.filter(F.length("t") >= _WINNOW_K + _WINNOW_W - 1)
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - (_WINNOW_K - 1))).alias("i"),
+        )
     )
     hashed = pos.select(
         "doc_id",
@@ -694,6 +722,11 @@ def text_winnow_neardup(spark, sf_dir):
         .select("da", "db", "n_shared", "sketch_a", "sketch_b")
         .orderBy("da", "db")
     )
+
+
+@register("text_winnow_neardup", extra=True, sql=_winnow_neardup_sql())
+def text_winnow_neardup(spark, sf_dir):
+    return _winnow_neardup(Tables(spark, sf_dir).documents)
 
 
 # ---------------------------------------------------------------------------

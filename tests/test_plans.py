@@ -181,3 +181,41 @@ def test_output_sampled_filter_stays_above_window(spark):
         win = next(i for i, ln in enumerate(lines) if "Window [" in ln or "Window " in ln)
         # toString prints parents first: filter must print BEFORE the window
         assert filt < win, f"{name}: day-of-month filter was pushed below the Window:\n{opt}"
+
+
+def test_winnow_explode_feeds_window_without_position_shuffle(spark):
+    """text_winnow_sketch / text_winnow_neardup explode ~300 position rows
+    per document BEFORE the doc_id window. The repartition("doc_id") must
+    sit BELOW the Generate (explode) so the window's exchange is elided and
+    the shuffle carries documents, not position-level rows — the r8 1000x
+    sweep's Spark-side OOM was exactly this exchange moving ~1.45B rows.
+    Pin: every winnow Window sits over Sort(local)+Generate with NO Exchange
+    between them, and the only exchange below the Generate is the
+    REPARTITION_BY_COL on doc_id."""
+    from etl_for_dumdums_spark.catalog import EXTRA_QUERIES
+
+    for name in ("text_winnow_sketch", "text_winnow_neardup"):
+        df = EXTRA_QUERIES[name](spark, SF_SMOKE)
+        lines = _plan(df).splitlines()
+        win_idx = [
+            i for i, ln in enumerate(lines)
+            if "Window [min(" in ln and "windowspecdefinition(doc_id" in ln
+        ]
+        assert win_idx, f"{name}: winnow window not found in plan"
+        for wi in win_idx:
+            # toString prints parents first: scan down from the Window to
+            # its Generate child; nothing in between may be an Exchange
+            gi = next(
+                i for i in range(wi + 1, len(lines)) if "Generate explode" in lines[i]
+            )
+            between = "\n".join(lines[wi + 1 : gi])
+            assert "Exchange" not in between, (
+                f"{name}: position-level exchange between Generate and Window:\n{between}"
+            )
+            # the exchange feeding the pipeline is the doc-level repartition
+            feed = next(
+                ln for ln in lines[gi + 1 :] if "Exchange" in ln
+            )
+            assert "REPARTITION_BY_COL" in feed and "doc_id" in feed, (
+                f"{name}: expected doc_id REPARTITION_BY_COL below Generate, got: {feed}"
+            )
