@@ -106,14 +106,33 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
             break
         sweep_lock = Path(lockpath)
-        pid = sweep_lock.read_text().strip()
+        try:
+            lock_lines = sweep_lock.read_text().splitlines()
+        except FileNotFoundError:
+            continue  # sweep unlinked its lock between glob and read: no sweep
+        pid = lock_lines[0].strip() if lock_lines else ""
+        recorded_cmd = lock_lines[1].strip() if len(lock_lines) > 1 else ""
         if pid and Path(f"/proc/{pid}").exists():
-            print(
-                f"bench: sweep (pid {pid}) holds {sweep_lock}; benching under "
-                "sweep contention produces unusable numbers — aborting",
-                file=sys.stderr,
-            )
-            raise SystemExit(2)
+            # PID-reuse guard: a lock that recorded its holder's cmdline is
+            # only honored if the live process still matches it; a legacy
+            # pid-only lock is honored on liveness alone
+            try:
+                cur_cmd = (
+                    Path(f"/proc/{pid}/cmdline")
+                    .read_bytes()
+                    .replace(b"\0", b" ")
+                    .decode(errors="replace")
+                    .strip()
+                )
+            except OSError:
+                cur_cmd = ""
+            if not recorded_cmd or recorded_cmd == cur_cmd:
+                print(
+                    f"bench: sweep (pid {pid}) holds {sweep_lock}; benching under "
+                    "sweep contention produces unusable numbers — aborting",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
         sweep_lock.unlink(missing_ok=True)  # stale
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

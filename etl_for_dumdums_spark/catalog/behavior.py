@@ -665,6 +665,19 @@ _SEQ_SUB = [
     ("subseq_view_click_purchase", "view.*click.*purchase"),
 ]
 
+# event-type -> single-char token for the oracle's compact sequence form
+# (see _sequence_pattern_sql). The char-form patterns are DERIVED from the
+# same _SEQ_ADJ/_SEQ_SUB word patterns the Spark side scans, so editing the
+# pattern constants cannot desync the two engines (r8 advice finding).
+_SEQ_CHAR = {"click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v"}
+
+
+def _seq_char_pattern(word_pattern: str) -> str:
+    """'click>purchase' -> 'cp'; 'view.*click.*purchase' -> 'v.*c.*p'."""
+    if ">" in word_pattern:
+        return "".join(_SEQ_CHAR[w] for w in word_pattern.split(">"))
+    return ".*".join(_SEQ_CHAR[w] for w in word_pattern.split(".*"))
+
 
 def _sequence_pattern_sql(where: str = "") -> str:
     """Oracle SQL with an optional events WHERE clause — the input-sampled
@@ -685,9 +698,8 @@ def _sequence_pattern_sql(where: str = "") -> str:
     return f"""
     WITH firstk AS (
       SELECT user_id, ts, event_id,
-             CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
-                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
-                  WHEN 'view' THEN 'v' ELSE 'x' END AS ch
+             CASE event_type {' '.join(f"WHEN '{w}' THEN '{c}'" for w, c in sorted(_SEQ_CHAR.items()))}
+                  ELSE 'x' END AS ch
       FROM events{where}
       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
               <= {_SEQ_CAP}),
@@ -695,10 +707,10 @@ def _sequence_pattern_sql(where: str = "") -> str:
       SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
       FROM firstk GROUP BY user_id),
     per AS (
-      SELECT CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT) AS c1,
-             CAST(len(regexp_extract_all(seq, 'ee')) AS BIGINT) AS c2,
-             CASE WHEN regexp_matches(seq, 's.*p') THEN 1 ELSE 0 END AS f3,
-             CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END AS f4
+      SELECT CAST(len(regexp_extract_all(seq, '{_seq_char_pattern(_SEQ_ADJ[0][1])}')) AS BIGINT) AS c1,
+             CAST(len(regexp_extract_all(seq, '{_seq_char_pattern(_SEQ_ADJ[1][1])}')) AS BIGINT) AS c2,
+             CASE WHEN regexp_matches(seq, '{_seq_char_pattern(_SEQ_SUB[0][1])}') THEN 1 ELSE 0 END AS f3,
+             CASE WHEN regexp_matches(seq, '{_seq_char_pattern(_SEQ_SUB[1][1])}') THEN 1 ELSE 0 END AS f4
       FROM seqs),
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS n_users,

@@ -357,6 +357,10 @@ def _cnt_aba_sql(p: str) -> str:
     marker (the consumed 'ab' began with a) or a literal a. Per maximal
     marker run of length k with an optional trailing a: (k-1) + (1 if the a
     follows) — exactly length(match)-1 under the regex 'chr(1)+a?'."""
+    # the collapse identity holds ONLY for true period-2 patterns: an
+    # all-same-char trigram ('aaa') overlaps at period 1 and would be
+    # silently undercounted — fail loudly if a profile edit introduces one
+    assert p[0] == p[2] != p[1], f"_cnt_aba_sql requires aba with a != b: {p!r}"
     ab = p[:2].replace("'", "''")
     a = p[0]
     return (

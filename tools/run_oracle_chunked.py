@@ -33,6 +33,50 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from etl_for_dumdums_spark.catalog import EXTRA_QUERIES, QUERIES, load_all  # noqa: E402
 
 
+def _stream_child(proc, out_path: Path, poll_sec: float = 0.5) -> list[str]:
+    """Tail the child's stdout FILE live until the child has exited and the
+    file is drained. Returns the collected lines.
+
+    Binary mode: text-mode tell() is an opaque cookie, so the
+    rewind-on-partial-line trick needs byte offsets. A trailing partial line
+    is normally rewound and re-read until its newline arrives — but a child
+    that died after a block-buffered partial flush (SIGKILL) leaves it
+    unterminated forever, so the partial branch must ALSO poll the child: if
+    it has exited and the bytes didn't grow across a poll, the partial IS
+    the tail (r8 advice: the truthy-partial branch must not starve the exit
+    check, or a dead sweep hangs the parent)."""
+    out_lines: list[str] = []
+    with open(out_path, "rb") as reader:
+        done = False
+        last_partial = -1
+        while True:
+            pos = reader.tell()
+            raw = reader.readline()
+            if raw:
+                if raw.endswith(b"\n"):
+                    line = raw.decode(errors="replace")
+                    sys.stdout.write(line)
+                    sys.stdout.flush()
+                    out_lines.append(line)
+                    last_partial = -1
+                elif not done:
+                    if proc.poll() is not None and len(raw) == last_partial:
+                        done = True  # next pass consumes the tail
+                    last_partial = len(raw)
+                    reader.seek(pos)
+                    time.sleep(poll_sec)
+                else:  # child exited mid-line: take what's there
+                    out_lines.append(raw.decode(errors="replace"))
+                continue
+            if done:
+                break
+            if proc.poll() is not None:
+                done = True  # one more pass to drain the tail
+                continue
+            time.sleep(poll_sec)
+    return out_lines
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/tmp/sfscale100")
@@ -42,7 +86,7 @@ def main() -> int:
 
     lock = SWEEP_LOCK
     if SWEEP_LOCK.exists():
-        pid = SWEEP_LOCK.read_text().strip()
+        pid = (SWEEP_LOCK.read_text().splitlines() or [""])[0].strip()
         # stale-lock recovery: the owning process may have been killed
         if pid and Path(f"/proc/{pid}").exists():
             if os.environ.get("SPARK_GRAFT_SWEEP_PARALLEL"):
@@ -61,7 +105,12 @@ def main() -> int:
         else:
             print(f"removing stale sweep lock (pid {pid} is gone)", flush=True)
             SWEEP_LOCK.unlink(missing_ok=True)
-    lock.write_text(str(os.getpid()))
+    # line 1: pid; line 2: the holder's cmdline, so a lock-checker (bench.py)
+    # can tell a live sweep from an unrelated process that recycled the pid
+    lock.write_text(
+        f"{os.getpid()}\n"
+        + Path("/proc/self/cmdline").read_bytes().replace(b"\0", b" ").decode(errors="replace").strip()
+    )
 
     # purge spill dirs left by dead check_oracle processes (they are
     # per-pid — see check_oracle.make_con — so a killed chunk's spill
@@ -108,33 +157,7 @@ def main() -> int:
                 stdout=out_f,
                 stderr=err_f,
             )
-            out_lines = []
-            # binary mode: text-mode tell() is an opaque cookie, so the
-            # rewind-on-partial-line trick needs byte offsets
-            with open(out_path, "rb") as reader:
-                done = False
-                while True:
-                    pos = reader.tell()
-                    raw = reader.readline()
-                    if raw:
-                        if raw.endswith(b"\n"):
-                            line = raw.decode(errors="replace")
-                            sys.stdout.write(line)
-                            sys.stdout.flush()
-                            out_lines.append(line)
-                        elif not done:
-                            # partial line — rewind and wait for the rest
-                            reader.seek(pos)
-                            time.sleep(0.5)
-                        else:  # child exited mid-line: take what's there
-                            out_lines.append(raw.decode(errors="replace"))
-                        continue
-                    if done:
-                        break
-                    if proc.poll() is not None:
-                        done = True  # one more pass to drain the tail
-                        continue
-                    time.sleep(0.5)
+            out_lines = _stream_child(proc, out_path)
         out = "".join(out_lines)
         err = err_path.read_text()
         out_path.unlink(missing_ok=True)
