@@ -44,7 +44,17 @@ oracle-100x-sampled:
 # row-scaled-output rationale; all covered by the sampled tier below);
 # additions must be named here with a reason. Chunks are smaller than
 # 100x (25): per-process peak memory grows with the data decade.
-ORACLE_1000X_EXCLUDE = $(ORACLE_100X_EXCLUDE)
+#
+# r9 additions (each value-verified at 1000x via its sampled-tier variant
+# instead — catalog/sampled.py):
+# - text_winnow_sketch / text_winnow_neardup: the DuckDB oracle's per-
+#   character position explode is ~1.45B rows at 1000x; it died at 46GiB
+#   OOM in r8 even after CTE materialization — beyond a single-node oracle.
+# - join_cooccurrence_pairs: the oracle's basket pair join needs ~46GB of
+#   spill at 1000x and OOMs regardless of materialization.
+# - events_sequence_pattern was already sampled-only at 1000x (the full
+#   oracle's serial window over 600M rows OOMs at ~94GB, ROUND4_NOTES).
+ORACLE_1000X_EXCLUDE = $(ORACLE_100X_EXCLUDE),text_winnow_sketch,text_winnow_neardup,join_cooccurrence_pairs,events_sequence_pattern
 # SPARK_GRAFT_MM_MOD=500 keeps the mm_* kernels' deterministic doc_id
 # sample at the same ABSOLUTE count as the green 100x sweep (the rate-
 # fixed default would be ~100k pure-Python payload synths per query per

@@ -792,43 +792,91 @@ def _cc_groups(documents):
 # (dedup_cc_groups, dedup_minhash_lsh) are the right semantics instead.
 # ---------------------------------------------------------------------------
 def _prefix_jaccard_sql(where: str = "") -> str:
+    # Same two scale lessons as the Spark side (_prefix_jaccard):
+    # (1) identical normalized texts are collapsed to one representative
+    #     BEFORE the pair machinery — the PPJoin runs on distinct texts
+    #     only, and group pairs are expanded algebraically at the end;
+    # (2) tokens are fingerprinted to the shared 60-bit md5-fold BIGINT
+    #     so every join/group/sort moves 8-byte ints, not trigram strings.
+    # Multiply-referenced CTEs are MATERIALIZED (the r8 oracle-surgery
+    # lesson: DuckDB re-runs inlined CTEs per reference).
     return f"""
-    WITH arr AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+    WITH fp AS MATERIALIZED (
+      SELECT doc_id, lower(trim(text)) AS t,
+             (('0x' || substr(md5(lower(trim(text))), 1, 15))::UBIGINT::BIGINT) AS fp
       FROM documents{where}),
-    toks AS (
+    grp AS MATERIALIZED (SELECT fp, min(doc_id) AS rep FROM fp GROUP BY fp),
+    reps AS MATERIALIZED (
+      SELECT f.fp, f.doc_id, f.t FROM fp f JOIN grp g ON g.rep = f.doc_id AND g.fp = f.fp),
+    arr AS (
+      SELECT doc_id, regexp_split_to_array(t, '\\s+') AS a FROM reps),
+    toks AS MATERIALIZED (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(a) - 1),
-                                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS w
-      FROM arr WHERE len(a) >= 3),
-    dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
-    sized AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+             (('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - 1),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS w
+        FROM arr WHERE len(a) >= 3)),
+    dfreq AS (SELECT h, count(*) AS df FROM toks GROUP BY h),
+    sized AS MATERIALIZED (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
     ranked AS (
-      SELECT t.doc_id, t.w,
-             row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rk
-      FROM toks t JOIN dfreq d USING (w)),
+      SELECT t.doc_id, t.h,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.h) AS rk
+      FROM toks t JOIN dfreq d USING (h)),
     prefix AS (
-      SELECT r.doc_id, r.w
+      -- carry (rk, s): the candidate join applies PPJoin's positional
+      -- filter per match row, not just the prefix filter
+      SELECT r.doc_id, r.h, r.rk, z.s
       FROM ranked r JOIN sized z USING (doc_id)
       WHERE r.rk <= z.s - (4 * z.s + 4) // 5 + 1),
     cand AS (
+      -- size-ratio + positional filter INSIDE the join: a qualifying
+      -- pair's first common token satisfies
+      -- 1 + min(sa-rka, sb-rkb) >= ceil(4(sa+sb)/9) (Xiao et al., PPJoin),
+      -- so dropping match rows that violate it keeps >= 1 row per true
+      -- pair while cutting the hot-bucket pair volume ~4x (measured 2.6B
+      -- raw match rows at the 1000x replica without it)
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id),
-    sized_cand AS (
-      SELECT c.da, c.db, za.s AS sa, zb.s AS sb
-      FROM cand c JOIN sized za ON za.doc_id = c.da
-                  JOIN sized zb ON zb.doc_id = c.db
-      WHERE 5 * least(za.s, zb.s) >= 4 * greatest(za.s, zb.s)),
+      FROM prefix a JOIN prefix b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+       AND 5 * least(a.s, b.s) >= 4 * greatest(a.s, b.s)
+       AND 1 + least(a.s - a.rk, b.s - b.rk) >= (4 * (a.s + b.s) + 8) // 9),
     inter AS (
-      SELECT c.da, c.db, max(c.sa) AS sa, max(c.sb) AS sb, count(*) AS n_shared
-      FROM sized_cand c
+      SELECT c.da, c.db, count(*) AS n_shared
+      FROM cand c
       JOIN toks ta ON ta.doc_id = c.da
-      JOIN toks tb ON tb.doc_id = c.db AND tb.w = ta.w
-      GROUP BY c.da, c.db)
+      JOIN toks tb ON tb.doc_id = c.db AND tb.h = ta.h
+      GROUP BY c.da, c.db),
+    rep_pairs AS MATERIALIZED (
+      SELECT i.da, i.db, i.n_shared, za.s AS sa, zb.s AS sb
+      FROM inter i JOIN sized za ON za.doc_id = i.da
+                   JOIN sized zb ON zb.doc_id = i.db
+      WHERE 9 * i.n_shared >= 4 * (za.s + zb.s)),
+    sized_fp AS MATERIALIZED (
+      SELECT r.fp, z.s FROM reps r JOIN sized z ON z.doc_id = r.doc_id),
+    within AS (
+      -- identical texts: every in-group pair shares the full token set
+      SELECT a.doc_id AS da, b.doc_id AS db, s.s AS n_shared, s.s AS sa, s.s AS sb
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN sized_fp s ON s.fp = a.fp),
+    crossg AS (
+      -- a qualifying rep pair qualifies every member pair of its two
+      -- groups, with the same stats (token sets are group-invariant)
+      SELECT least(ma.doc_id, mb.doc_id) AS da,
+             greatest(ma.doc_id, mb.doc_id) AS db,
+             p.n_shared,
+             CASE WHEN ma.doc_id < mb.doc_id THEN p.sa ELSE p.sb END AS sa,
+             CASE WHEN ma.doc_id < mb.doc_id THEN p.sb ELSE p.sa END AS sb
+      FROM rep_pairs p
+      JOIN reps ra ON ra.doc_id = p.da
+      JOIN reps rb ON rb.doc_id = p.db
+      JOIN fp ma ON ma.fp = ra.fp
+      JOIN fp mb ON mb.fp = rb.fp),
+    allp AS (SELECT * FROM within UNION ALL SELECT * FROM crossg)
     SELECT da, db, n_shared, sa, sb,
            round(n_shared * 1.0 / (sa + sb - n_shared), {DP}) AS jaccard
-    FROM inter
-    WHERE 9 * n_shared >= 4 * (sa + sb)
+    FROM allp
     ORDER BY da, db
     """
 
@@ -840,58 +888,159 @@ def dedup_prefix_jaccard(spark, sf_dir):
 
 
 def _prefix_jaccard(documents):
-    """Exact PPJoin over ``documents`` — factored out so the sampled 100x
-    tier (catalog/sampled.py) can bound the quadratic pair output by
-    restricting the corpus deterministically."""
+    """Exact PPJoin over ``documents`` — factored out so the sampled
+    at-scale tier (catalog/sampled.py) can bound the quadratic pair output
+    by restricting the corpus deterministically.
+
+    Scale shape (r9, root-caused by the solo 1000x adjudication — the
+    direct pair-by-token form alone filled the box's disk with 46+ GB of
+    shuffle spill, because a replicated corpus puts ~8 byte-identical
+    copies in every near-dup group and the intersection join touches
+    pairs x tokens ~ billions of rows):
+
+    1. **Exact-dedup collapse first** (the production near-dup shape):
+       identical normalized texts are fingerprinted and collapsed to one
+       representative; the PPJoin machinery runs on DISTINCT texts only.
+       Group pairs are then expanded algebraically — identical texts share
+       the full token set (n_shared = sa = sb = s, jaccard 1.0), and a
+       qualifying rep pair qualifies every member pair of its two groups
+       with the same stats. The output is provably identical to the
+       direct form: candidates/filters depend only on token sets, which
+       are group-invariant.
+    2. Tokens are fingerprinted to the shared 60-bit md5-fold BIGINT, so
+       joins/groups/sorts move 8-byte ints, not trigram strings. (df, h)
+       is still a consistent global token order, so the PPJoin
+       prefix-filter guarantee is unchanged; counts are fingerprint-exact
+       (same contract as the winnowing sketches).
+    3. The rep token set is computed once and cached; the pair-by-token
+       intersection join carries only (da, db, h), with sizes rejoined
+       after aggregation."""
     from pyspark.sql import Window as W
 
-    arr = documents.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
+    fp = documents.select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("fp"),
+    )
+    grp = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    reps = (
+        fp.alias("f")
+        .join(
+            grp.alias("g"),
+            (F.col("f.fp") == F.col("g.fp")) & (F.col("f.doc_id") == F.col("g.rep")),
+        )
+        .select(F.col("f.fp").alias("fp"), F.col("f.doc_id").alias("doc_id"), F.col("f.t").alias("t"))
+    )
+    arr = reps.select(
+        "doc_id", F.split(F.col("t"), r"\s+").alias("a")
     ).filter(F.size("a") >= 3)
-    toks = arr.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
-            )
-        ).alias("w"),
-    ).distinct()
-    dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    toks = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+        )
+        .distinct()
+        # cached: dfreq / sized / ranked / both intersection sides all read
+        # this frame — uncached, each re-ran the tokenize+distinct shuffle
+        .cache()
+    )
+    dfreq = toks.groupBy("h").agg(F.count("*").alias("df"))
     sized = toks.groupBy("doc_id").agg(F.count("*").alias("s"))
-    ranked = toks.join(dfreq, "w").select(
+    ranked = toks.join(dfreq, "h").select(
         "doc_id",
-        "w",
+        "h",
         F.row_number()
-        .over(W.partitionBy("doc_id").orderBy("df", "w"))
+        .over(W.partitionBy("doc_id").orderBy("df", "h"))
         .alias("rk"),
     )
     prefix = (
         ranked.join(sized, "doc_id")
         .filter(F.col("rk") <= F.col("s") - F.floor((4 * F.col("s") + 4) / 5) + 1)
-        .select("doc_id", "w")
+        .select("doc_id", "h", "rk", "s")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # size-ratio + PPJoin positional filter inside the join (see the SQL
+    # twin's comment): keeps >= 1 match row per qualifying pair while
+    # cutting hot-bucket pair volume ~4x
     cand = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.least("a.s", "b.s") >= 4 * F.greatest("a.s", "b.s"))
+            & (
+                1 + F.least(F.col("a.s") - F.col("a.rk"), F.col("b.s") - F.col("b.rk"))
+                >= F.floor((4 * (F.col("a.s") + F.col("b.s")) + 8) / 9)
+            ),
+        )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    sized_cand = (
-        cand.join(sized.select(F.col("doc_id").alias("da"), F.col("s").alias("sa")), "da")
-        .join(sized.select(F.col("doc_id").alias("db"), F.col("s").alias("sb")), "db")
-        .filter(5 * F.least("sa", "sb") >= 4 * F.greatest("sa", "sb"))
-    )
-    ta = toks.select(F.col("doc_id").alias("da"), F.col("w").alias("wa"))
-    tb = toks.select(F.col("doc_id").alias("db2"), F.col("w").alias("wb"))
+    ta = toks.select(F.col("doc_id").alias("da"), "h")
+    tb = toks.select(F.col("doc_id").alias("db2"), F.col("h").alias("hb"))
     inter = (
-        sized_cand.join(ta, "da")
-        .join(tb, (F.col("db") == F.col("db2")) & (F.col("wa") == F.col("wb")))
+        cand.join(ta, "da")
+        .join(tb, (F.col("db") == F.col("db2")) & (F.col("h") == F.col("hb")))
         .groupBy("da", "db")
-        .agg(F.max("sa").alias("sa"), F.max("sb").alias("sb"), F.count("*").alias("n_shared"))
+        .agg(F.count("*").alias("n_shared"))
     )
-    return (
-        inter.filter(9 * F.col("n_shared") >= 4 * (F.col("sa") + F.col("sb")))
+    rep_pairs = (
+        inter.join(sized.select(F.col("doc_id").alias("da"), F.col("s").alias("sa")), "da")
+        .join(sized.select(F.col("doc_id").alias("db"), F.col("s").alias("sb")), "db")
+        .filter(9 * F.col("n_shared") >= 4 * (F.col("sa") + F.col("sb")))
+        .select("da", "db", "n_shared", "sa", "sb")
+    )
+    # ---- expansion back to member pairs ----
+    members = fp.select("doc_id", "fp")
+    sized_fp = reps.select("fp", "doc_id").join(sized, "doc_id").select("fp", "s")
+    ma = members.select(F.col("doc_id").alias("ida"), F.col("fp").alias("fpa"))
+    mb = members.select(F.col("doc_id").alias("idb"), F.col("fp").alias("fpb"))
+    within = (
+        ma.join(mb, (F.col("fpa") == F.col("fpb")) & (F.col("ida") < F.col("idb")))
+        .join(sized_fp.select(F.col("fp").alias("fpa"), "s"), "fpa")
         .select(
+            F.col("ida").alias("da"),
+            F.col("idb").alias("db"),
+            F.col("s").alias("n_shared"),
+            F.col("s").alias("sa"),
+            F.col("s").alias("sb"),
+        )
+    )
+    rep_fp = reps.select(F.col("doc_id").alias("rep"), "fp")
+    crossg = (
+        rep_pairs.join(rep_fp.select(F.col("rep").alias("da"), F.col("fp").alias("gfa")), "da")
+        .join(rep_fp.select(F.col("rep").alias("db"), F.col("fp").alias("gfb")), "db")
+        .join(ma.select(F.col("ida"), F.col("fpa").alias("gfa")), "gfa")
+        .join(mb.select(F.col("idb"), F.col("fpb").alias("gfb")), "gfb")
+        .select(
+            F.least("ida", "idb").alias("da2"),
+            F.greatest("ida", "idb").alias("db2"),
+            "n_shared",
+            F.when(F.col("ida") < F.col("idb"), F.col("sa")).otherwise(F.col("sb")).alias("sa2"),
+            F.when(F.col("ida") < F.col("idb"), F.col("sb")).otherwise(F.col("sa")).alias("sb2"),
+        )
+        .select(
+            F.col("da2").alias("da"),
+            F.col("db2").alias("db"),
+            "n_shared",
+            F.col("sa2").alias("sa"),
+            F.col("sb2").alias("sb"),
+        )
+    )
+    allp = within.unionByName(crossg)
+    return (
+        allp.select(
             "da",
             "db",
             "n_shared",

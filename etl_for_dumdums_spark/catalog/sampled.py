@@ -106,14 +106,26 @@ SAMPLED_QUERIES["dedup_cc_groups"] = _sampled_cc_groups
 SAMPLED_ORACLE["dedup_cc_groups"] = _cc_sql(f" WHERE doc_id % {_DOC_MOD} = 0")
 
 
+# dedup_prefix_jaccard samples deeper (prime mod, the _SEQ_USER_MOD
+# convention): the exact pair-list is QUADRATIC in per-token document
+# frequency, and the r9 1000x adjudication measured the mod-10 corpus
+# (500k docs, phrase-pool trigrams at df 100-6000) generating ~2.6B
+# candidate match rows — beyond one box's disk in BOTH engines even after
+# the positional-filter/fingerprint/collapse rewrite. 1/101 keeps ~50k
+# docs at 1000x (the same absolute size as the green 100x-sampled run)
+# with df ~10x lower, which the quadratic term turns into ~100x less
+# candidate volume.
+_PJ_DOC_MOD = 101
+
+
 def _sampled_prefix_jaccard(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    return _prefix_jaccard(t.documents.filter(F.col("doc_id") % _DOC_MOD == 0))
+    return _prefix_jaccard(t.documents.filter(F.col("doc_id") % _PJ_DOC_MOD == 0))
 
 
 SAMPLED_QUERIES["dedup_prefix_jaccard"] = _sampled_prefix_jaccard
 SAMPLED_ORACLE["dedup_prefix_jaccard"] = _prefix_jaccard_sql(
-    f" WHERE doc_id % {_DOC_MOD} = 0"
+    f" WHERE doc_id % {_PJ_DOC_MOD} = 0"
 )
 
 
