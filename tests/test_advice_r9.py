@@ -166,3 +166,64 @@ def test_build_scale_round_precedence_r8_fail_not_masked_by_r7_pass(tmp_path):
     failed = {k: v for k, v in f7.items() if k not in r8_seen}
     failed.update(f8)
     assert "some_query" in failed and "some_query" not in passed
+
+
+_RANGE_JOIN_FORM = """
+    WITH e AS (SELECT event_id, event_type, ts FROM events{where}),
+    f AS (
+      SELECT e1.event_id, e1.event_type, count(e2.event_id) AS n_follow
+      FROM e e1 LEFT JOIN e e2
+        ON e1.event_type = e2.event_type
+       AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+      GROUP BY e1.event_id, e1.event_type)
+    SELECT event_type, count(*) AS n_events,
+           round(avg(n_follow), 4) AS avg_follows,
+           max(n_follow) AS max_follows,
+           CAST(sum(n_follow) AS BIGINT) AS total_pairs
+    FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_range_interval_window_oracle_equals_join_form(sf_dir):
+    """The r9 RANGE-frame window rewrite of join_range_interval's oracle
+    (O(n log n) instead of the inequality self-join that timed out at the
+    1000x-sampled replica) must be value-identical to the join form."""
+    import duckdb
+
+    from etl_for_dumdums_spark.catalog.joins import _range_interval_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    join_form = con.execute(_RANGE_JOIN_FORM.format(where="")).fetchall()
+    window_form = con.execute(_range_interval_sql()).fetchall()
+    assert window_form == join_form
+
+
+def test_range_interval_window_oracle_tie_and_boundary_semantics():
+    """Strictness boundaries: equal-ts peers are NOT followers (join form
+    uses e2.ts > e1.ts); an event exactly 1h later IS (<=). Synthetic
+    micro-corpus hits both edges."""
+    import duckdb
+
+    from etl_for_dumdums_spark.catalog.joins import _range_interval_sql
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW events AS SELECT * FROM (VALUES
+          (1, 'a', TIMESTAMP '2024-01-01 00:00:00'),
+          (2, 'a', TIMESTAMP '2024-01-01 00:00:00'),  -- tie with 1: not a follower
+          (3, 'a', TIMESTAMP '2024-01-01 01:00:00'),  -- exactly +1h from 1/2: follower
+          (4, 'a', TIMESTAMP '2024-01-01 01:00:00.000001'),  -- +1h+1us from 1/2: not
+          (5, 'b', TIMESTAMP '2024-01-01 00:30:00')   -- other type
+        ) AS t(event_id, event_type, ts)
+    """)
+    join_form = con.execute(_RANGE_JOIN_FORM.format(where="")).fetchall()
+    window_form = con.execute(_range_interval_sql()).fetchall()
+    assert window_form == join_form
+    # ('a', 4 events, ...): events 1,2 each see only #3 (tie excluded, +1h
+    # included, +1h+1us excluded); #3 sees #4; #4 sees none -> total 3
+    a_row = [r for r in window_form if r[0] == "a"][0]
+    assert a_row[1] == 4 and a_row[4] == 3
