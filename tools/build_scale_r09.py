@@ -37,9 +37,14 @@ SAMPLED_TIER = (
     "join_cooccurrence_pairs,events_sequence_pattern"
 ).split(",")
 
+# the full serialized sweep + the retry pass (join_range_interval after
+# the RANGE-window oracle rewrite; join_cooccurrence_pairs solo at a
+# raised DuckDB budget — 40GB/52GiB is safe with Spark stopped first and
+# nothing else on the box). Retry log parsed LAST: within-round
+# pass-beats-fail upgrades the sweep's two oracle-resource fails.
 R9_SAMPLED_LOGS = [
     REPO / "scale_logs/oracle1000_r9_sampled.log",
-    REPO / "scale_logs/oracle1000_r9_prefix_jaccard.log",
+    REPO / "scale_logs/oracle1000_r9_sampled_retry.log",
 ]
 
 
