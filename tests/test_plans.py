@@ -219,3 +219,22 @@ def test_winnow_explode_feeds_window_without_position_shuffle(spark):
             assert "REPARTITION_BY_COL" in feed and "doc_id" in feed, (
                 f"{name}: expected doc_id REPARTITION_BY_COL below Generate, got: {feed}"
             )
+
+
+def test_prefix_jaccard_shuffles_only_integer_keys(spark):
+    """The r9 dedup_prefix_jaccard rewrite fingerprints texts (fp) and
+    trigram tokens (h) to BIGINT before any shuffle: every exchange in the
+    plan must partition on one of the integer keys (doc_id / fp / h),
+    never on a token or text string — the string form's candidate join
+    measured ~2.6B match rows of ~30-char payloads at the 1000x replica.
+    The cached token set must also be reused (InMemoryTableScan present)."""
+    import re
+
+    from etl_for_dumdums_spark.catalog import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["dedup_prefix_jaccard"](spark, SF_SMOKE)
+    plan = _plan(df)
+    keys = set(re.findall(r"Exchange (?:hash|range)partitioning\(([a-zA-Z_]+)", plan))
+    assert keys, "no exchanges found (plan shape changed?)"
+    assert keys <= {"doc_id", "fp", "h", "da", "db"}, f"string-keyed exchange: {keys}"
+    assert "InMemoryTableScan" in plan, "token-set cache not engaged"
