@@ -67,7 +67,16 @@ def test_stream_child_waits_for_slow_full_lines(tmp_path):
     assert lines == ["PASS q1 (1 rows) [0.1s]\n"]
 
 
-_BENCH_ENV = {**os.environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001"}
+# The lock tests only exercise bench's sweep-lock guard, not its timing
+# quality: one run per query, no DuckDB control, so the subprocess finishes
+# well inside the timeout even on a cold/loaded box (the original 3-run +
+# control form was timeout-flaky at 120s).
+_BENCH_ENV = {
+    **os.environ,
+    "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+    "SPARK_GRAFT_BENCH_RUNS": "1",
+    "SPARK_GRAFT_BENCH_CONTROL": "0",
+}
 _LOCK = "/tmp/spark_graft_sweep.lock"
 
 
@@ -76,7 +85,7 @@ def _run_bench():
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
         text=True,
-        timeout=120,
+        timeout=300,
         env=_BENCH_ENV,
     )
 
