@@ -274,6 +274,84 @@ def agg_rowwise_presence_score(spark, sf_dir):
     )
 
 
+def _orderstat_percentiles(frame, col, specs):
+    """Exact interpolated percentiles of a 2-decimal DOUBLE column as a
+    1-row frame, via a cents histogram + cumulative order statistics —
+    the scale-safe replacement for Spark's exact `percentile` aggregate.
+
+    `percentile` keeps a value->count OpenHashMap of boxed doubles per
+    partial buffer and merges every map on ONE reducer, then sorts the
+    merged map per evaluation: ~2.4 s per percentile at sf0.1 (583k
+    distinct prices), 671 s at the 1000x replica. Here the heavy input
+    collapses to a `(cents, freq)` histogram with map-side partial
+    aggregation (one narrow shuffle, codegen all the way), a cumulative
+    window over the histogram locates the two order statistics per
+    percentile, and the interpolation REPLICATES Percentile.getPercentile
+    bit-for-bit: pos = p * (n-1) in double, lower==higher -> lowerKey,
+    else lowerKey*(higher-pos) + higherKey*(pos-lower) — NOT the
+    algebraically equal but IEEE-different lo+(hi-lo)*frac form. The
+    cents->double reconstruction (c/100.0) is bit-exact for 2-decimal
+    data (same identity the winsorized-stats oracle relies on). The
+    single-partition cumulative window is bounded by the DOMAIN of the
+    column (distinct cent values), not the row count — at 100 TB the
+    histogram is a few million rows while the old map-merge reducer saw
+    every partial's full map.
+
+    specs: [(percentage, out_alias), ...]. Returns 1-row DataFrame with
+    one rounded column per spec.
+    """
+    from pyspark.sql import Window as _W
+
+    cents = F.round(F.col(col) * 100).cast("long")
+    hist = frame.groupBy(cents.alias("c")).agg(F.count("*").alias("f"))
+    wc = _W.orderBy("c").rowsBetween(_W.unboundedPreceding, 0)
+    cum = hist.select("c", "f", F.sum("f").over(wc).alias("cum"))
+    tags = [tag for _, tag in specs]
+    nm1 = (F.col("n") - 1).cast("double")
+    meta = hist.agg(F.sum("f").alias("n")).select(
+        *[
+            e
+            for p, tag in specs
+            for e in (
+                (nm1 * F.lit(p)).alias(f"_pos_{tag}"),
+                F.floor(nm1 * F.lit(p)).alias(f"_lo_{tag}"),
+                F.ceil(nm1 * F.lit(p)).alias(f"_hi_{tag}"),
+            )
+        ]
+    )
+    j = cum.crossJoin(F.broadcast(meta))
+    # histogram row covers 0-based sorted positions [cum-f, cum-1]
+    covers = lambda idx: (F.col("cum") - F.col("f") <= idx) & (idx < F.col("cum"))  # noqa: E731
+    keep = None
+    for tag in tags:
+        cond = covers(F.col(f"_lo_{tag}")) | covers(F.col(f"_hi_{tag}"))
+        keep = cond if keep is None else (keep | cond)
+    sel = j.filter(keep).agg(
+        *[
+            e
+            for tag in tags
+            for e in (
+                (F.max(F.when(covers(F.col(f"_lo_{tag}")), F.col("c"))) / 100.0).alias(f"_vlo_{tag}"),
+                (F.max(F.when(covers(F.col(f"_hi_{tag}")), F.col("c"))) / 100.0).alias(f"_vhi_{tag}"),
+                F.max(f"_pos_{tag}").alias(f"_p_{tag}"),
+                F.max(f"_lo_{tag}").alias(f"_l_{tag}"),
+                F.max(f"_hi_{tag}").alias(f"_h_{tag}"),
+            )
+        ]
+    )
+    return sel.select(
+        *[
+            R(
+                F.when(F.col(f"_l_{tag}") == F.col(f"_h_{tag}"), F.col(f"_vlo_{tag}")).otherwise(
+                    F.col(f"_vlo_{tag}") * (F.col(f"_h_{tag}").cast("double") - F.col(f"_p_{tag}"))
+                    + F.col(f"_vhi_{tag}") * (F.col(f"_p_{tag}") - F.col(f"_l_{tag}").cast("double"))
+                )
+            ).alias(tag)
+            for tag in tags
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # A14 — global summary stats (no grouping)
 # (reference Summary.py:44-193, pages/4_Hacker_News.py:80-83).
@@ -295,18 +373,49 @@ def agg_rowwise_presence_score(spark, sf_dir):
 )
 def agg_global_summary(spark, sf_dir):
     """A11/A14 multi-stat global summary + interpolated percentiles (merged
-    from r01 agg_percentiles, kept in catalog/advanced.py as an extra)."""
+    from r01 agg_percentiles, kept in catalog/advanced.py as an extra).
+
+    Decomposed into four independent passes crossJoined as 1-row frames
+    (AQE runs independent stages concurrently): plain stats, the two
+    DISTINCT counts, and the percentiles via _orderstat_percentiles.
+    The original single agg made Catalyst plan an Expand(x3) (the two
+    count_distincts) whose partial ObjectHashAggregate keyed the THREE
+    exact-Percentile value->count buffers by (l_partkey, l_orderkey,
+    gid) — ~1.2M mostly-empty percentile maps built and shuffled at
+    sf0.1 (11-16 s measured; 671 s at the 1000x replica). Split, the
+    stats pass is one clean partial-aggregated scan, each distinct count
+    is a plain 2-stage hash aggregate (no Expand anywhere), and the
+    percentiles run as the histogram order-statistics pass (guide §2.3
+    "aggregate before you shuffle"; value-equivalence to the Percentile
+    aggregate pinned in tests/test_optimization_r09.py, plan pinned in
+    tests/test_plans.py)."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.agg(
+    stats = t.lineitem.agg(
         F.count("*").alias("n_rows"),
-        F.count_distinct("l_orderkey").alias("n_orders"),
-        F.count_distinct("l_partkey").alias("n_parts"),
         R(F.sum("l_extendedprice")).alias("total_price"),
         R(F.avg("l_quantity")).alias("mean_qty"),
         R(F.max("l_extendedprice")).alias("max_price"),
-        R(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50_price"),
-        R(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
-        R(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99_price"),
+    )
+    pcts = _orderstat_percentiles(
+        t.lineitem, "l_extendedprice", [(0.5, "p50_price"), (0.9, "p90_price"), (0.99, "p99_price")]
+    )
+    n_orders = t.lineitem.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    n_parts = t.lineitem.agg(F.count_distinct("l_partkey").alias("n_parts"))
+    return (
+        stats.crossJoin(F.broadcast(n_orders))
+        .crossJoin(F.broadcast(n_parts))
+        .crossJoin(F.broadcast(pcts))
+        .select(
+            "n_rows",
+            "n_orders",
+            "n_parts",
+            "total_price",
+            "mean_qty",
+            "max_price",
+            "p50_price",
+            "p90_price",
+            "p99_price",
+        )
     )
 
 

@@ -238,3 +238,17 @@ def test_prefix_jaccard_shuffles_only_integer_keys(spark):
     assert keys, "no exchanges found (plan shape changed?)"
     assert keys <= {"doc_id", "fp", "h", "da", "db"}, f"string-keyed exchange: {keys}"
     assert "InMemoryTableScan" in plan, "token-set cache not engaged"
+
+
+def test_global_summary_has_no_expand_and_no_percentile_maps(spark):
+    """agg_global_summary (r9 optimization): the count_distincts must NOT
+    plan an Expand over the stats/percentile aggregates (the Expand(x3)
+    keyed ~1.2M Percentile value->count buffers by (partkey, orderkey,
+    gid)), and the exact Percentile aggregate itself is replaced by the
+    cents-histogram order-statistics pass — no ObjectHashAggregate with a
+    percentile buffer anywhere in the plan."""
+    plan = _plan(QUERIES["agg_global_summary"](spark, SF_SMOKE))
+    assert "Expand" not in plan, "count_distinct Expand leaked back in"
+    assert "percentile" not in plan.lower(), "exact Percentile aggregate leaked back in"
+    # the histogram pass partial-aggregates map-side before its shuffle
+    assert "partial_count" in plan
