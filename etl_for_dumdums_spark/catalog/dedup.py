@@ -331,17 +331,22 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-        # three output branches read the candidate set; cache it so the
-        # band self-join runs once, not per branch
-        .cache()
     )
-    flagged = cand.select(F.col("da").alias("d")).union(cand.select("db")).distinct()
+    # pair count + flagged-doc count from ONE pass over the candidate set:
+    # explode each pair to its two members — count(*)/2 is the pair count
+    # (exact: the exploded row count is even by construction) and
+    # count_distinct(d) the flagged docs. The old shape read cand twice
+    # (count branch + union-of-both-sides + DISTINCT branch), which cost a
+    # cache and an extra 2x|cand| exchange.
+    pair_stats = cand.select(F.explode(F.array("da", "db")).alias("d")).agg(
+        (F.count("*") / 2).cast("long").alias("n_candidate_pairs"),
+        F.count_distinct("d").alias("n_docs_flagged"),
+    )
     hot = sized.filter(F.col("bucket_size") > _MAX_BUCKET).select("band", "key").distinct()
     return (
-        cand.agg(F.count("*").alias("n_candidate_pairs"))
-        .crossJoin(flagged.agg(F.count("*").alias("n_docs_flagged")))
-        .crossJoin(t.documents.agg(F.count("*").alias("n_docs")))
-        .crossJoin(hot.agg(F.count("*").alias("n_hot_buckets_skipped")))
+        pair_stats.crossJoin(F.broadcast(t.documents.agg(F.count("*").alias("n_docs"))))
+        .crossJoin(F.broadcast(hot.agg(F.count("*").alias("n_hot_buckets_skipped"))))
+        .select("n_candidate_pairs", "n_docs_flagged", "n_docs", "n_hot_buckets_skipped")
     )
 
 
@@ -459,15 +464,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.expr("transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))")
         ).alias("shingle"),
     ).distinct()
-    # high-DF cap: left-semi join against the kept-shingle set (one extra
-    # shuffle on shingle, which the self-join below needs anyway)
-    kept = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
+    # high-DF cap as a window count over ONE pass of the post-DISTINCT rows
+    # (count(*) OVER (PARTITION BY shingle) IS the document frequency — the
+    # same form the DuckDB oracle uses): replaces the old groupBy +
+    # left-semi join-back, so the shingle shuffle happens once and the
+    # window's (shingle) partitioning is exactly what the self-join below
+    # needs. Cached: sizes, x and y all read sh — uncached, the explode +
+    # DISTINCT + window subtree re-ran per reference (the Spark twin of the
+    # oracle-side MATERIALIZED fix).
+    from pyspark.sql import Window as _W
+
+    sh = (
+        sh0.withColumn("df", F.count("*").over(_W.partitionBy("shingle")))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
+        .select("doc_id", "shingle")
+        .cache()
     )
-    sh = sh0.join(kept, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     x = sh.alias("x")
     y = sh.alias("y")

@@ -334,30 +334,29 @@ def sim_ivf_topk(spark, sf_dir):
     centroids = iv.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
-    crossed = iv.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "cid",
-        (
-            F.col("nrm") + F.col("cnrm") - 2 * F.expr(_DOT_SPARK.format(a="v", b="cv"))
-        ).alias("dist"),
+    # Nearest centroid as a PURE PROJECTION: the K centroids (bounded,
+    # _N_CENTROIDS = 8) are folded into a single-row array via collect_list
+    # and crossJoin-broadcast onto every vector; array_min over
+    # struct(dist, cid) picks the assignment per row. Equivalent to the old
+    # crossJoin(centroids) + groupBy(vec_id).min(struct(dist, cid, ...)):
+    # array_min's struct ordering is the same lexicographic (dist, cid) and
+    # dist is exact integer math. What it removes (guide §2.4): the Kx row
+    # blowup and the two-stage SortAggregate + Exchange that re-grouped the
+    # blown-up rows back to one per vec_id — assignment now costs zero
+    # shuffles, so the whole IVF branch's only exchange is the rank
+    # window's (plan pinned in tests/test_plans.py).
+    cent_row = centroids.agg(
+        F.collect_list(F.struct("cid", "cv", "cnrm")).alias("cents")
     )
-    # nearest centroid as min(struct(dist, cid, ...)) — an aggregation with
-    # map-side partial combine, instead of a row_number window that must
-    # shuffle AND sort all n×K assignment rows. Equivalent by construction:
-    # struct ordering is lexicographic on (dist, cid) — the window's ORDER
-    # BY — and dist is exact integer math, so the argmin is deterministic;
-    # v/nrm ride along as constant-per-vec_id payload fields.
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        "nrm + c.cnrm - 2 * aggregate(zip_with(v, c.cv, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist, c.cid AS cid)))"
+    )
     assigned = (
-        crossed.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid", "v", "nrm")).alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.v").alias("v"),
-            F.col("m.nrm").alias("nrm"),
-            F.col("m.cid").alias("cid"),
-        )
+        iv.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", "v", "nrm", best.alias("m"))
+        .select("vec_id", "v", "nrm", F.col("m.cid").alias("cid"))
     )
     queries = assigned.filter(
         (F.col("vec_id") % 100 == 7) & (F.col("vec_id") < _IVF_MAX_QUERY_ID)
@@ -367,7 +366,10 @@ def sim_ivf_topk(spark, sf_dir):
         F.col("nrm").alias("qnrm"),
         F.col("cid").alias("bucket"),
     )
-    scored = queries.join(
+    # the query workload is bounded (<= _IVF_MAX_QUERY_ID/100 rows) —
+    # broadcast it so the probe join never shuffles the corpus (§3.1; was a
+    # SortMergeJoin that recomputed AND shuffled both assignment subtrees)
+    scored = F.broadcast(queries).join(
         assigned,
         (F.col("cid") == F.col("bucket")) & (F.col("vec_id") != F.col("query_id")),
     ).select(

@@ -252,3 +252,19 @@ def test_global_summary_has_no_expand_and_no_percentile_maps(spark):
     assert "percentile" not in plan.lower(), "exact Percentile aggregate leaked back in"
     # the histogram pass partial-aggregates map-side before its shuffle
     assert "partial_count" in plan
+
+
+def test_ivf_assignment_is_projection_and_probe_join_broadcasts_queries(spark):
+    """sim_ivf_topk (r9 optimization): centroid assignment must be a pure
+    projection over a broadcast centroid list (no Kx row blowup, no
+    SortAggregate re-grouping it), and the bounded query workload must be
+    the BROADCAST side of the probe join — the corpus side is never
+    shuffled before the rank window."""
+    from etl_for_dumdums_spark.catalog import EXTRA_QUERIES
+
+    plan = _plan(EXTRA_QUERIES["sim_ivf_topk"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan
+    # map-side top-k prune before the rank window's exchange
+    assert "WindowGroupLimit" in plan and "Partial" in plan
