@@ -218,13 +218,24 @@ def mm_binary_stats(spark, sf_dir):
 )
 def agg_percentiles(spark, sf_dir):
     t = Tables(spark, sf_dir)
+    # one shared-buffer percentile(col, array(...)) per group instead of
+    # three scalar Percentile aggregates (three independent value->count
+    # maps + three sorts per group); values identical — same buffer, same
+    # interpolation, three percentage points
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            R(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50_price"),
-            R(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
-            R(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99_price"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("_ps"),
             R(F.max("l_extendedprice")).alias("max_price"),
+        )
+        .select(
+            "l_returnflag",
+            R(F.col("_ps")[0]).alias("p50_price"),
+            R(F.col("_ps")[1]).alias("p90_price"),
+            R(F.col("_ps")[2]).alias("p99_price"),
+            "max_price",
         )
         .orderBy("l_returnflag")
     )

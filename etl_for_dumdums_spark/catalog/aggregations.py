@@ -499,9 +499,23 @@ def agg_global_summary(spark, sf_dir):
 )
 def agg_winsorized_stats(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    pct = t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    # one percentile(col, array(...)) per group instead of two scalar
+    # Percentile aggregates: each scalar form keeps its OWN value->count
+    # map per group and sorts it separately at evaluation; the array form
+    # shares one buffer and one sort (values identical — same buffer, same
+    # interpolation, two percentage points).
+    pct = (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("_ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_ps")[0].alias("p05"),
+            F.col("_ps")[1].alias("p95"),
+        )
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     classified = t.lineitem.join(F.broadcast(pct), "l_returnflag").select(

@@ -83,30 +83,46 @@ def _tokens(df):
     """,
 )
 def dedup_exact_fingerprint(spark, sf_dir):
+    # ONE scan for both digest families (r9 optimization): each document
+    # row emits its two (method, source, digest) keys via a 2-element
+    # explode, then a single groupBy(method, source, digest) counts both
+    # branches' groups at once — the old union-of-two-branches form read
+    # and decompressed the documents table TWICE and ran two separate
+    # 2-stage aggregations. Group counts are identical by construction
+    # (same keys, same rows), so the stats are unchanged.
     t = Tables(spark, sf_dir)
-
-    def stats(grouped, method, source_col):
-        return grouped.groupBy(source_col.alias("source")).agg(
-            F.count("*").alias("n_groups"),
-            F.sum("n").alias("n_docs"),
-            F.count_if(F.col("n") > 1).alias("n_dup_groups"),
-            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_docs_in_dup_groups"),
-            F.max("n").alias("max_group_size"),
-        ).select(F.lit(method).alias("method"), "*")
-
-    eg = t.documents.groupBy(F.md5("text").alias("digest")).agg(F.count("*").alias("n"))
     fp = F.md5(
         F.concat_ws(
             " ",
             F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))),
         )
     )
-    fg = t.documents.groupBy(F.col("source"), fp.alias("fingerprint")).agg(
-        F.count("*").alias("n")
-    )
+    both = t.documents.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("method"),
+                    F.lit("ALL").alias("source"),
+                    F.md5("text").alias("k"),
+                ),
+                F.struct(
+                    F.lit("fingerprint").alias("method"),
+                    F.col("source").cast("string").alias("source"),
+                    fp.alias("k"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    groups = both.groupBy("method", "source", "k").agg(F.count("*").alias("n"))
     return (
-        stats(eg, "exact", F.lit("ALL"))
-        .unionByName(stats(fg, "fingerprint", F.col("source")))
+        groups.groupBy("method", "source")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n").alias("n_docs"),
+            F.count_if(F.col("n") > 1).alias("n_dup_groups"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_docs_in_dup_groups"),
+            F.max("n").alias("max_group_size"),
+        )
         .orderBy("method", "source")
     )
 
