@@ -450,34 +450,53 @@ def join_range_interval(spark, sf_dir):
 
 
 def _range_interval(events):
-    """Bucketed range self-join over ``events`` — factored out so the
+    """Bucketed range follower-count over ``events`` — factored out so the
     sampled 100x tier (catalog/sampled.py) can run the identical plan on a
-    deterministic event subset."""
+    deterministic event subset.
+
+    r9 optimization: the per-event follower count never needs the pair set
+    materialized. The old form equi-joined on (type, bucket) and streamed
+    every (event, follower) match row into a groupBy — O(sum over buckets
+    of within-bucket pairs), ~50M rows at sf0.1 (15.4 s) and the dominant
+    term of the 682 s 1000x-sampled run. Now each event contributes TWO
+    bucket rows — its home bucket and, as a lookahead copy, the preceding
+    bucket — and a count() over a RANGE frame of (ts+1us, ts+1h] in
+    microseconds within (event_type, bucket) counts its followers
+    directly: every follower lies in the event's bucket (a home row here)
+    or the next one (a lookahead row here), each exactly once, and the
+    1-microsecond lower bound states the strict nts > ts at the data's
+    microsecond precision (the same argument as the r9 oracle rewrite,
+    pin-tested in tests/test_advice_r9.py; join-vs-window equivalence of
+    THIS plan pinned in tests/test_optimization_r09.py). Cost: one
+    shuffle of 2n rows + a per-bucket sort — O(n log bucket) with the
+    same (type, bucket) parallelism the join had, pair volume gone.
+    """
+    from pyspark.sql import Window as _W
+
     e = events.select("event_id", "event_type", "ts")
-    bkt = F.floor(F.unix_timestamp("ts") / _RANGE_BUCKET_SEC)
-    # left explodes into the two buckets its 1h window can overlap
-    left = e.select(
-        "event_id",
+    mts = F.unix_micros(F.col("ts").cast("timestamp"))
+    bkt = F.floor(F.unix_timestamp("ts") / _RANGE_BUCKET_SEC).cast("long")
+    rows = e.select(
         "event_type",
-        "ts",
-        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+        mts.alias("mts"),
+        F.explode(
+            F.array(
+                F.struct(bkt.alias("pbkt"), F.lit(1).alias("is_home")),
+                F.struct((bkt - 1).alias("pbkt"), F.lit(0).alias("is_home")),
+            )
+        ).alias("x"),
+    ).select("event_type", "mts", F.col("x.pbkt").alias("pbkt"), F.col("x.is_home").alias("is_home"))
+    w = (
+        _W.partitionBy("event_type", "pbkt")
+        .orderBy("mts")
+        .rangeBetween(1, _RANGE_BUCKET_SEC * 1_000_000)
     )
-    right = e.select(
-        F.col("event_id").alias("nid"),
-        F.col("event_type").alias("event_type"),
-        F.col("ts").alias("nts"),
-        bkt.alias("bkt"),
-    )
-    pairs = left.join(right, ["event_type", "bkt"]).filter(
-        (F.col("nts") > F.col("ts"))
-        & (F.col("nts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
-    )
-    follows = pairs.groupBy("event_id").agg(F.count("*").alias("n_follow"))
-    per_event = e.join(follows, "event_id", "left").select(
-        "event_type", F.coalesce("n_follow", F.lit(0)).alias("n_follow")
+    counted = rows.select(
+        "event_type", "is_home", F.count("*").over(w).alias("n_follow")
     )
     return (
-        per_event.groupBy("event_type")
+        counted.filter(F.col("is_home") == 1)
+        .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.avg("n_follow"), DP).alias("avg_follows"),

@@ -59,6 +59,94 @@ def test_agg_global_summary_matches_original_single_agg(spark, sf):
     assert old.asDict() == new.asDict()
 
 
+# ---------------------------------------------------------------------------
+# join_range_interval: the RANGE-frame window form (home row + lookahead
+# copy in the preceding bucket) must equal the original bucketed
+# equi-join + residual-filter form row-for-row.
+# ---------------------------------------------------------------------------
+def _range_interval_join_form(events):
+    """The pre-r9 formulation: bucketed equi-join, pair filter, groupBy."""
+    from etl_for_dumdums_spark.catalog.joins import _RANGE_BUCKET_SEC, DP
+
+    e = events.select("event_id", "event_type", "ts")
+    bkt = F.floor(F.unix_timestamp("ts") / _RANGE_BUCKET_SEC)
+    left = e.select(
+        "event_id", "event_type", "ts",
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    right = e.select(
+        F.col("event_id").alias("nid"),
+        F.col("event_type").alias("event_type"),
+        F.col("ts").alias("nts"),
+        bkt.alias("bkt"),
+    )
+    pairs = left.join(right, ["event_type", "bkt"]).filter(
+        (F.col("nts") > F.col("ts"))
+        & (F.col("nts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    follows = pairs.groupBy("event_id").agg(F.count("*").alias("n_follow"))
+    per_event = e.join(follows, "event_id", "left").select(
+        "event_type", F.coalesce("n_follow", F.lit(0)).alias("n_follow")
+    )
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("n_follow"), DP).alias("avg_follows"),
+            F.max("n_follow").alias("max_follows"),
+            F.sum("n_follow").cast("bigint").alias("total_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_range_interval_window_matches_join_form(spark, sf):
+    from etl_for_dumdums_spark.catalog.joins import _range_interval
+
+    t = Tables(spark, f"/root/testdata/{sf}")
+    old = [r.asDict() for r in _range_interval_join_form(t.events).collect()]
+    new = [r.asDict() for r in _range_interval(t.events).collect()]
+    assert old == new
+
+
+def test_range_interval_window_edge_cases(spark):
+    """Synthetic events covering the equivalence argument's edges: equal
+    timestamps (strictly-after excludes the peer), a follower exactly 1h
+    later (inclusive), 1h+1us later (excluded), followers in the home
+    bucket vs the next bucket, and an event at an exact bucket boundary."""
+    from datetime import datetime, timedelta
+
+    from etl_for_dumdums_spark.catalog.joins import _range_interval
+
+    base = datetime(2024, 3, 1, 10, 30, 0)
+    bound = datetime(2024, 3, 1, 12, 0, 0)  # exact bucket boundary
+    rows = [
+        ("a", 1, base),
+        ("a", 2, base),                                   # equal ts peer
+        ("a", 3, base + timedelta(minutes=10)),           # home bucket
+        ("a", 4, base + timedelta(minutes=45)),           # next bucket
+        ("a", 5, base + timedelta(hours=1)),              # exactly 1h: included
+        ("a", 6, base + timedelta(hours=1, microseconds=1)),  # 1h+1us: excluded
+        ("a", 7, bound),                                  # boundary event
+        ("a", 8, bound + timedelta(microseconds=1)),
+        ("b", 9, base),                                   # other type: isolated
+    ]
+    events = spark.createDataFrame(
+        [(t_, i, ts) for t_, i, ts in rows],
+        "event_type string, event_id int, ts timestamp",
+    )
+    old = [r.asDict() for r in _range_interval_join_form(events).collect()]
+    new = [r.asDict() for r in _range_interval(events).collect()]
+    assert old == new
+    # spot-check the hand-computed counts survive both forms
+    by_type = {r["event_type"]: r for r in new}
+    # event 1 follows: 3,4,5 (not 2 equal-ts, not 6 >1h) = 3; event 2 same;
+    # 3 -> 4,5,6; 4 -> 5,6,7,8; 5 -> 6,7,8; 6 -> 7,8; 7 -> 8; 8 -> 0
+    assert by_type["a"]["total_pairs"] == 3 + 3 + 3 + 4 + 3 + 2 + 1 + 0
+    assert by_type["b"]["total_pairs"] == 0
+
+
 def test_orderstat_percentiles_interpolation_edges(spark):
     """Synthetic 2-decimal data covering the interpolation branches:
     lower == higher (pos lands on a value), true interpolation between two

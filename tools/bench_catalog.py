@@ -44,8 +44,7 @@ def main() -> None:
     all_q = {**EXTRA_QUERIES, **QUERIES}
     names = list(QUERIES) + [n for n in HEADLINE if n not in QUERIES]
     if args.only:
-        only = args.only.split(",")
-        names = [n for n in names if n in only]
+        names = [n for n in args.only.split(",") if n in all_q]
 
     outdir = Path(__file__).resolve().parents[1] / "plans" / args.tag
     outdir.mkdir(parents=True, exist_ok=True)
