@@ -152,6 +152,8 @@ def main() -> None:
     QUERIES[names[0]](spark, sf_dir).count()
 
     def run_once(name: str) -> float:
+        # label the job (guide §1.5) so UI/event-log stages map to queries
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0

@@ -83,58 +83,50 @@ _FP = f"md5(array_to_string(list_sort({_TOK}), ' '))"
     """,
 )
 def corpus_clean_report(spark, sf_dir):
-    from ..operators.corpus import clean_corpus, minhash_neardup_candidates
+    from ..operators.corpus import (
+        fingerprint_expr,
+        gate_documents,
+        minhash_neardup_candidates,
+    )
 
     t = Tables(spark, sf_dir)
     docs = t.documents
 
-    # stage frames from the real operators (lazy; each a prefix of the plan)
-    hits = {
-        lg: F.size(
-            F.regexp_extract_all(
-                F.lower(F.col("text")),
-                F.lit(r"\b(" + "|".join(ws) + r")\b"),
-                F.lit(0),
-            )
-        )
-        for lg, ws in {
-            "en": ["the", "a", "of", "and", "to"],
-            "de": ["der", "die", "das", "und", "ist"],
-            "fr": ["le", "la", "les", "et", "est"],
-            "es": ["el", "los", "las", "y", "es"],
-        }.items()
-    }
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    n_types = F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
-    predicted_en = (
-        ~((hits["en"] == 0) & (hits["de"] == 0) & (hits["fr"] == 0) & (hits["es"] == 0))
-        & ~((hits["de"] > hits["en"]) & (hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]))
-        & ~((hits["fr"] > hits["en"]) & (hits["fr"] >= hits["es"]))
-        & ~(hits["es"] > hits["en"])
-    )
-    gated = docs.filter(
-        predicted_en
-        & ~(n_tokens < 20)
-        & ~(hits["en"] * 100 < n_tokens)
-        & ~(n_types * 10 < n_tokens * 3)
-    )
+    # r9 opt: ONE evaluation per stage. The old shape called clean_corpus
+    # twice (with/without the MinHash stage) and locally rebuilt the
+    # gate/exact prefixes for their counts, so the language-gate regexes —
+    # the pipeline's expensive row-local work — ran 5x over the corpus.
+    # Now each stage is built once from the SAME real operators
+    # (gate_documents / fingerprint_expr / minhash_neardup_candidates —
+    # the composition clean_corpus states), the two reused frames are
+    # cached, and every count reads its stage frame. Stage semantics and
+    # counts are byte-identical; only the evaluation count changed.
     from pyspark.sql import Window
 
+    gated = gate_documents(docs).cache()
     w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact = (
         gated.withColumn("_rn", F.row_number().over(w_exact))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    fingerprint = clean_corpus(docs)  # == exact + fp dedup (same operators)
-    cleaned = clean_corpus(docs, minhash_neardup=True)
+    w_fp = Window.partitionBy(fingerprint_expr()).orderBy("doc_id")
+    deduped = (
+        exact.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "predicted_lang", "n_tokens", "quality_bucket")
+        .cache()
+    )
+    cand = minhash_neardup_candidates(deduped)
+    drops = cand.select(F.col("db").alias("doc_id")).distinct()
+    cleaned = deduped.join(drops, "doc_id", "left_anti")
 
     counts = (
         docs.agg(F.count("*").alias("n_raw"))
         .crossJoin(F.broadcast(gated.agg(F.count("*").alias("n_after_gates"))))
         .crossJoin(F.broadcast(exact.agg(F.count("*").alias("n_after_exact"))))
         .crossJoin(
-            F.broadcast(fingerprint.agg(F.count("*").alias("n_after_fingerprint")))
+            F.broadcast(deduped.agg(F.count("*").alias("n_after_fingerprint")))
         )
         .crossJoin(F.broadcast(cleaned.agg(F.count("*").alias("n_kept"))))
     )

@@ -440,26 +440,36 @@ _MAX_SHINGLE_DF = 64
     sql=f"""
     WITH arr AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents),
+    -- shingles are fingerprinted to the shared 60-bit md5-fold BIGINT at
+    -- the explode (r9 opt, same contract as dedup_prefix_jaccard / the
+    -- winnowing sketches): every downstream DISTINCT / window sort /
+    -- self-join / group moves 8-byte ints instead of ~25-byte trigram
+    -- strings. Both engines fold the SAME md5, so parity is exact even
+    -- under a collision; equivalence to the raw-string form is pinned in
+    -- tests/test_optimization_r09.py.
     sh0 AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(a) - 1),
-                                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
-      FROM arr WHERE len(a) >= 3),
+             (('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - 1),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS w
+        FROM arr WHERE len(a) >= 3)),
     -- sh is MATERIALIZED and the DF cap is a window over ONE pass of sh0:
     -- the GROUP/HAVING + JOIN form referenced sh0 twice and sh three times,
     -- and DuckDB's plain-CTE inlining re-ran the full shingle explode +
     -- DISTINCT per reference (~5x) — disk-full at the 1000x sweep (r7).
-    -- count(*) OVER (PARTITION BY shingle) on the post-DISTINCT rows IS the
+    -- count(*) OVER (PARTITION BY h) on the post-DISTINCT rows IS the
     -- document frequency, so the kept set is identical.
     sh AS MATERIALIZED (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
         FROM sh0)
       WHERE df <= {_MAX_SHINGLE_DF}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
       GROUP BY 1, 2)
     SELECT round(common * 1.0 / (sa.sz + sb.sz - common), 1) AS jaccard_bin,
            count(*) AS n_pairs
@@ -474,26 +484,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
     arr = t.documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a")
     ).filter(F.size("a") >= 3)
+    # shingles fingerprinted to the shared 60-bit md5-fold BIGINT at the
+    # explode (r9 opt — see the SQL twin's comment): DISTINCT, the DF-cap
+    # window sort, the self-join and every group move 8-byte ints, not
+    # trigram strings
     sh0 = arr.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))")
-        ).alias("shingle"),
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias("h"),
     ).distinct()
     # high-DF cap as a window count over ONE pass of the post-DISTINCT rows
-    # (count(*) OVER (PARTITION BY shingle) IS the document frequency — the
+    # (count(*) OVER (PARTITION BY h) IS the document frequency — the
     # same form the DuckDB oracle uses): replaces the old groupBy +
     # left-semi join-back, so the shingle shuffle happens once and the
-    # window's (shingle) partitioning is exactly what the self-join below
+    # window's (h) partitioning is exactly what the self-join below
     # needs. Cached: sizes, x and y all read sh — uncached, the explode +
     # DISTINCT + window subtree re-ran per reference (the Spark twin of the
     # oracle-side MATERIALIZED fix).
     from pyspark.sql import Window as _W
 
     sh = (
-        sh0.withColumn("df", F.count("*").over(_W.partitionBy("shingle")))
+        sh0.withColumn("df", F.count("*").over(_W.partitionBy("h")))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("doc_id", "shingle")
+        .select("doc_id", "h")
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -502,7 +519,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     pairs = (
         x.join(
             y,
-            (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .groupBy(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .agg(F.count("*").alias("common"))
@@ -601,13 +618,36 @@ def _sh64_sql() -> str:
     """
 
 
+def _sh64_int_vote_exprs() -> list[str]:
+    """The 64 vote aggregates over two 32-bit integer halves of the token
+    md5 (``ha`` = hex chars 1-8, ``hb`` = chars 9-16) instead of 64
+    substr+instr string probes per token. Hex char at 1-based position c
+    is nibble ``4*(8-c)`` of ha (c <= 8) / ``4*(16-c)`` of hb, so bit j of
+    that hex digit is ``(h div 2^(nibble+j)) % 2`` — exactly the value the
+    string form extracts (pinned in tests/test_optimization_r09.py).
+    Per-row cost drops from 64 string ops to one conv pair + 64 integer
+    shifts (guide §2.3 "narrower types" / §1.2 per-task work)."""
+    out = []
+    for b in range(_SH64_BITS):
+        c, j = b // 4 + 1, b % 4
+        src, k = ("ha", 4 * (8 - c) + j) if c <= 8 else ("hb", 4 * (16 - c) + j)
+        out.append(
+            f"sum(CASE WHEN ({src} div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    return out
+
+
 @register("dedup_simhash64", extra=True, sql=_sh64_sql())
 def dedup_simhash64(spark, sf_dir):
     t = Tables(spark, sf_dir)
     tok = _tokens(t.documents)
-    votes = tok.groupBy("doc_id").agg(
-        *[F.expr(e.replace("strpos", "instr").replace("//", "div")) for e in
-          _sh64_vote_exprs("strpos", "//")]
+    tokh = tok.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)").alias("ha"),
+        F.expr("CAST(conv(substr(md5(w), 9, 8), 16, 10) AS BIGINT)").alias("hb"),
+    )
+    votes = tokh.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _sh64_int_vote_exprs()]
     )
     # one row per doc, 5 narrow columns — cached because FOUR subtrees read
     # it (band explode, the x/y verification sides, candidate count); without
@@ -771,6 +811,14 @@ def _cc_groups(documents):
     ).cache()
 
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
+    # convergence via the label-sum invariant instead of a per-iteration
+    # join-and-count: new lbl(n) = min(old lbl(n), propagated lbls), so
+    # labels are per-node monotone nonincreasing and sum(lbl) strictly
+    # decreases iff ANY label changed. One cheap aggregate over the
+    # just-checkpointed frame replaces the old new-vs-old equi-join +
+    # count action per iteration (r9 opt; fixpoint reached is identical —
+    # same propagation, same stop condition).
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(_CC_MAX_ITERS):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "lbl"
@@ -782,15 +830,11 @@ def _cc_groups(documents):
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)  # truncate per-iteration lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     groups = labels.groupBy("lbl").agg(F.count("*").alias("group_size"))
     return groups.agg(
@@ -945,13 +989,20 @@ def _prefix_jaccard(documents):
        after aggregation."""
     from pyspark.sql import Window as W
 
-    fp = documents.select(
-        "doc_id",
-        F.lower(F.trim(F.col("text"))).alias("t"),
-    ).select(
-        "doc_id",
-        "t",
-        F.expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("fp"),
+    fp = (
+        documents.select(
+            "doc_id",
+            F.lower(F.trim(F.col("text"))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "t",
+            F.expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("fp"),
+        )
+        # one narrow row per document, referenced 5x (grp, the reps join,
+        # both `within` sides, both `crossg` member expansions) — uncached,
+        # every reader re-scanned documents and re-hashed the full text
+        .cache()
     )
     grp = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     reps = (
@@ -961,6 +1012,10 @@ def _prefix_jaccard(documents):
             (F.col("f.fp") == F.col("g.fp")) & (F.col("f.doc_id") == F.col("g.rep")),
         )
         .select(F.col("f.fp").alias("fp"), F.col("f.doc_id").alias("doc_id"), F.col("f.t").alias("t"))
+        # one row per distinct text, referenced 3x (tokenization, sized_fp,
+        # the crossg rep->group expansion) — cache so the fp⋈grp
+        # representative join runs once
+        .cache()
     )
     arr = reps.select(
         "doc_id", F.split(F.col("t"), r"\s+").alias("a")
@@ -984,7 +1039,10 @@ def _prefix_jaccard(documents):
         .cache()
     )
     dfreq = toks.groupBy("h").agg(F.count("*").alias("df"))
-    sized = toks.groupBy("doc_id").agg(F.count("*").alias("s"))
+    # per-rep token counts: read by prefix, both rep_pairs size joins, and
+    # sized_fp — cache the tiny (doc_id, s) frame so the groupBy over the
+    # cached toks runs once, not per reader
+    sized = toks.groupBy("doc_id").agg(F.count("*").alias("s")).cache()
     ranked = toks.join(dfreq, "h").select(
         "doc_id",
         "h",

@@ -226,22 +226,73 @@ def _reach_sql(li: str, orders: str, cust: str, supp: str, materialize: bool = F
     """
 
 
+def _reach_strong_sql(li: str, orders: str, cust: str, supp: str) -> str:
+    """The pre-recursion reduction alone: top-{_REACH_TOPK} out-edges per
+    source nation — the same raw_edges/strong text as _reach_sql."""
+    return f"""
+    WITH raw_edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM {li} l
+      JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+      JOIN {cust} c   ON o.o_custkey = c.c_custkey
+      JOIN {supp} s   ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2)
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM raw_edges WHERE src <> dst) t
+    WHERE rn <= {_REACH_TOPK}
+    """
+
+
+def _reach_rec_sql(strong: str) -> str:
+    """The recursion + rollup over an already-materialized ``strong``
+    relation — the same reach/minhop/rollup text as _reach_sql."""
+    return f"""
+    WITH RECURSIVE
+    reach (src, dst, hop) AS (
+      SELECT src, dst, 1 FROM {strong}
+      UNION ALL
+      SELECT r.src, e.dst, r.hop + 1
+      FROM reach r JOIN {strong} e ON r.dst = e.src
+      WHERE r.hop < {_REACH_HOPS} AND e.dst <> r.src),
+    minhop AS (
+      SELECT src, dst, CAST(min(hop) AS BIGINT) AS h
+      FROM reach GROUP BY src, dst)
+    SELECT src,
+           CAST(count_if(h <= 1) AS BIGINT) AS n_reach_h1,
+           CAST(count_if(h <= 2) AS BIGINT) AS n_reach_h2,
+           CAST(count(*) AS BIGINT) AS n_reach_h3,
+           CAST(sum(h) AS BIGINT) AS sum_min_hops
+    FROM minhop GROUP BY src ORDER BY src
+    """
+
+
 @register(
     "graph_reachability_recursive",
     extra=True,
     sql=_reach_sql("lineitem", "orders", "customer", "supplier", materialize=True),
 )
 def graph_reachability_recursive(spark, sf_dir):
+    # r9 opt: materialize `strong` (<= |nations| * topk rows) ONCE and hand
+    # the recursion a cached temp view. Spark's recursive-CTE execution
+    # re-evaluates the step plan per iteration, and with `strong` written
+    # inline the 4-table raw_edges join re-ran every hop — the Spark twin
+    # of the oracle-side AS MATERIALIZED pin (same fragment texts, same
+    # results; only the strong subtree's evaluation count changes).
     t = Tables(spark, sf_dir)
     t.lineitem.createOrReplaceTempView("__reach_lineitem")
     t.orders.createOrReplaceTempView("__reach_orders")
     t.customer.createOrReplaceTempView("__reach_customer")
     t.supplier.createOrReplaceTempView("__reach_supplier")
-    return spark.sql(
-        _reach_sql(
+    strong = spark.sql(
+        _reach_strong_sql(
             "__reach_lineitem", "__reach_orders", "__reach_customer", "__reach_supplier"
         )
-    )
+    ).cache()
+    strong.createOrReplaceTempView("__reach_strong")
+    return spark.sql(_reach_rec_sql("__reach_strong"))
 
 
 # ---------------------------------------------------------------------------

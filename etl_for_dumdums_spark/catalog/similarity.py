@@ -1497,6 +1497,12 @@ def sim_ivf_trained_topk(spark, sf_dir):
         k=_IVF_TRAIN_K,
         train_on=emb.filter(F.col("vec_id") < 2000),
     )
+    # (vec_id, bucket) ints, one row per vector — cached because THREE
+    # ivf_topk runs (full probe, nprobe=1, nprobe=2) each join against it;
+    # uncached, every run re-ran the MLlib vector-conversion + centroid
+    # assignment pass over the full corpus (r9 opt: 8.6s -> see
+    # OPTIMIZATION_r09.md)
+    assigned = assigned.cache()
     qids = list(range(_IVF_TRAIN_QUERIES))
 
     def run(nprobe):
@@ -1505,8 +1511,11 @@ def sim_ivf_trained_topk(spark, sf_dir):
             nprobe=nprobe, centroids=centroids,
         )
 
-    # full probe == brute truth (returned frame; the oracle restates it)
-    full = run(_IVF_TRAIN_K)
+    # full probe == brute truth (returned frame; the oracle restates it).
+    # Cached: collected once for the truth set here and consumed again by
+    # the caller's terminal action — uncached, the whole probe pipeline
+    # re-ran at that action.
+    full = run(_IVF_TRAIN_K).cache()
     truth = {
         (r["query_id"], r["neighbor_id"]) for r in full.collect()
     }
@@ -1521,7 +1530,14 @@ def sim_ivf_trained_topk(spark, sf_dir):
                 per[r["query_id"]] += 1
         return per
 
-    r1, r2 = recall(1), recall(2)
+    # the two assertion legs are independent jobs over the cached
+    # assignment index — overlap them so the second back-fills the first's
+    # straggler tail (guide §2.6) instead of running serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1, f2 = pool.submit(recall, 1), pool.submit(recall, 2)
+        r1, r2 = f1.result(), f2.result()
     for qid in r1:
         if not (0 <= r1[qid] <= _TOPK and 0 <= r2.get(qid, 0) <= _TOPK):
             raise AssertionError(f"IVF recall out of bounds for query {qid}")

@@ -793,18 +793,23 @@ def agg_weighted_median(spark, sf_dir):
     pref, totals = ranged_prefix(spark, v, ["cents"], ["w"])
     tw = totals["w"]
 
+    # all three quantile picks in ONE aggregation pass over the prefix-sum
+    # frame (min of a conditional projection == min over the filtered rows,
+    # nulls ignored): the old per-pick filter+agg branches scanned the
+    # cached range-partitioned frame three times and crossJoined the
+    # 1-row results (r9 opt; identical values — same cross-multiplied
+    # integer membership tests, same mins)
     def pick(num: int, den: int, alias: str):
-        return (
-            pref.filter(F.col("cum_w") * den >= num * tw)
-            .agg(F.round(F.min("cents") / 100.0, 2).alias(alias))
-        )
+        return F.round(
+            F.min(F.when(F.col("cum_w") * den >= num * tw, F.col("cents"))) / 100.0, 2
+        ).alias(alias)
 
-    p25 = pick(1, 4, "p25_weighted")
-    p50 = pick(1, 2, "median_weighted")
-    p75 = pick(3, 4, "p75_weighted")
     return (
-        p25.crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p75))
+        pref.agg(
+            pick(1, 4, "p25_weighted"),
+            pick(1, 2, "median_weighted"),
+            pick(3, 4, "p75_weighted"),
+        )
         .select(
             F.lit(tw).cast("long").alias("total_weight"),
             "p25_weighted",

@@ -571,32 +571,38 @@ def _winnow_sketch(docs):
         .distinct()
         .cache()
     )
-    sizes = sketch.groupBy("doc_id", "lang").agg(F.count("*").alias("sk"))
-    per_lang = sizes.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("sk").alias("total_sketch_hashes"),
-        R(F.sum("sk") * 1.0 / F.count("*")).alias("avg_sketch_size"),
-    )
-    distinct_hashes = sketch.groupBy("lang").agg(
-        F.count_distinct("h").alias("n_distinct_hashes")
-    )
-    shared = (
+    # r9 opt: the five per-lang stats from TWO aggregation passes over the
+    # cached sketch instead of three (sizes->per_lang, count_distinct(h),
+    # shared). sketch rows are DISTINCT (doc_id, lang, h), so per (lang, h)
+    # the row count IS the distinct-doc count: one (lang, h) rollup yields
+    # n_distinct_hashes (count), n_shared_hashes (count_if nd > 1) AND
+    # total_sketch_hashes (sum nd == total sketch rows == sum of per-doc
+    # sizes); only n_docs still needs its own distinct-doc pass. Values
+    # identical (pinned in tests/test_optimization_r09.py).
+    by_hash = (
         sketch.groupBy("lang", "h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.count("*").alias("nd"))
         .groupBy("lang")
-        .agg(F.count("*").alias("n_shared_hashes"))
+        .agg(
+            F.count("*").alias("n_distinct_hashes"),
+            F.sum("nd").alias("total_sketch_hashes"),
+            F.count_if(F.col("nd") > 1).alias("n_shared_hashes"),
+        )
+    )
+    by_doc = sketch.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs")
     )
     return (
-        per_lang.join(distinct_hashes, "lang", "left")
-        .join(shared, "lang", "left")
+        by_doc.join(by_hash, "lang")
         .select(
             "lang",
             "n_docs",
             "total_sketch_hashes",
-            "avg_sketch_size",
+            R(F.col("total_sketch_hashes") * 1.0 / F.col("n_docs")).alias(
+                "avg_sketch_size"
+            ),
             "n_distinct_hashes",
-            F.coalesce("n_shared_hashes", F.lit(0)).alias("n_shared_hashes"),
+            "n_shared_hashes",
         )
         .orderBy("lang")
     )

@@ -227,7 +227,13 @@ def test_prefix_jaccard_shuffles_only_integer_keys(spark):
     plan must partition on one of the integer keys (doc_id / fp / h),
     never on a token or text string — the string form's candidate join
     measured ~2.6B match rows of ~30-char payloads at the 1000x replica.
-    The cached token set must also be reused (InMemoryTableScan present)."""
+    The cached token set must also be reused (InMemoryTableScan present).
+
+    Since the r9 optimization pass cached the multiply-referenced small
+    frames (fp / reps / sized), their exchanges live inside the
+    InMemoryRelations and at smoke SF the remaining visible joins can all
+    broadcast — so an empty key set is a legal shape; any key that IS
+    visible must still be one of the integer keys."""
     import re
 
     from etl_for_dumdums_spark.catalog import EXTRA_QUERIES
@@ -235,8 +241,12 @@ def test_prefix_jaccard_shuffles_only_integer_keys(spark):
     df = EXTRA_QUERIES["dedup_prefix_jaccard"](spark, SF_SMOKE)
     plan = _plan(df)
     keys = set(re.findall(r"Exchange (?:hash|range)partitioning\(([a-zA-Z_]+)", plan))
-    assert keys, "no exchanges found (plan shape changed?)"
-    assert keys <= {"doc_id", "fp", "h", "da", "db"}, f"string-keyed exchange: {keys}"
+    allowed = {
+        "doc_id", "fp", "h", "da", "db",
+        # integer-key renames in the member-expansion joins
+        "fpa", "fpb", "gfa", "gfb", "ida", "idb", "rep",
+    }
+    assert keys <= allowed, f"string-keyed exchange: {keys}"
     assert "InMemoryTableScan" in plan, "token-set cache not engaged"
 
 
