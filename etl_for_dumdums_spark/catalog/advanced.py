@@ -555,7 +555,8 @@ def agg_quantile_counting(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Per-column table profile (beyond-reference — the dbt-docs/Great-Expectations
 # style summary): null count, exact distinct count, min/max per column of
-# `orders`, computed in ONE aggregate over one scan (checks.profile_table).
+# `orders` (checks.profile_table: one plain stats aggregate + one 2-stage
+# hash-distinct per column, no Expand).
 # Monotone reprs keep min/max cross-engine exact: ids as decimal strings,
 # price as integer cents, timestamp day-truncated to ISO date. The oracle is
 # the explicit per-column UNION ALL a SQL engine would write.

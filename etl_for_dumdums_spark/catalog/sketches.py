@@ -392,19 +392,35 @@ def _hq_sql() -> str:
 
 @register("sketch_histogram_quantile", extra=True, sql=_hq_sql())
 def sketch_histogram_quantile(spark, sf_dir):
-    """Single-pass histogram quantiles vs exact percentiles on lineitem."""
+    """Histogram quantiles vs exact percentiles on lineitem, all derived
+    from ONE scan: the exact (cents, freq) histogram is computed once
+    (map-side partial agg, domain-bounded frame) and cached; the bounds
+    row, the 128-bin sketch AND the exact interpolated percentiles all
+    read it. The previous form re-scanned lineitem per consumer (~8 scan
+    subtrees in the unrolled plan, plus an exact `percentile` aggregate
+    whose value→count map-merge is the pattern agg_global_summary shed
+    this round); guide §2.4 / §1.2. The exact side replicates
+    Percentile.getPercentile on the cents doubles bit-for-bit (same
+    formula as aggregations._orderstat_percentiles, kept in cents-then-
+    divide order to match the original `percentile("c")/100.0`)."""
     from pyspark.sql import Window as W
 
     t = Tables(spark, sf_dir)
-    c = t.lineitem.select(
-        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
+    hist = (
+        t.lineitem.groupBy(
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
+        )
+        .agg(F.count("*").alias("f"))
+        .cache()  # |distinct cents| rows — read by bounds, bins and exact
     )
-    b = c.agg(F.min("c").alias("mn"), F.max("c").alias("mx"), F.count("*").alias("n"))
+    b = hist.agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx"), F.sum("f").alias("n")
+    )
     bins = (
-        c.crossJoin(F.broadcast(b))
-        .select(F.expr(f"(c - mn) * {_HQ_BINS} DIV (mx - mn + 1)").alias("bin"))
+        hist.crossJoin(F.broadcast(b))
+        .select(F.expr(f"(c - mn) * {_HQ_BINS} DIV (mx - mn + 1)").alias("bin"), "f")
         .groupBy("bin")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("f").alias("cnt"))
     )
     cum = bins.withColumn(
         "cum",
@@ -425,13 +441,69 @@ def sketch_histogram_quantile(spark, sf_dir):
             / 100.0
         ).alias("est_v"),
     )
-    pv = c.agg(
-        F.percentile("c", F.array(*[F.lit(float(q)) for q in _HQ_QS])).alias("pv")
+    # exact interpolated percentiles from the SAME histogram: cumulative
+    # order statistics + Percentile.getPercentile's interpolation on the
+    # cents doubles (pos = q*(n-1); lower==higher -> lowerKey; else
+    # lowerKey*(higher-pos) + higherKey*(pos-lower)), divided by 100 LAST
+    # exactly like the original percentile("c", ...)/100.0
+    wc = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cumh = hist.select("c", "f", F.sum("f").over(wc).alias("cum"))
+    nm1 = (F.col("n") - 1).cast("double")
+    meta = b.select(
+        *[
+            e
+            for i, q in enumerate(_HQ_QS)
+            for e in (
+                (nm1 * F.lit(float(q))).alias(f"_pos_{i}"),
+                F.floor(nm1 * F.lit(float(q))).alias(f"_lo_{i}"),
+                F.ceil(nm1 * F.lit(float(q))).alias(f"_hi_{i}"),
+            )
+        ]
     )
-    exact = pv.select(F.posexplode("pv").alias("pos", "v")).select(
-        F.array(*[F.lit(float(q)) for q in _HQ_QS])[F.col("pos")].alias("q"),
-        (F.col("v") / 100.0).alias("exact_v"),
+    jx = cumh.crossJoin(F.broadcast(meta))
+    # histogram row covers 0-based sorted positions [cum-f, cum-1]
+    covers = lambda idx: (F.col("cum") - F.col("f") <= idx) & (idx < F.col("cum"))  # noqa: E731
+    keep = None
+    for i in range(len(_HQ_QS)):
+        cond = covers(F.col(f"_lo_{i}")) | covers(F.col(f"_hi_{i}"))
+        keep = cond if keep is None else (keep | cond)
+    selx = jx.filter(keep).agg(
+        *[
+            e
+            for i in range(len(_HQ_QS))
+            for e in (
+                F.max(F.when(covers(F.col(f"_lo_{i}")), F.col("c"))).alias(f"_vlo_{i}"),
+                F.max(F.when(covers(F.col(f"_hi_{i}")), F.col("c"))).alias(f"_vhi_{i}"),
+                F.max(f"_pos_{i}").alias(f"_p_{i}"),
+                F.max(f"_lo_{i}").alias(f"_l_{i}"),
+                F.max(f"_hi_{i}").alias(f"_h_{i}"),
+            )
+        ]
     )
+    exact = selx.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        (
+                            F.when(
+                                F.col(f"_l_{i}") == F.col(f"_h_{i}"),
+                                F.col(f"_vlo_{i}").cast("double"),
+                            ).otherwise(
+                                F.col(f"_vlo_{i}")
+                                * (F.col(f"_h_{i}").cast("double") - F.col(f"_p_{i}"))
+                                + F.col(f"_vhi_{i}")
+                                * (F.col(f"_p_{i}") - F.col(f"_l_{i}").cast("double"))
+                            )
+                            / 100.0
+                        ).alias("exact_v"),
+                    )
+                    for i, q in enumerate(_HQ_QS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
     return (
         est.join(exact, "q")
         .select(

@@ -618,10 +618,15 @@ def stats_ks_mannwhitney(spark, sf_dir):
     )
     pref, totals = ranged_prefix(spark, v, ["cents"], ["c1", "c2", "cnt"])
     n1, n2 = totals["c1"], totals["c2"]
+    # ONE aggregate pass: the KS max, the MWU sums, AND the argmax location
+    # — a lexicographic-max struct over (dnum, -cents) picks min(cents)
+    # among the rows attaining max(dnum) (cents is unique after the groupBy),
+    # replacing the old second pref pass + filter + crossJoin assembly
+    # (guide §2.4: the re-read re-ran the whole prefix pipeline).
+    dnum = F.abs(F.col("cum_c1") * F.lit(n2) - F.col("cum_c2") * F.lit(n1))
     stats1 = pref.agg(
-        F.max(F.abs(F.col("cum_c1") * F.lit(n2) - F.col("cum_c2") * F.lit(n1)))
-        .cast("long")
-        .alias("m"),
+        F.max(dnum).cast("long").alias("m"),
+        F.max(F.struct(dnum.alias("d"), (-F.col("cents")).alias("negc"))).alias("b"),
         F.sum(
             F.col("c1") * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
         )
@@ -630,15 +635,7 @@ def stats_ks_mannwhitney(spark, sf_dir):
         F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
         .cast("long")
         .alias("tie_cubes"),
-    )
-    at = (
-        pref.crossJoin(F.broadcast(stats1.select("m")))
-        .filter(
-            F.abs(F.col("cum_c1") * F.lit(n2) - F.col("cum_c2") * F.lit(n1))
-            == F.col("m")
-        )
-        .agg(F.min("cents").cast("long").alias("atc"))
-    )
+    ).withColumn("atc", (-F.col("b.negc")).cast("long"))
     # precompute the big literal products in Python: {n1} * {n2} would parse
     # as 32-bit INT literals and overflow under ANSI at the 100x dataset —
     # large single literals parse as BIGINT
@@ -649,7 +646,7 @@ def stats_ks_mannwhitney(spark, sf_dir):
         f" * (({n1} + {n2} + 1)"
         f" - tie_cubes / (({n1} + {n2}) * ({n1} + {n2} - 1.0))))), {DP})"
     )
-    return stats1.crossJoin(F.broadcast(at)).select(
+    return stats1.select(
         F.lit(n1).cast("long").alias("n1"),
         F.lit(n2).cast("long").alias("n2"),
         F.col("m").alias("ks_d_num"),

@@ -149,9 +149,16 @@ def text_profile(spark, sf_dir):
 )
 def text_token_stats(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bpe_ish = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    # counts, not arrays: size(split(...)) / size(regexp_extract_all(...))
+    # materialized every token/match as a UTF8String just to take the
+    # length; regexp_count runs the same regex scan without allocating
+    # (guide §1.2 per-task work). Identities (pinned in
+    # tests/test_optimization_r09.py): a trimmed string has
+    # (#maximal-\s+-runs + 1) whitespace tokens, and extract_all's match
+    # list has regexp_count entries by definition.
+    ws_tokens = F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + F.lit(1)
+    bpe_ish = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
     )
     # pre-project the tokenizations once — as inline aggregate inputs the
     # regex passes run per referencing aggregate (same fix as

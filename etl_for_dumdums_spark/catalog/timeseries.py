@@ -607,7 +607,7 @@ def ts_changepoint_cusum(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+    ).cache()  # ~|calendar| rows; read by the totals pass and the CUSUM pass
     tot = daily.agg(
         F.count("*").cast("long").alias("n"), F.sum("cents").cast("long").alias("t")
     )
@@ -623,36 +623,37 @@ def ts_changepoint_cusum(spark, sf_dir):
         "t",
         (F.col("n") * F.col("cumc") - F.col("k") * F.col("t")).cast("long").alias("ns"),
     )
-    mx = s.agg(F.max(F.abs("ns")).cast("long").alias("m"))
-    at = (
-        s.crossJoin(F.broadcast(mx))
-        .filter(F.abs("ns") == F.col("m"))
-        .agg(F.min("day").alias("cp_day"))
+    # ONE aggregate pass over s: max |ns| plus a lexicographic-max struct
+    # that picks the earliest day attaining it (days are unique, so maxing
+    # (|ns|, -epoch_day) is exactly "min day among max |ns|") and carries
+    # that day's ns for the regime test. Replaces the old mx/at/side
+    # chain, which re-derived the whole orders->daily->window subtree per
+    # consumer (88-Exchange unrolled plan; guide §2.4 / §1.2 "don't
+    # recompute what one pass can carry").
+    best = s.agg(
+        F.max(F.abs("ns")).cast("long").alias("m"),
+        F.max(
+            F.struct(
+                F.abs("ns").alias("a"),
+                (-F.unix_date(F.col("day"))).alias("negd"),
+                F.col("ns").alias("ns"),
+            )
+        ).alias("b"),
+        F.max("n").alias("n"),
+        F.max("t").alias("t"),
     )
-    side = (
-        s.join(F.broadcast(at), F.col("day") == F.col("cp_day"))
-        .crossJoin(F.broadcast(mx))
-        .agg(
-            F.when(F.min("ns") == -F.max("m"), F.lit("below_mean"))
-            .otherwise(F.lit("above_mean"))
-            .alias("regime")
-        )
-    )
-    return (
-        tot.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(at))
-        .crossJoin(F.broadcast(side))
-        .select(
-            F.col("n").alias("n_days"),
-            F.col("t").alias("total_cents"),
-            F.col("m").alias("max_abs_ns"),
-            F.round(
-                F.col("m") / (F.col("n").cast("double") * F.col("t").cast("double")),
-                DP,
-            ).alias("cusum_ratio"),
-            F.col("cp_day").alias("changepoint_day"),
-            "regime",
-        )
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("t").alias("total_cents"),
+        F.col("m").alias("max_abs_ns"),
+        F.round(
+            F.col("m") / (F.col("n").cast("double") * F.col("t").cast("double")),
+            DP,
+        ).alias("cusum_ratio"),
+        F.date_from_unix_date(-F.col("b.negd")).alias("changepoint_day"),
+        F.when(F.col("b.ns") == -F.col("m"), F.lit("below_mean"))
+        .otherwise(F.lit("above_mean"))
+        .alias("regime"),
     )
 
 

@@ -41,6 +41,47 @@ def _kth_smallest_cents(df: DataFrame, col: str, k: int, lo: int, hi: int) -> in
     return lo
 
 
+def _approx_brackets(
+    cdf: DataFrame, ks: list[int], n: int, glo: int, ghi: int, accuracy: int = 100_000
+) -> dict[int, list[int]]:
+    """GUARANTEED initial [lo, hi] bisection bounds per order statistic
+    from ONE percentile_approx scan. The GK sketch behind
+    percentile_approx is deterministic with rank error <= n/accuracy, so
+    the data values returned for probe ranks k -/+ (2*ceil(n/accuracy)+1)
+    have ranks <= k resp. >= k — a certain value bracket around the k-th
+    order statistic. Probes clamp to [0, 1]; a clamped side keeps the
+    global bound. Exactness never rests on this: the caller re-verifies
+    the counting invariant after bisection and falls back to the full
+    range on any violation."""
+    delta = 2 * math.ceil(n / accuracy) + 1
+    probes: list[float] = []
+    sides: list[tuple[int, int, bool]] = []
+    for k in ks:
+        plo = (k - delta) / n
+        phi = (k + delta) / n
+        probes.append(max(0.0, plo))
+        sides.append((k, 0, plo < 0.0))
+        probes.append(min(1.0, phi))
+        sides.append((k, 1, phi > 1.0))
+    vals = (
+        cdf.agg(
+            F.percentile_approx(
+                "c", F.array(*[F.lit(p) for p in probes]), F.lit(accuracy)
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    bounds = {k: [glo, ghi] for k in ks}
+    for (k, side, clamped), v in zip(sides, vals):
+        if clamped or v is None:
+            continue
+        if side == 0:
+            bounds[k][0] = max(glo, int(v))
+        else:
+            bounds[k][1] = min(ghi, int(v))
+    return bounds
+
+
 def exact_quantiles_cents(df: DataFrame, value_col: str, qs) -> list[float]:
     """Exact linear-interpolated quantiles for SEVERAL q at once, with the
     same constant-memory counting selection — but all order statistics
@@ -49,7 +90,27 @@ def exact_quantiles_cents(df: DataFrame, value_col: str, qs) -> list[float]:
     is log2(domain), not qs x order-stats x log2(domain). At 600M rows
     that turned the 1000x oracle sweep's per-q loop (~100 scans) into
     ~25 shared scans (r7; the DuckDB twin got the same single-pass
-    treatment via list-argument quantile_cont)."""
+    treatment via list-argument quantile_cont).
+
+    r9: the initial per-order-stat bounds come from ONE percentile_approx
+    scan instead of the global [min, max]. The GK sketch's deterministic
+    rank-error bound (<= n/accuracy) turns probes at ranks k -/+ 2*ceil(
+    n/accuracy)+1 into a GUARANTEED value bracket around the k-th order
+    statistic. Because a value bracket spanning at most ~4*ceil(n/accuracy)
+    +3 RANKS also contains at most that many DISTINCT values (each distinct
+    value occupies >= 1 rank), the whole bisection loop collapses to TWO
+    scans: one conditional count(c < lo_k) per k (the base rank below the
+    bracket) and one groupBy(c) histogram over the union of brackets (a
+    rank-bounded, hence constant-memory, result); the k-th smallest is a
+    driver-side cumulative walk. Total scans: 4 (stats, sketch, base,
+    bracket histogram) instead of the ~14 the bracketed bisection needed
+    and the ~26 the full-range bisection needed — the ratio carries to any
+    scale. Exactness never rests on the sketch: the walk itself verifies
+    the counting invariant (base_k < k and base_k + bracket total >= k and
+    the cumulative crossing), and any violation — impossible unless the
+    GK bound were broken — falls back to full-range counting bisection
+    for that k.
+    """
     qs = list(qs)
     cents = (F.round(F.col(value_col) * 100)).cast("long")
     cdf = df.select(cents.alias("c"))
@@ -70,24 +131,42 @@ def exact_quantiles_cents(df: DataFrame, value_col: str, qs) -> list[float]:
         ks.add(k_lo)
         if frac != 0.0 and k_lo < n:
             ks.add(k_lo + 1)
-    bounds = {k: [glo, ghi] for k in ks}
-    while True:
-        active = [k for k, (lo, hi) in bounds.items() if lo < hi]
-        if not active:
-            break
-        mids = {k: (bounds[k][0] + bounds[k][1]) // 2 for k in active}
-        row = cdf.agg(
-            *[
-                F.count(F.when(F.col("c") <= mids[k], 1)).alias(f"k{k}")
-                for k in active
-            ]
-        ).collect()[0]
-        for k in active:
-            if row[f"k{k}"] >= k:
-                bounds[k][1] = mids[k]
-            else:
-                bounds[k][0] = mids[k] + 1
-    kth = {k: bounds[k][0] for k in ks}
+    bounds = _approx_brackets(cdf, sorted(ks), n, glo, ghi)
+    sks = sorted(ks)
+    # scan 3: per-k rank of the bracket floor (rows strictly below lo_k)
+    base_row = cdf.agg(
+        *[
+            F.count(F.when(F.col("c") < bounds[k][0], 1)).alias(f"b{k}")
+            for k in sks
+        ]
+    ).collect()[0]
+    base = {k: base_row[f"b{k}"] for k in sks}
+    # scan 4: distinct-value histogram over the union of brackets —
+    # rank-bounded (<= ~4*ceil(n/accuracy)+3 distinct values per k)
+    in_any = None
+    for k in sks:
+        cond = (F.col("c") >= bounds[k][0]) & (F.col("c") <= bounds[k][1])
+        in_any = cond if in_any is None else (in_any | cond)
+    hist = sorted(
+        (r["c"], r["f"])
+        for r in cdf.filter(in_any).groupBy("c").agg(F.count("*").alias("f")).collect()
+    )
+    kth: dict[int, int] = {}
+    for k in sks:
+        lo_k, hi_k = bounds[k]
+        cum = base[k]
+        found = None
+        if cum < k:  # invariant precondition: the k-th lies at/after lo_k
+            for v, f in hist:
+                if lo_k <= v <= hi_k:
+                    cum += f
+                    if cum >= k:  # counting invariant: count(<=v) >= k,
+                        found = v  # count(<=prev) == cum-f < k
+                        break
+        if found is not None:
+            kth[k] = found
+        else:  # pragma: no cover — requires a broken GK rank bound
+            kth[k] = _kth_smallest_cents(cdf, "c", k, glo, ghi)
     out = []
     for q in qs:
         k_lo, frac = ranks[q]

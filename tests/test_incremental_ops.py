@@ -184,12 +184,21 @@ def test_profile_table_single_pass_and_values(spark):
     assert ok["o_orderkey"]["min_repr"] == str(mn)
 
 
-def test_profile_table_plan_has_single_scan(spark):
+def test_profile_table_plan_shape(spark):
+    """r9 optimization: the profiler must not plan an Expand (the packed
+    multi-count_distinct shape replicated every row once per column into
+    one fat aggregate — 4.1 s vs 1.0 s at sf0.1). The shape of record is
+    one stats scan + one column-pruned scan per distinct branch (columnar
+    pruning makes the per-column scans read the same total bytes as the
+    old single scan)."""
     from etl_for_dumdums_spark.checks import profile_table
 
     t = Tables(spark, SF_SMOKE)
-    plan = profile_table(t.orders)._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Relation") == 1, "profiler must not scan once per column"
+    qe = profile_table(t.orders)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    assert "Expand" not in plan, "multi-distinct must not plan an Expand"
+    n_cols = len(t.orders.columns)
+    assert plan.count("Relation") == n_cols + 1
 
 
 def test_skew_report_accounts_for_every_row(spark):
