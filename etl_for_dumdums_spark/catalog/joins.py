@@ -554,6 +554,13 @@ def _cooccurrence_pairs(lineitem):
     """Market-basket pair scoring over an arbitrary lineitem frame (full
     table for the registered query; a deterministic l_orderkey subset for
     the sampled at-scale tier)."""
+    # the distinct (order, part) set has 4 consumers (part_orders, n_total,
+    # both pair-join sides) but must NOT be cache()d: Spark's ReuseExchange
+    # already shares the DISTINCT's shuffle across all of them, while an
+    # InMemoryRelation is unpartitioned and forces every consumer to
+    # re-shuffle from the cache (measured 2.8 s -> 10.1 s at sf0.1 when
+    # tried; the DuckDB twin needs AS MATERIALIZED only because DuckDB has
+    # no exchange reuse)
     items = lineitem.select("l_orderkey", "l_partkey").distinct()
     part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
     n_total = items.agg(F.count_distinct("l_orderkey").alias("n"))

@@ -250,7 +250,9 @@ def _cap_buckets(iv, max_bucket: int):
 )
 def sim_lsh_bucketed(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
     t = Tables(spark, sf_dir)
-    iv = _bucketed_ivecs(t)
+    # quantize+bucket the corpus ONCE: sizes and both self-join sides read
+    # iv (3 consumers re-ran the embeddings scan + transform before; §5)
+    iv = _bucketed_ivecs(t).cache()
     small, _hot = _cap_buckets(iv, max_bucket)
     a = small.alias("a")
     b = small.alias("b")
@@ -495,7 +497,8 @@ _NEARDUP_COS = 0.55
 )
 def dedup_embedding_neardup(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
     t = Tables(spark, sf_dir)
-    iv = _bucketed_ivecs(t)
+    # quantize+bucket ONCE for sizes, hot and both pair-join sides (§5)
+    iv = _bucketed_ivecs(t).cache()
     small, hot = _cap_buckets(iv, max_bucket)
     a, b = small.alias("a"), small.alias("b")
     pairs = a.join(
@@ -689,7 +692,7 @@ def sim_contrastive_triplets(spark, sf_dir, max_bucket: int = _MAX_SIM_BUCKET):
         F.expr(_IVEC_SPARK).alias("v"),
         F.expr(_NORM_SPARK.format(v=_IVEC_SPARK)).alias("nrm"),
         F.expr(_bucket_spark(_IVEC_SPARK)).alias("bucket"),
-    )
+    ).cache()  # sizes + both candidate-join sides read iv (§5)
     small, _hot = _cap_buckets(iv, max_bucket)
     a = small.alias("a")
     b = small.alias("b")
