@@ -517,7 +517,7 @@ def win_ntile_deciles(spark, sf_dir):
 # design). Values interpolate between the same two integer-cent order
 # statistics in both engines; compared at ROUND_DP like agg_percentiles.
 # ---------------------------------------------------------------------------
-_QUANTILE_QS = (0.5, 0.99)  # two probes keep the check affordable (~25 count jobs each)
+_QUANTILE_QS = (0.5, 0.99)  # both probes share the 4-scan bracketed selection (r9)
 
 
 @register(
