@@ -445,9 +445,15 @@ def sketch_histogram_quantile(spark, sf_dir):
     # order statistics + Percentile.getPercentile's interpolation on the
     # cents doubles (pos = q*(n-1); lower==higher -> lowerKey; else
     # lowerKey*(higher-pos) + higherKey*(pos-lower)), divided by 100 LAST
-    # exactly like the original percentile("c", ...)/100.0
-    wc = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
-    cumh = hist.select("c", "f", F.sum("f").over(wc).alias("cum"))
+    # exactly like the original percentile("c", ...)/100.0. The cumulative
+    # runs range-partitioned (operators/ranked.ranged_prefix: per-partition
+    # sums + broadcast offsets), not as a single-partition window — the
+    # histogram is cents-DOMAIN-bounded but that bound is ~10M distinct
+    # values at full price range, one task too many at the 1000x replica.
+    from ..operators.ranked import ranged_prefix
+
+    pref, _tot = ranged_prefix(spark, hist, ["c"], ["f"])
+    cumh = pref.select("c", "f", F.col("cum_f").alias("cum"))
     nm1 = (F.col("n") - 1).cast("double")
     meta = b.select(
         *[
