@@ -292,59 +292,59 @@ def _orderstat_percentiles(frame, col, specs):
     algebraically equal but IEEE-different lo+(hi-lo)*frac form. The
     cents->double reconstruction (c/100.0) is bit-exact for 2-decimal
     data (same identity the winsorized-stats oracle relies on). The
-    single-partition cumulative window is bounded by the DOMAIN of the
-    column (distinct cent values), not the row count — at 100 TB the
-    histogram is a few million rows while the old map-merge reducer saw
-    every partial's full map.
+    cumulative is range-partitioned (operators/ranked.ranged_prefix), so
+    no single task ever sorts the whole histogram; the histogram itself
+    is bounded by the DOMAIN of the column (distinct cent values), not
+    the row count — at 100 TB it is a few million rows while the old
+    map-merge reducer saw every partial's full map.
 
     specs: [(percentage, out_alias), ...]. Returns 1-row DataFrame with
     one rounded column per spec.
     """
-    from pyspark.sql import Window as _W
+    import math as _math
+
+    from ..operators.ranked import ranged_prefix
 
     cents = F.round(F.col(col) * 100).cast("long")
     hist = frame.groupBy(cents.alias("c")).agg(F.count("*").alias("f"))
-    wc = _W.orderBy("c").rowsBetween(_W.unboundedPreceding, 0)
-    cum = hist.select("c", "f", F.sum("f").over(wc).alias("cum"))
+    # r9 follow-up: the cumulative runs range-partitioned (per-partition
+    # sums + broadcast offsets) instead of a single-partition window —
+    # domain-bounded is still one task at the ~10M-value cents bound.
+    # ranged_prefix's exact grand total also IS n, so the old second
+    # histogram evaluation (meta) collapses to Python-literal positions:
+    # double(n-1) * p / floor / ceil are the identical IEEE ops the
+    # in-plan expressions performed (Catalyst constant-folded them too).
+    pref, _tot = ranged_prefix(frame.sparkSession, hist, ["c"], ["f"])
+    cum = pref.select("c", "f", F.col("cum_f").alias("cum"))
+    n = _tot["f"]
     tags = [tag for _, tag in specs]
-    nm1 = (F.col("n") - 1).cast("double")
-    meta = hist.agg(F.sum("f").alias("n")).select(
-        *[
-            e
-            for p, tag in specs
-            for e in (
-                (nm1 * F.lit(p)).alias(f"_pos_{tag}"),
-                F.floor(nm1 * F.lit(p)).alias(f"_lo_{tag}"),
-                F.ceil(nm1 * F.lit(p)).alias(f"_hi_{tag}"),
-            )
-        ]
-    )
-    j = cum.crossJoin(F.broadcast(meta))
+    pos_ = {tag: float(n - 1) * p for p, tag in specs}
+    lo_ = {tag: int(_math.floor(pos_[tag])) for tag in tags}
+    hi_ = {tag: int(_math.ceil(pos_[tag])) for tag in tags}
     # histogram row covers 0-based sorted positions [cum-f, cum-1]
-    covers = lambda idx: (F.col("cum") - F.col("f") <= idx) & (idx < F.col("cum"))  # noqa: E731
+    covers = lambda idx: (F.col("cum") - F.col("f") <= F.lit(idx)) & (F.lit(idx) < F.col("cum"))  # noqa: E731
     keep = None
     for tag in tags:
-        cond = covers(F.col(f"_lo_{tag}")) | covers(F.col(f"_hi_{tag}"))
+        cond = covers(lo_[tag]) | covers(hi_[tag])
         keep = cond if keep is None else (keep | cond)
-    sel = j.filter(keep).agg(
+    sel = cum.filter(keep).agg(
         *[
             e
             for tag in tags
             for e in (
-                (F.max(F.when(covers(F.col(f"_lo_{tag}")), F.col("c"))) / 100.0).alias(f"_vlo_{tag}"),
-                (F.max(F.when(covers(F.col(f"_hi_{tag}")), F.col("c"))) / 100.0).alias(f"_vhi_{tag}"),
-                F.max(f"_pos_{tag}").alias(f"_p_{tag}"),
-                F.max(f"_lo_{tag}").alias(f"_l_{tag}"),
-                F.max(f"_hi_{tag}").alias(f"_h_{tag}"),
+                (F.max(F.when(covers(lo_[tag]), F.col("c"))) / 100.0).alias(f"_vlo_{tag}"),
+                (F.max(F.when(covers(hi_[tag]), F.col("c"))) / 100.0).alias(f"_vhi_{tag}"),
             )
         ]
     )
     return sel.select(
         *[
             R(
-                F.when(F.col(f"_l_{tag}") == F.col(f"_h_{tag}"), F.col(f"_vlo_{tag}")).otherwise(
-                    F.col(f"_vlo_{tag}") * (F.col(f"_h_{tag}").cast("double") - F.col(f"_p_{tag}"))
-                    + F.col(f"_vhi_{tag}") * (F.col(f"_p_{tag}") - F.col(f"_l_{tag}").cast("double"))
+                F.col(f"_vlo_{tag}")
+                if lo_[tag] == hi_[tag]
+                else (
+                    F.col(f"_vlo_{tag}") * F.lit(float(hi_[tag]) - pos_[tag])
+                    + F.col(f"_vhi_{tag}") * F.lit(pos_[tag] - float(lo_[tag]))
                 )
             ).alias(tag)
             for tag in tags
