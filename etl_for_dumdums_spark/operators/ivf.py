@@ -26,6 +26,65 @@ _NORM = "aggregate(transform({v}, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> ac
 # matches catalog/similarity.py and vector.py's float64 numpy kernel
 _IVEC = "transform({c}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+# driver-side training sample bound (guide §5: the driver does no data
+# work beyond this). 200k rows x 64 float64 dims ~ 100 MB — far above the
+# intended <=2000-row deterministic samples, far below driver limits.
+_LOCAL_TRAIN_CAP = 200_000
+
+
+def _lloyd_numpy(x, k: int, seed: int, max_iter: int) -> list[list[float]]:
+    """Deterministic k-means++ init + Lloyd's iterations on the driver.
+
+    ``x`` must be row-sorted deterministically by the caller (we sort by
+    id) so the RandomState draws are reproducible across partitionings —
+    unlike k-means||, whose per-partition sampling made MLlib centroids
+    partitioning-dependent. Ties in assignment go to the lowest centroid
+    index (argmin), matching the Spark-side projection's array_min
+    struct ordering."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = x.shape[0]
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
+    centers[0] = x[rng.randint(n)]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0.0:  # all remaining mass at existing centers (degenerate)
+            centers[j:] = centers[0]
+            break
+        centers[j] = x[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
+    assign = None
+    for _ in range(max_iter):
+        dists = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        new_assign = dists.argmin(axis=1)
+        if assign is not None and (new_assign == assign).all():
+            break  # assignments stable -> centers are the fixpoint means
+        assign = new_assign
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+    return [list(map(float, c)) for c in centers]
+
+
+def nearest_centroid_expr(dv_col: str, centroids: list[list[float]]):
+    """Nearest-centroid bucket as a PURE PROJECTION over a double-array
+    column: the centroid list is folded into an array literal and
+    ``array_min`` over struct(dist, cid) picks the assignment per row —
+    the same zero-shuffle idiom as catalog sim_ivf_topk (guide §2.4).
+    Exact double arithmetic, ties to the lowest centroid index."""
+    cents = ", ".join(
+        "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c) + ")"
+        for c in centroids
+    )
+    return F.expr(
+        f"array_min(transform(array({cents}), (c, i) -> struct("
+        f"aggregate(zip_with({dv_col}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, v) -> acc + v) AS dist, i AS cid))).cid"
+    )
+
 
 def train_ivf_index(
     embeddings: DataFrame,
@@ -35,6 +94,7 @@ def train_ivf_index(
     seed: int = 7,
     max_iter: int = 20,
     train_on: DataFrame | None = None,
+    trainer: str = "local",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Train k-means centroids and assign every vector to its bucket.
 
@@ -43,7 +103,51 @@ def train_ivf_index(
     runs on a bounded deterministic sample while the broadcast-centroid
     assignment pass covers the full corpus.
 
+    ``trainer="local"`` (default): collect the bounded sample to the
+    driver, run deterministic k-means++/Lloyd's in numpy, and assign the
+    full corpus with a broadcast-centroid pure projection. Replaces ~2 s
+    of scheduler-bound MLlib micro-jobs (r9 profile: the #2 cost of
+    sim_ivf_trained_topk) with milliseconds of driver numpy and removes
+    the MLlib vector-conversion pass from the assignment (guide §1.2).
+    The sample is capped at ``_LOCAL_TRAIN_CAP`` rows — pass a bounded
+    ``train_on`` (or ``trainer="mllib"``) for anything larger.
+
+    ``trainer="mllib"``: the original pyspark.ml KMeans path (k-means||
+    init) — the cluster-scale trainer when the sample itself is huge.
+    Downstream top-k output is centroid-robust by design (full-probe IVF
+    is mathematically the brute top-k for ANY centroid set — see catalog
+    sim_ivf_trained_topk), so the two trainers yield identical query
+    results; pinned in tests/test_ivf_trained.py.
+
     Returns (assignments DataFrame with (id, bucket), centroid list)."""
+    if trainer == "local":
+        src = train_on if train_on is not None else embeddings
+        rows = (
+            src.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(_LOCAL_TRAIN_CAP + 1)
+            .collect()
+        )
+        if len(rows) > _LOCAL_TRAIN_CAP:
+            raise ValueError(
+                f"local IVF training sample exceeds {_LOCAL_TRAIN_CAP} rows; "
+                "pass a bounded train_on or trainer='mllib'"
+            )
+        import numpy as np
+
+        rows.sort(key=lambda r: r["i"])  # partitioning-independent determinism
+        x = np.array([r["v"] for r in rows], dtype=np.float64)
+        if x.shape[0] < k:
+            raise ValueError(f"need >= k={k} training vectors, got {x.shape[0]}")
+        centroids = _lloyd_numpy(x, k, seed, max_iter)
+        assigned = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_dv"),
+        ).select(
+            F.col(id_col),
+            nearest_centroid_expr("_dv", centroids).alias("bucket"),
+        )
+        return assigned, centroids
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
