@@ -799,11 +799,13 @@ def dedup_cc_groups(spark, sf_dir):
     return _cc_groups(t.documents)
 
 
-def _cc_groups(documents):
-    """CC stats over the MinHash candidate graph of ``documents`` — factored
-    out so the sampled 100x tier (catalog/sampled.py) can run the identical
-    plan on a deterministic corpus subset."""
-    cand = _minhash_candidates(documents).cache()
+def _cc_labels_minlabel(cand):
+    """Min-label propagation over the candidate pair graph — the r9 form,
+    kept as the pin-test twin of ``_cc_labels_star`` (identical fixpoint:
+    every node labelled with its component's minimum doc_id). Converges in
+    O(graph diameter) full-edge-join rounds, which is exactly why the
+    query itself now uses the star contraction instead (r10 opt)."""
+    cand = cand.cache()
     nodes = cand.select(F.col("da").alias("node")).union(cand.select("db")).distinct()
     edges = cand.select(F.col("da").alias("src"), F.col("db").alias("dst"))
     edges = edges.union(
@@ -811,13 +813,8 @@ def _cc_groups(documents):
     ).cache()
 
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
-    # convergence via the label-sum invariant instead of a per-iteration
-    # join-and-count: new lbl(n) = min(old lbl(n), propagated lbls), so
-    # labels are per-node monotone nonincreasing and sum(lbl) strictly
-    # decreases iff ANY label changed. One cheap aggregate over the
-    # just-checkpointed frame replaces the old new-vs-old equi-join +
-    # count action per iteration (r9 opt; fixpoint reached is identical —
-    # same propagation, same stop condition).
+    # convergence via the label-sum invariant: labels are per-node monotone
+    # nonincreasing, so sum(lbl) strictly decreases iff ANY label changed
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(_CC_MAX_ITERS):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
@@ -835,7 +832,84 @@ def _cc_groups(documents):
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    return labels.select("node", "lbl")
 
+
+def _cc_labels_star(cand, iters_out: list | None = None):
+    """Connected-component labels via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log n) rounds instead of min-label propagation's
+    O(diameter) rounds (r10 opt, guide §1.2: the algorithm first).
+
+    State is a distinct edge set oriented u > v. Per round:
+      * large-star: for every node u, attach each STRICTLY LARGER neighbor
+        to m = min(closed neighborhood of u) — emitted from the symmetric
+        view as (v, m) for rows v > u;
+      * small-star: for every node u (edges now all point downward), attach
+        u and each of its (smaller) neighbors to the minimum of them.
+    Both steps preserve the component partition (every new edge connects
+    nodes already connected; no edge between components is ever created),
+    and the fixpoint is the min-rooted star forest: (node -> component
+    minimum) for every non-root. Convergence is detected by set equality
+    of consecutive (distinct) edge sets — equal counts plus an empty
+    one-sided difference.
+
+    Returns (node, lbl) with lbl = the component's minimum doc_id — the
+    same fixpoint as ``_cc_labels_minlabel`` (pinned on real data plus
+    synthetic chain/star graphs in tests/test_optimization_r10.py).
+    ``iters_out`` (optional list) receives the round count — on a length-n
+    chain it is ~log2(n), pinned by test."""
+    from pyspark.sql import Window as _W
+
+    wu = _W.partitionBy("u")
+    # cand is already DISTINCT (da < db), so the canonical u>v orientation
+    # needs no re-dedup
+    E = cand.select(F.col("db").alias("u"), F.col("da").alias("v")).localCheckpoint(
+        eager=True
+    )
+    e_cnt = E.count()
+    n_iter = 0
+    for _ in range(_CC_MAX_ITERS):
+        n_iter += 1
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        large = (
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # after large-star every edge satisfies u > v, so min(v) over u IS
+        # the minimum of the closed smaller-neighborhood
+        sm = large.withColumn("m", F.min("v").over(wu))
+        new_e = (
+            sm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        new_cnt = new_e.count()
+        done = new_cnt == e_cnt and new_e.subtract(E).isEmpty()
+        E, e_cnt = new_e, new_cnt
+        if done:
+            break
+    if iters_out is not None:
+        iters_out.append(n_iter)
+    # star forest -> labels; the groupBy-min is defensive (at the fixpoint
+    # each non-root has exactly one parent: its component minimum)
+    return (
+        E.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+        .union(E.select(F.col("v").alias("node"), F.col("v").alias("lbl")))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+
+
+def _cc_groups(documents):
+    """CC stats over the MinHash candidate graph of ``documents`` — factored
+    out so the sampled 100x tier (catalog/sampled.py) can run the identical
+    plan on a deterministic corpus subset."""
+    labels = _cc_labels_star(_minhash_candidates(documents))
     groups = labels.groupBy("lbl").agg(F.count("*").alias("group_size"))
     return groups.agg(
         F.count("*").alias("n_components"),

@@ -57,6 +57,69 @@ def test_local_trainer_deterministic_and_assignment_consistent(spark):
     assert 0 <= stats["lo"] and stats["hi"] <= 3
 
 
+# ---------------------------------------------------------------------------
+# Connected components: large-star/small-star contraction vs the r9
+# min-label propagation. Same fixpoint (node -> component minimum) on real
+# candidate graphs and synthetic chain/star/cycle shapes; round count on a
+# long chain is logarithmic in the diameter (the point of the rewrite).
+# ---------------------------------------------------------------------------
+def _pairs(spark, lst):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in lst], "da long, db long"
+    ).distinct()
+
+
+def _labels(df):
+    return sorted((r["node"], r["lbl"]) for r in df.collect())
+
+
+def test_cc_star_matches_minlabel_on_synthetic_graphs(spark):
+    from etl_for_dumdums_spark.catalog.dedup import (
+        _cc_labels_minlabel,
+        _cc_labels_star,
+    )
+
+    cases = {
+        # chain short enough for min-label's _CC_MAX_ITERS to converge
+        "chain20": [(i, i + 1) for i in range(20)],
+        "star": [(500, 500 + i) for i in range(1, 40)] + [(7, 500)],
+        "cycle+2comp": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)],
+        "single_edge": [(42, 7)],
+    }
+    for name, edges in cases.items():
+        cand = _pairs(spark, edges)
+        assert _labels(_cc_labels_star(cand)) == _labels(
+            _cc_labels_minlabel(cand)
+        ), name
+
+
+def test_cc_star_matches_minlabel_on_real_candidates(spark):
+    from etl_for_dumdums_spark.catalog.dedup import (
+        _cc_labels_minlabel,
+        _cc_labels_star,
+        _minhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cand = _minhash_candidates(docs).cache()
+    assert _labels(_cc_labels_star(cand)) == _labels(_cc_labels_minlabel(cand))
+
+
+def test_cc_star_logarithmic_rounds_on_long_chain(spark):
+    import math
+
+    from etl_for_dumdums_spark.catalog.dedup import _cc_labels_star
+
+    # diameter 255 — min-label would need 255 propagation rounds (beyond
+    # its own _CC_MAX_ITERS cap); star contraction needs ~log2 rounds
+    # (+1 round that verifies no change)
+    cand = _pairs(spark, [(i, i + 1) for i in range(255)])
+    iters: list[int] = []
+    lbls = _labels(_cc_labels_star(cand, iters))
+    assert lbls == [(i, 0) for i in range(256)]  # one component rooted at 0
+    assert iters[0] <= math.ceil(math.log2(255)) + 1, iters
+
+
 def test_local_trainer_cap_raises(spark):
     from etl_for_dumdums_spark.operators import ivf
 
