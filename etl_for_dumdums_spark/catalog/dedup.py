@@ -1033,6 +1033,48 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return _prefix_jaccard(t.documents)
 
 
+def _ppj_candidates(prefix):
+    """Candidate (da < db) pairs from the PPJoin prefix index, with the
+    size-ratio + positional filters INSIDE the join and a LENGTH-BUCKETED
+    equi-key (r10 opt, guide §2.2/§2.5: bound hot join groups under skewed
+    length distributions).
+
+    Bucket = floor(log2(s)), computed integer-exactly as length(bin(s))-1.
+    J >= 0.8 forces 5*min(sa,sb) >= 4*max(sa,sb), i.e. a size ratio
+    <= 1.25 < 2, so every qualifying pair's buckets differ by at most 1.
+    The LEFT side keeps its home bucket; the RIGHT side is exploded to
+    {b-1, b, b+1}, so each qualifying pair meets on the equi-key
+    (h, left's home bucket) EXACTLY ONCE — the match-row volume is
+    identical to the unbucketed h-only join, but a hot prefix token's join
+    group is split across length buckets instead of being one
+    |group|^2 cell. Pairs whose buckets differ by more than 1 cannot
+    satisfy the (unchanged) explicit ratio filter, so the candidate set is
+    byte-identical to the unbucketed form (pinned in
+    tests/test_optimization_r10.py)."""
+    pb = prefix.withColumn("bkt", (F.length(F.bin("s")) - 1).cast("int"))
+    left = pb.alias("a")
+    right = (
+        pb.withColumn(
+            "bkt", F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1))
+        )
+    ).alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.least("a.s", "b.s") >= 4 * F.greatest("a.s", "b.s"))
+            & (
+                1 + F.least(F.col("a.s") - F.col("a.rk"), F.col("b.s") - F.col("b.rk"))
+                >= F.floor((4 * (F.col("a.s") + F.col("b.s")) + 8) / 9)
+            ),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
 def _prefix_jaccard(documents):
     """Exact PPJoin over ``documents`` — factored out so the sampled
     at-scale tier (catalog/sampled.py) can bound the quadratic pair output
@@ -1058,9 +1100,13 @@ def _prefix_jaccard(documents):
        is still a consistent global token order, so the PPJoin
        prefix-filter guarantee is unchanged; counts are fingerprint-exact
        (same contract as the winnowing sketches).
-    3. The rep token set is computed once and cached; the pair-by-token
-       intersection join carries only (da, db, h), with sizes rejoined
-       after aggregation."""
+    3. The rep token set is computed once and cached; verification joins
+       each candidate pair to the two per-doc SORTED TOKEN ARRAYS and
+       counts array_intersect — no pair-by-token explode, no (da, db)
+       re-aggregation, sizes ride along (r10; see rep_pairs below).
+    4. The candidate join key is length-bucketed (r10; see
+       _ppj_candidates): hot prefix tokens split across floor(log2(s))
+       buckets, candidate set provably unchanged."""
     from pyspark.sql import Window as W
 
     fp = (
@@ -1113,10 +1159,14 @@ def _prefix_jaccard(documents):
         .cache()
     )
     dfreq = toks.groupBy("h").agg(F.count("*").alias("df"))
-    # per-rep token counts: read by prefix, both rep_pairs size joins, and
-    # sized_fp — cache the tiny (doc_id, s) frame so the groupBy over the
-    # cached toks runs once, not per reader
-    sized = toks.groupBy("doc_id").agg(F.count("*").alias("s")).cache()
+    # per-rep sorted token array + size in ONE groupBy over the cached toks
+    # (r10 opt): the array is the verification payload (below) and `s` is
+    # what prefix / the ratio filters / sized_fp read
+    tokarr = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("s"),
+    ).cache()
+    sized = tokarr.select("doc_id", "s")
     ranked = toks.join(dfreq, "h").select(
         "doc_id",
         "h",
@@ -1129,35 +1179,34 @@ def _prefix_jaccard(documents):
         .filter(F.col("rk") <= F.col("s") - F.floor((4 * F.col("s") + 4) / 5) + 1)
         .select("doc_id", "h", "rk", "s")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # size-ratio + PPJoin positional filter inside the join (see the SQL
-    # twin's comment): keeps >= 1 match row per qualifying pair while
-    # cutting hot-bucket pair volume ~4x
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (5 * F.least("a.s", "b.s") >= 4 * F.greatest("a.s", "b.s"))
-            & (
-                1 + F.least(F.col("a.s") - F.col("a.rk"), F.col("b.s") - F.col("b.rk"))
-                >= F.floor((4 * (F.col("a.s") + F.col("b.s")) + 8) / 9)
-            ),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
-    ta = toks.select(F.col("doc_id").alias("da"), "h")
-    tb = toks.select(F.col("doc_id").alias("db2"), F.col("h").alias("hb"))
-    inter = (
-        cand.join(ta, "da")
-        .join(tb, (F.col("db") == F.col("db2")) & (F.col("h") == F.col("hb")))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    cand = _ppj_candidates(prefix)
+    # exact intersection via the per-doc sorted token arrays (r10 opt,
+    # guide §2.3/§2.4): joining the two bounded arrays onto each candidate
+    # pair and counting array_intersect replaces the pair-by-token explode
+    # (|cand| x tokens-per-doc rows through a (db, h) join + a (da, db)
+    # groupBy — the dominant stage at the 10x replica, 11 of 24 s) with
+    # two size-bounded equi-joins and a per-row merge; the rep_pairs size
+    # joins are absorbed (s rides along). toks rows are DISTINCT, so
+    # array_intersect of the two distinct sorted arrays is the exact
+    # intersection count.
     rep_pairs = (
-        inter.join(sized.select(F.col("doc_id").alias("da"), F.col("s").alias("sa")), "da")
-        .join(sized.select(F.col("doc_id").alias("db"), F.col("s").alias("sb")), "db")
+        cand.join(
+            tokarr.select(
+                F.col("doc_id").alias("da"),
+                F.col("hs").alias("ha"),
+                F.col("s").alias("sa"),
+            ),
+            "da",
+        )
+        .join(
+            tokarr.select(
+                F.col("doc_id").alias("db"),
+                F.col("hs").alias("hb"),
+                F.col("s").alias("sb"),
+            ),
+            "db",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("ha", "hb")).cast("long"))
         .filter(9 * F.col("n_shared") >= 4 * (F.col("sa") + F.col("sb")))
         .select("da", "db", "n_shared", "sa", "sb")
     )

@@ -120,6 +120,187 @@ def test_cc_star_logarithmic_rounds_on_long_chain(spark):
     assert iters[0] <= math.ceil(math.log2(255)) + 1, iters
 
 
+# ---------------------------------------------------------------------------
+# dedup_prefix_jaccard: (a) length-bucketed candidate join key must yield
+# the byte-identical candidate set as the plain h-only join; (b) the
+# array_intersect verification must reproduce the original pair-by-token
+# count-join output exactly, including across bucket boundaries.
+# ---------------------------------------------------------------------------
+def _ppj_frames(spark, docs):
+    """prefix / toks / tokarr frames exactly as _prefix_jaccard builds them."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    fp = docs.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    ).select(
+        "doc_id", "t",
+        F.expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("fp"),
+    )
+    grp = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    reps = fp.alias("f").join(
+        grp.alias("g"),
+        (F.col("f.fp") == F.col("g.fp")) & (F.col("f.doc_id") == F.col("g.rep")),
+    ).select(F.col("f.doc_id").alias("doc_id"), F.col("f.t").alias("t"))
+    arr = reps.select("doc_id", F.split(F.col("t"), r"\s+").alias("a")).filter(
+        F.size("a") >= 3
+    )
+    toks = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 3),"
+                    " i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+        )
+        .distinct()
+        .cache()
+    )
+    dfreq = toks.groupBy("h").agg(F.count("*").alias("df"))
+    sized = toks.groupBy("doc_id").agg(F.count("*").alias("s"))
+    ranked = toks.join(dfreq, "h").select(
+        "doc_id", "h",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "h")).alias("rk"),
+    )
+    prefix = (
+        ranked.join(sized, "doc_id")
+        .filter(F.col("rk") <= F.col("s") - F.floor((4 * F.col("s") + 4) / 5) + 1)
+        .select("doc_id", "h", "rk", "s")
+        .cache()
+    )
+    return toks, sized, prefix
+
+
+def _ppj_cand_unbucketed(prefix):
+    """The r9 candidate join (h-only equi-key) — pin twin."""
+    import pyspark.sql.functions as F
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.least("a.s", "b.s") >= 4 * F.greatest("a.s", "b.s"))
+            & (
+                1 + F.least(F.col("a.s") - F.col("a.rk"), F.col("b.s") - F.col("b.rk"))
+                >= F.floor((4 * (F.col("a.s") + F.col("b.s")) + 8) / 9)
+            ),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+def _boundary_docs(spark):
+    """Synthetic docs whose token-set sizes straddle a power-of-2 bucket
+    boundary while staying within the 0.8-Jaccard size ratio: sizes 60-64
+    span buckets 5 and 6 (floor(log2)), and consecutive sizes share all
+    but a few trailing trigrams, so qualifying pairs cross the boundary."""
+    rows = []
+    for i, n_words in enumerate([62, 63, 64, 65, 66, 80]):
+        words = " ".join(f"w{j:03d}" for j in range(n_words))
+        rows.append((i, words))
+    # plus two identical texts (exact-dup group expansion path)
+    rows.append((10, rows[0][1]))
+    rows.append((11, rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ppj_bucketed_candidates_match_unbucketed(spark):
+    from etl_for_dumdums_spark.catalog.dedup import _ppj_candidates
+
+    for src in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"),
+        _boundary_docs(spark),
+    ):
+        _, _, prefix = _ppj_frames(spark, src)
+        new = _ppj_candidates(prefix)
+        old = _ppj_cand_unbucketed(prefix)
+        assert new.exceptAll(old).isEmpty() and old.exceptAll(new).isEmpty()
+
+
+def test_ppj_array_intersect_matches_count_join(spark):
+    """Full-output pin: the r10 _prefix_jaccard (bucketed candidates +
+    array_intersect verification) vs the r9 pair-by-token formulation."""
+    import pyspark.sql.functions as F
+
+    from etl_for_dumdums_spark.catalog.dedup import _ppj_candidates, _prefix_jaccard
+
+    for src in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"),
+        _boundary_docs(spark),
+    ):
+        toks, sized, prefix = _ppj_frames(spark, src)
+        cand = _ppj_cand_unbucketed(prefix)
+        ta = toks.select(F.col("doc_id").alias("da"), "h")
+        tb = toks.select(F.col("doc_id").alias("db2"), F.col("h").alias("hb"))
+        inter = (
+            cand.join(ta, "da")
+            .join(tb, (F.col("db") == F.col("db2")) & (F.col("h") == F.col("hb")))
+            .groupBy("da", "db")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        old_rep_pairs = sorted(
+            (r["da"], r["db"], r["n_shared"], r["sa"], r["sb"])
+            for r in (
+                inter.join(
+                    sized.select(F.col("doc_id").alias("da"), F.col("s").alias("sa")),
+                    "da",
+                )
+                .join(
+                    sized.select(F.col("doc_id").alias("db"), F.col("s").alias("sb")),
+                    "db",
+                )
+                .filter(9 * F.col("n_shared") >= 4 * (F.col("sa") + F.col("sb")))
+                .collect()
+            )
+        )
+        tokarr = toks.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("h")).alias("hs"), F.count("*").alias("s")
+        )
+        new_rep_pairs = sorted(
+            (r["da"], r["db"], r["n_shared"], r["sa"], r["sb"])
+            for r in (
+                _ppj_candidates(prefix)
+                .join(
+                    tokarr.select(
+                        F.col("doc_id").alias("da"),
+                        F.col("hs").alias("ha"),
+                        F.col("s").alias("sa"),
+                    ),
+                    "da",
+                )
+                .join(
+                    tokarr.select(
+                        F.col("doc_id").alias("db"),
+                        F.col("hs").alias("hb"),
+                        F.col("s").alias("sb"),
+                    ),
+                    "db",
+                )
+                .withColumn(
+                    "n_shared", F.size(F.array_intersect("ha", "hb")).cast("long")
+                )
+                .filter(9 * F.col("n_shared") >= 4 * (F.col("sa") + F.col("sb")))
+                .collect()
+            )
+        )
+        assert new_rep_pairs == old_rep_pairs
+        # and the end-to-end catalog output on the synthetic corpus is sane:
+        # identical texts must appear as jaccard-1.0 pairs
+        out = _prefix_jaccard(src).collect()
+        full = {(r["da"], r["db"]): r["jaccard"] for r in out}
+        if (10, 11) in full:
+            assert full[(10, 11)] == 1.0
+
+
 def test_local_trainer_cap_raises(spark):
     from etl_for_dumdums_spark.operators import ivf
 
