@@ -1303,7 +1303,16 @@ _EDIT_PCT = 5  # keep when edit_dist * _EDIT_PCT <= max(len) (i.e. <= 20%)
 )
 def dedup_edit_distance(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    cand = _minhash_candidates(t.documents)
+    # Spread the verification (r10 opt): the candidate DISTINCT's output is
+    # tiny by BYTES, so AQE's size-based coalescing packs it into ~1
+    # partition — and the O(len·k) Levenshtein DP over every pair then ran
+    # in ONE task (measured: 5+ s serial at the 10x replica for work 32
+    # cores finish in <0.5 s). Hash-repartitioning the pair list by its
+    # (deterministic) key before the verify stage sizes partitions by
+    # COMPUTE, not bytes.
+    cand = _minhash_candidates(t.documents).repartition(
+        spark.sparkContext.defaultParallelism, "da", "db"
+    )
     norm = t.documents.select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("nt"),
@@ -1313,10 +1322,31 @@ def dedup_edit_distance(spark, sf_dir):
     verified = (
         cand.join(na, "da")
         .join(nb, "db")
-        # threshold form: banded DP bounded at _EDIT_MAX, -1 when above
-        .withColumn("edit_dist", F.levenshtein("nta", "ntb", _EDIT_MAX))
+        # candidate-volume guard (r10): |len_a - len_b| > _EDIT_MAX already
+        # implies levenshtein > _EDIT_MAX (each unmatched length unit costs
+        # >= 1 edit), so these pairs can never survive the edit_dist
+        # filters — dropping them BEFORE the DP bounds the verification
+        # volume under skewed length distributions (equivalence pinned in
+        # tests/test_optimization_r10.py)
         .withColumn("len_a", F.length("nta").cast("long"))
         .withColumn("len_b", F.length("ntb").cast("long"))
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= _EDIT_MAX)
+        # threshold form: banded DP bounded at _EDIT_MAX, -1 when above.
+        # The explode(array(..)) Generate is an optimizer barrier: without
+        # it, PushDownPredicate substitutes the edit_dist alias into the
+        # filter and the filter migrates into the nb join condition —
+        # levenshtein then ran THREE times per pair (twice in the join
+        # condition, once in the projection; counted in the r9/r10 before
+        # plans). The barrier pins it to ONE evaluation (plan pinned).
+        .select(
+            "da",
+            "db",
+            "len_a",
+            "len_b",
+            F.explode(F.array(F.levenshtein("nta", "ntb", _EDIT_MAX))).alias(
+                "edit_dist"
+            ),
+        )
     )
     return (
         verified.filter(

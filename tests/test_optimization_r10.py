@@ -301,6 +301,72 @@ def test_ppj_array_intersect_matches_count_join(spark):
             assert full[(10, 11)] == 1.0
 
 
+# ---------------------------------------------------------------------------
+# dedup_edit_distance: single-evaluation barrier + length prefilter +
+# verification repartition must not change results; the plan must contain
+# exactly ONE levenshtein (the r9 plan evaluated it 3x per pair: twice in
+# the pushed-down join condition, once in the projection).
+# ---------------------------------------------------------------------------
+def test_edit_distance_matches_original_formulation(spark):
+    import pyspark.sql.functions as F
+
+    from etl_for_dumdums_spark.catalog.dedup import (
+        _EDIT_MAX,
+        _EDIT_PCT,
+        _minhash_candidates,
+        dedup_edit_distance,
+    )
+
+    sf_dir = SF_SMOKE
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = _minhash_candidates(docs)
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("nt"),
+    )
+    na = norm.select(F.col("doc_id").alias("da"), F.col("nt").alias("nta"))
+    nb = norm.select(F.col("doc_id").alias("db"), F.col("nt").alias("ntb"))
+    old = (
+        cand.join(na, "da")
+        .join(nb, "db")
+        .withColumn("edit_dist", F.levenshtein("nta", "ntb", _EDIT_MAX))
+        .withColumn("len_a", F.length("nta").cast("long"))
+        .withColumn("len_b", F.length("ntb").cast("long"))
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") * _EDIT_PCT <= F.greatest("len_a", "len_b"))
+        )
+        .select(
+            "da", "db", F.col("edit_dist").cast("long").alias("edit_dist"),
+            "len_a", "len_b",
+        )
+        .orderBy("da", "db")
+    )
+    new = dedup_edit_distance(spark, sf_dir)
+    assert new.collect() == old.collect()
+
+
+def test_edit_distance_plan_single_levenshtein(spark):
+    from etl_for_dumdums_spark.catalog.dedup import dedup_edit_distance
+
+    df = dedup_edit_distance(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("levenshtein") == 1, plan
+
+
+def test_length_prefilter_is_implied_by_edit_threshold(spark):
+    """|len_a-len_b| > _EDIT_MAX implies levenshtein(threshold=_EDIT_MAX)
+    returns -1 — the prefilter can never drop a surviving pair."""
+    import pyspark.sql.functions as F
+
+    from etl_for_dumdums_spark.catalog.dedup import _EDIT_MAX
+
+    rows = [("x" * 10, "x" * (10 + _EDIT_MAX + 1)), ("ab", "a" * (_EDIT_MAX + 10))]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(F.levenshtein("a", "b", _EDIT_MAX).alias("d")).collect()
+    assert all(r["d"] == -1 for r in got)
+
+
 def test_local_trainer_cap_raises(spark):
     from etl_for_dumdums_spark.operators import ivf
 
