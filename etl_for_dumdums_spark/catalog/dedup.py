@@ -1179,6 +1179,12 @@ def _prefix_jaccard(documents):
         .filter(F.col("rk") <= F.col("s") - F.floor((4 * F.col("s") + 4) / 5) + 1)
         .select("doc_id", "h", "rk", "s")
     )
+    # NOTE (r10, measured): hash-repartitioning cand before the verify
+    # joins — the fix that bought 5x in dedup_edit_distance — REGRESSES
+    # this query (7.4 -> 9.2 s at the 10x replica, same-session A/B): the
+    # array-merge verification is cheap per row, so the extra 1.3M-row
+    # shuffle costs more than the parallelism it buys. Left unpartitioned
+    # deliberately.
     cand = _ppj_candidates(prefix)
     # exact intersection via the per-doc sorted token arrays (r10 opt,
     # guide §2.3/§2.4): joining the two bounded arrays onto each candidate
