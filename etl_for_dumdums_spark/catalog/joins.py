@@ -554,25 +554,32 @@ def _cooccurrence_pairs(lineitem):
     """Market-basket pair scoring over an arbitrary lineitem frame (full
     table for the registered query; a deterministic l_orderkey subset for
     the sampled at-scale tier)."""
-    # the distinct (order, part) set has 4 consumers (part_orders, n_total,
-    # both pair-join sides) but must NOT be cache()d: Spark's ReuseExchange
-    # already shares the DISTINCT's shuffle across all of them, while an
-    # InMemoryRelation is unpartitioned and forces every consumer to
-    # re-shuffle from the cache (measured 2.8 s -> 10.1 s at sf0.1 when
-    # tried; the DuckDB twin needs AS MATERIALIZED only because DuckDB has
-    # no exchange reuse)
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
-    n_total = items.agg(F.count_distinct("l_orderkey").alias("n"))
-    a = items.alias("a")
-    b = items.alias("b")
+    # r10: one partial-aggregated groupBy collects each order's DISTINCT
+    # sorted part set (collect_set dedups per order — the old global
+    # (order, part) DISTINCT shuffle is gone) and the i<j pair combos are
+    # generated IN MEMORY per basket instead of a per-order self-join
+    # (which shuffled+sorted the item set twice and probed |basket|^2
+    # rows). Output identical by construction: the sorted-array slice
+    # yields exactly the pa < pb combinations of the distinct parts.
+    # Measured 5.3-7.4 -> 3.0 s at the 10x replica, same-session A/B,
+    # rows pinned equal. Baskets frame deliberately NOT cached: its 3
+    # consumers share the groupBy exchange via ReuseExchange, while an
+    # InMemoryRelation would force every consumer to re-shuffle (the r9
+    # items.cache() lesson: 2.8 -> 10.1 s).
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    part_orders = baskets.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("n_orders"))
+    n_total = baskets.agg(F.count("*").alias("n"))
+    combos = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        baskets.select(F.explode(combos).alias("c"))
+        .groupBy(F.col("c.pa").alias("pa"), F.col("c.pb").alias("pb"))
         .agg(F.count("*").alias("n_ab"))
     )
     fa = part_orders.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("n_a"))

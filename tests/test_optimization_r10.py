@@ -367,6 +367,54 @@ def test_length_prefilter_is_implied_by_edit_threshold(spark):
     assert all(r["d"] == -1 for r in got)
 
 
+# ---------------------------------------------------------------------------
+# join_cooccurrence_pairs: basket-explode pair generation vs the original
+# (order, part)-DISTINCT self-join.
+# ---------------------------------------------------------------------------
+def test_cooccurrence_basket_explode_matches_self_join(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from etl_for_dumdums_spark.catalog.joins import _COOC_K, _cooccurrence_pairs
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_orders = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    n_total = items.agg(F.count_distinct("l_orderkey").alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    fa = part_orders.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("n_a"))
+    fb = part_orders.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("n_b"))
+    scored = (
+        pairs.join(fa, "pa")
+        .join(fb, "pb")
+        .crossJoin(F.broadcast(n_total))
+        .select("pa", "pb", "n_ab", "n_a", "n_b", F.col("n"))
+        .withColumn(
+            "lift",
+            F.round(F.col("n_ab") * F.col("n") * 1.0 / (F.col("n_a") * F.col("n_b")), 4),
+        )
+        .drop("n")
+    )
+    top = scored.orderBy(F.desc("n_ab"), "pa", "pb").limit(_COOC_K)
+    rn = F.row_number().over(W.orderBy(F.desc("n_ab"), "pa", "pb")).cast("long")
+    old = (
+        top.withColumn("rn", rn)
+        .select("pa", "pb", "n_ab", "n_a", "n_b", "lift", "rn")
+        .orderBy("rn")
+        .collect()
+    )
+    assert _cooccurrence_pairs(li).collect() == old
+
+
 def test_local_trainer_cap_raises(spark):
     from etl_for_dumdums_spark.operators import ivf
 
